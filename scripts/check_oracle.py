@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: read each
+<out>/<name> parquet written by graft.Verify, run the matching SQL from
+oracle_sql.json in DuckDB over the same sf parquet tables, canonicalize
+(sort columns by name, stringify values), and diff.
+
+Usage: check_oracle.py <sfDir> <verifyOut>
+"""
+import json, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+def canon(rows, names):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    return [tuple(canon_cell(r[i]) for i in order) for r in rows]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); failures += 1; continue
+        tbl = pq.read_table(files[0])
+        spark_names = tbl.column_names
+        spark_rows = [tuple(r[c] for c in spark_names)
+                      for r in tbl.to_pylist()] if tbl.num_rows else []
+        spark_rows = [tuple(r.values()) for r in tbl.to_pylist()]
+        try:
+            cur = con.execute(sql)
+            duck_names = [d[0] for d in cur.description]
+            duck_rows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}"); failures += 1; continue
+        if sorted(spark_names) != sorted(duck_names):
+            print(f"FAIL {name}: columns spark={spark_names} duck={duck_names}")
+            failures += 1; continue
+        cs, cd = canon(spark_rows, spark_names), canon(duck_rows, duck_names)
+        if len(cs) != len(cd):
+            print(f"FAIL {name}: rows spark={len(cs)} duck={len(cd)}")
+            failures += 1; continue
+        if cs != cd:
+            bad = next(i for i in range(len(cs)) if cs[i] != cd[i])
+            print(f"FAIL {name}: first diff at row {bad}:")
+            print(f"   spark={cs[bad]}")
+            print(f"   duck ={cd[bad]}")
+            failures += 1; continue
+        print(f"ok   {name} ({len(cs)} rows)")
+    # queries with no oracle: rows-only presence check
+    for d in sorted(os.listdir(out_dir)):
+        full = f"{out_dir}/{d}"
+        if os.path.isdir(full) and d not in oracles:
+            files = glob.glob(f"{full}/*.parquet")
+            n = pq.read_table(files[0]).num_rows if files else -1
+            status = "ok  " if n > 0 else "FAIL"
+            if n <= 0: failures += 1
+            print(f"{status} {d} (rows-only: {n})")
+    print(f"\n{failures} failures")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

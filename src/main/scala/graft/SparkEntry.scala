@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Tables
+import graft.operators.StarQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator-name → (session, sfDir) → result DataFrame;
+  * `oracleSql` holds the DuckDB-equivalent SQL for every oracle-checkable
+  * entry (same column names — the driver hashes column-sorted values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001: the Q15 star join
+    * (multi-way equi join + decimal agg). Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    StarQueries.q15(Tables(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val star = StarQueries.all.map { case (name, fn) =>
+      name -> ((s: SparkSession, dir: String) => fn(Tables(s, dir)))
+    }
+    star.toMap
+  }
+
+  /** DuckDB oracle per oracle-checkable query (SURVEY §2.10 dialect
+    * adapter). Keys absent here get the driver's rows-only check. */
+  def oracleSql: Map[String, String] =
+    StarQueries.oracles
 }

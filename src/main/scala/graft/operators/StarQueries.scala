@@ -1,0 +1,403 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The declared correctness-gate query set (SURVEY.md §2.10, Q01–Q32).
+  *
+  * Each query is the star-schema embodiment of a reference operator
+  * (citations inline, `file:line` into /root/reference). All queries are
+  * expressed with the DataFrame API so Catalyst plans them (pushdown,
+  * pruning, broadcast selection, whole-stage codegen, AQE).
+  *
+  * Determinism conventions (SURVEY §2.10): total ORDER BY on every
+  * query; DECIMAL(18,x)-cast before aggregating doubles (exact,
+  * summation-order independent — this is what makes the answers stable
+  * under Spark's nondeterministic partial-aggregation order at 100 TB);
+  * residual doubles ROUND(_, 6); timestamps surfaced as epoch BIGINT.
+  */
+object StarQueries {
+
+  private val dec2 = DecimalType(18, 2)
+  private val dec6 = DecimalType(18, 6)
+
+  /** Q01 scan+project — reference TSV scan+projection (1_Preproc.r:144-145). */
+  def q01(t: Tables): DataFrame =
+    t.lineitem
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q02 threshold+equality filter (cellSizeDistribution.r:74). */
+  def q02(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_quantity") >= 30 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q03 prefix/regex predicate — mito-gene match (3_Seurat.r:69). */
+  def q03(t: Tables): DataFrame =
+    t.part
+      .filter(lower(col("p_name")).like("s%"))
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+
+  /** Q04 conditional expression (3_Seurat.r:135). */
+  def q04(t: Tables): DataFrame =
+    t.orders
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 100000, "big").otherwise("small").as("sz"))
+      .orderBy("o_orderkey")
+
+  /** Q05 concat / case functions (4_Prepare_experiment.r:48). */
+  def q05(t: Tables): DataFrame =
+    t.customer
+      .select(
+        col("c_custkey"),
+        concat(lit("sample-"), col("c_name")).as("k"),
+        upper(col("c_mktsegment")).as("seg"))
+      .orderBy("c_custkey")
+
+  /** Q06 math/log10 (numGenesVsNumUmis.r:73). */
+  def q06(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_extendedprice") > 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(log10(col("l_extendedprice")), 6).as("lg"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q07 groupBy sum = colSums → nCount_RNA (2-1_Compute-metrics_emptyDrops.r:42). */
+  def q07(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).as("ncount"))
+      .orderBy("l_orderkey")
+
+  /** Q08 conditional count = nFeature_RNA (2-2_Compute-metrics_doublets.r:34). */
+  def q08(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_orderkey")
+      .agg(count(when(col("l_quantity") > 25, 1)).as("nfeat"))
+      .orderBy("l_orderkey")
+
+  /** Q09 grouped min/max (2-1:48; doubletScores_config.r:11). */
+  def q09(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_orderstatus")
+      .agg(
+        min(col("o_totalprice").cast(dec2)).cast(dec2).as("mn"),
+        max(col("o_totalprice").cast(dec2)).cast(dec2).as("mx"))
+      .orderBy("o_orderstatus")
+
+  /** Q10 exact median (4_Prepare_experiment.r:132). Exact `percentile`,
+    * not approx — must match the interpolating oracle. */
+  def q10(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_quantity, 0.5D)"), 6).as("med"))
+      .orderBy("l_returnflag")
+
+  /** Q11 count distinct (4_Prepare_experiment.r:332). */
+  def q11(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("u"))
+      .orderBy("o_orderstatus")
+
+  /** Q12 ratio of conditional sums = percent.mt (3_Seurat.r:74).
+    * Sums are exact decimals; the final ratio is computed in double on
+    * both engines (identical IEEE ops) then rounded. */
+  def q12(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_orderkey")
+      .agg(
+        sum(when(col("l_returnflag") === "R", col("l_quantity").cast(dec2))
+          .otherwise(lit(0).cast(dec2))).as("s1"),
+        sum(col("l_quantity").cast(dec2)).as("s2"))
+      .select(
+        col("l_orderkey"),
+        round(lit(100) * col("s1").cast("double") / col("s2").cast("double"), 6)
+          .as("pct"))
+      .orderBy("l_orderkey")
+
+  /** Q13 histogram binning (4_Prepare_experiment.r:103, binStep=200). */
+  def q13(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(floor(col("l_extendedprice") / 200).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+
+  /** Q14 left join — metadata ⟕ emptyDrops (3_Seurat.r:105). */
+  def q14(t: Tables): DataFrame =
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"), "left")
+      .select("o_orderkey", "c_name")
+      .orderBy("o_orderkey")
+
+  /** Q15 multi-way equi join + agg. Dimension sides broadcast explicitly;
+    * the orders↔customer join is left to AQE (broadcast at bench SF,
+    * shuffled hash/SMJ at cluster scale). */
+  def q15(t: Tables): DataFrame =
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum(col("o_totalprice").cast(dec2)).cast(dec2).as("rev"),
+        count(lit(1)).as("n"))
+      .orderBy("r_name", "n_name")
+
+  /** Q16 broadcast dimension join (help.r:39). */
+  def q16(t: Tables): DataFrame =
+    t.nation
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+
+  /** Q17 semi join (3_Seurat.r:72). */
+  def q17(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** Q18 anti join (numGenesVsNumUmis.r:85) — customers with no
+    * high-value order (the right side is filtered so the anti join is
+    * non-degenerate at every SF). */
+  def q18(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders.filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** Q19 band / non-equi join (numGenesVsNumUmis.r:82). The band table is
+    * tiny and broadcast → BroadcastNestedLoopJoin, the right physical
+    * plan for a theta join against a handful of intervals. */
+  def q19(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val bands = Seq((1, 0.0, 25.0), (2, 25.0, 50.0)).toDF("bin_id", "lo", "hi")
+    t.lineitem
+      .join(broadcast(bands),
+        col("l_quantity") > col("lo") && col("l_quantity") <= col("hi"))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin_id")
+  }
+
+  /** Q20 union + dedup (1_Preproc.r:143). */
+  def q20(t: Tables): DataFrame =
+    t.customer.select(col("c_nationkey").as("k"))
+      .union(t.supplier.select(col("s_nationkey").as("k")))
+      .distinct()
+      .orderBy("k")
+
+  /** Q21 dense sequential id = cells_id (4_Prepare_experiment.r:80).
+    * Deterministic & dense by construction (row_number over a unique
+    * total order), NOT monotonically_increasing_id. See [[DenseId]] for
+    * the shuffle-free-at-scale variant benched separately. */
+  def q21(t: Tables): DataFrame =
+    t.customer
+      .select(
+        col("c_custkey"),
+        (row_number().over(Window.orderBy("c_custkey")) - 1).cast("long")
+          .as("cells_id"))
+      .orderBy("c_custkey")
+
+  /** Q22 per-group rank (cellSizeDistribution.r:61). */
+  def q22(t: Tables): DataFrame =
+    t.orders
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey")))
+          .cast("long").as("rk"))
+      .orderBy("o_custkey", "rk")
+
+  /** Q23 lag / derivative — knee detection (cellSizeDistribution_config.r:15). */
+  def q23(t: Tables): DataFrame =
+    t.orders
+      .select(
+        col("o_orderkey"),
+        round(col("o_totalprice") - lag("o_totalprice", 1)
+          .over(Window.orderBy("o_orderkey")), 2).as("d"))
+      .orderBy("o_orderkey")
+
+  /** Q24 duplicate-rename window (4_Prepare_experiment.r:69-70). */
+  def q24(t: Tables): DataFrame =
+    t.part
+      .select(
+        col("p_partkey"),
+        when(count(lit(1)).over(Window.partitionBy("p_brand")) > 1,
+          concat(col("p_brand"), lit(" - "), col("p_partkey").cast("string")))
+          .otherwise(col("p_brand")).as("uname"))
+      .orderBy("p_partkey")
+
+  /** Q25 top-k (4_Prepare_experiment.r:130) → TakeOrderedAndProject. */
+  def q25(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_partkey")
+      .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).as("tot"))
+      .orderBy(col("tot").desc, col("l_partkey"))
+      .limit(30)
+
+  /** Q26 group → sorted id list = cell sets (5_Upload-to-aws.py:153). */
+  def q26(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_orderstatus")
+      .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("ids"))
+      .orderBy("o_orderstatus")
+
+  /** Q28 md5 (5_Upload-to-aws.py:37). */
+  def q28(t: Tables): DataFrame =
+    t.customer
+      .select(col("c_custkey"), md5(col("c_name")).as("h"))
+      .orderBy("c_custkey")
+
+  /** Q29 date extraction (5_Upload-to-aws.py:88). */
+  def q29(t: Tables): DataFrame =
+    t.orders
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .orderBy("o_orderkey")
+
+  /** Q30 Benjamini-Hochberg FDR adjust — the frame-spec cumulative min
+    * behind emptyDrops_FDR (SURVEY §2.5; consumed at classifier.r:63).
+    * adj_i = min_{j>=i}(p_j * n / j) over p ranked ascending. */
+  def q30(t: Tables): DataFrame = {
+    val ranked = t.events
+      .filter(col("value").isNotNull)
+      .select(
+        col("event_id"), col("value"),
+        row_number().over(Window.orderBy("value", "event_id")).as("rk"),
+        count(lit(1)).over(Window.partitionBy()).as("n"))
+    ranked
+      .withColumn("pnr", col("value") * col("n") / col("rk"))
+      .select(
+        col("event_id"),
+        round(
+          min(col("pnr")).over(
+            Window.orderBy(col("rk").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          6).as("adj"))
+      .orderBy("event_id")
+  }
+
+  /** Q31 tumbling-window batch analog over events (SURVEY §2.9b).
+    * Hour bucket surfaced as epoch seconds BIGINT (convention #4). */
+  def q31(t: Tables): DataFrame =
+    t.events
+      .groupBy(
+        col("user_id"),
+        unix_timestamp(date_trunc("HOUR", col("ts"))).as("h"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec6)).cast(dec6).as("tot"))
+      .orderBy("user_id", "h")
+
+  /** Q32 running cumulative sum per key — stateful-stream batch analog. */
+  def q32(t: Tables): DataFrame =
+    t.events
+      .select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast(dec6)).over(
+          Window.partitionBy("user_id")
+            .orderBy(col("ts_ns"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(dec6).as("cum"))
+      .orderBy("user_id", "event_id")
+
+  /** name → query, in declared order. */
+  val all: Seq[(String, Tables => DataFrame)] = Seq(
+    "q01_project" -> q01 _, "q02_filter" -> q02 _, "q03_regex" -> q03 _,
+    "q04_case" -> q04 _, "q05_concat" -> q05 _, "q06_log10" -> q06 _,
+    "q07_groupsum" -> q07 _, "q08_condcount" -> q08 _, "q09_minmax" -> q09 _,
+    "q10_median" -> q10 _, "q11_countdistinct" -> q11 _, "q12_ratio" -> q12 _,
+    "q13_histogram" -> q13 _, "q14_leftjoin" -> q14 _, "q15_multijoin" -> q15 _,
+    "q16_broadcastjoin" -> q16 _, "q17_semijoin" -> q17 _,
+    "q18_antijoin" -> q18 _, "q19_bandjoin" -> q19 _, "q20_uniondedup" -> q20 _,
+    "q21_denseid" -> q21 _, "q22_grouprank" -> q22 _, "q23_lag" -> q23 _,
+    "q24_duprename" -> q24 _, "q25_topk" -> q25 _, "q26_idlist" -> q26 _,
+    "q28_md5" -> q28 _, "q29_dateextract" -> q29 _, "q30_bhfdr" -> q30 _,
+    "q31_window" -> q31 _, "q32_cumsum" -> q32 _,
+  )
+
+  /** DuckDB-dialect oracles, semantically identical to the Spark plans.
+    * Dialect adaptations per SURVEY §2.10: percentile↔quantile_cont,
+    * sort_array(collect_list)↔string_agg(ORDER BY), epoch() for
+    * timestamp output, explicit BIGINT casts where Spark's natural type
+    * is INT (row_number, extract). */
+  val oracles: Map[String, String] = Map(
+    "q01_project" ->
+      "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q02_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 30 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber",
+    "q03_regex" ->
+      "SELECT p_partkey, p_name FROM part WHERE lower(p_name) LIKE 's%' ORDER BY p_partkey",
+    "q04_case" ->
+      "SELECT o_orderkey, CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS sz FROM orders ORDER BY o_orderkey",
+    "q05_concat" ->
+      "SELECT c_custkey, concat('sample-', c_name) AS k, upper(c_mktsegment) AS seg FROM customer ORDER BY c_custkey",
+    "q06_log10" ->
+      "SELECT l_orderkey, l_linenumber, ROUND(LOG10(l_extendedprice), 6) AS lg FROM lineitem WHERE l_extendedprice > 0 ORDER BY l_orderkey, l_linenumber",
+    "q07_groupsum" ->
+      "SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ncount FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+    "q08_condcount" ->
+      "SELECT l_orderkey, COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS nfeat FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+    "q09_minmax" ->
+      "SELECT o_orderstatus, CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS mn, CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS mx FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q10_median" ->
+      "SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5), 6) AS med FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q11_countdistinct" ->
+      "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS u FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q12_ratio" ->
+      "SELECT l_orderkey, ROUND(100 * CAST(s1 AS DOUBLE) / CAST(s2 AS DOUBLE), 6) AS pct FROM (SELECT l_orderkey, SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS s1, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s2 FROM lineitem GROUP BY l_orderkey) ORDER BY l_orderkey",
+    "q13_histogram" ->
+      "SELECT CAST(FLOOR(l_extendedprice / 200) AS BIGINT) AS bin, COUNT(*) AS n FROM lineitem GROUP BY bin ORDER BY bin",
+    "q14_leftjoin" ->
+      "SELECT o_orderkey, c_name FROM orders LEFT JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey",
+    "q15_multijoin" ->
+      "SELECT r_name, n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev, COUNT(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name",
+    "q16_broadcastjoin" ->
+      "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
+    "q17_semijoin" ->
+      "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey",
+    "q18_antijoin" ->
+      "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000) ORDER BY c_custkey",
+    "q19_bandjoin" ->
+      "SELECT bin_id, COUNT(*) AS n FROM lineitem l JOIN (SELECT 1 AS bin_id, 0.0 AS lo, 25.0 AS hi UNION ALL SELECT 2, 25.0, 50.0) b ON l.l_quantity > b.lo AND l.l_quantity <= b.hi GROUP BY bin_id ORDER BY bin_id",
+    "q20_uniondedup" ->
+      "SELECT DISTINCT k FROM (SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey AS k FROM supplier) t ORDER BY k",
+    "q21_denseid" ->
+      "SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS cells_id FROM customer ORDER BY c_custkey",
+    "q22_grouprank" ->
+      "SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders ORDER BY o_custkey, rk",
+    "q23_lag" ->
+      "SELECT o_orderkey, ROUND(o_totalprice - LAG(o_totalprice) OVER (ORDER BY o_orderkey), 2) AS d FROM orders ORDER BY o_orderkey",
+    "q24_duprename" ->
+      "SELECT p_partkey, CASE WHEN COUNT(*) OVER (PARTITION BY p_brand) > 1 THEN concat(p_brand, ' - ', CAST(p_partkey AS VARCHAR)) ELSE p_brand END AS uname FROM part ORDER BY p_partkey",
+    "q25_topk" ->
+      "SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS tot FROM lineitem GROUP BY l_partkey ORDER BY tot DESC, l_partkey LIMIT 30",
+    "q26_idlist" ->
+      "SELECT o_orderstatus, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS ids FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q28_md5" ->
+      "SELECT c_custkey, md5(c_name) AS h FROM customer ORDER BY c_custkey",
+    "q29_dateextract" ->
+      "SELECT o_orderkey, EXTRACT(YEAR FROM o_orderdate) AS y, EXTRACT(MONTH FROM o_orderdate) AS m FROM orders ORDER BY o_orderkey",
+    "q30_bhfdr" ->
+      "SELECT event_id, ROUND(MIN(pnr) OVER (ORDER BY rk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS adj FROM (SELECT event_id, rk, value * n / rk AS pnr FROM (SELECT event_id, value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk, COUNT(*) OVER () AS n FROM events WHERE value IS NOT NULL) a) b ORDER BY event_id",
+    "q31_window" ->
+      "SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS tot FROM events GROUP BY user_id, h ORDER BY user_id, h",
+    "q32_cumsum" ->
+      "SELECT event_id, user_id, CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS cum FROM events ORDER BY user_id, event_id",
+  )
+}
