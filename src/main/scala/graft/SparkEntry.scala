@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.operators.StarQueries
+import graft.operators.{Similarity, StarQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,16 +17,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     StarQueries.q15(Tables(spark, "/root/testdata/sf0.001"))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = {
-    val star = StarQueries.all.map { case (name, fn) =>
-      name -> ((s: SparkSession, dir: String) => fn(Tables(s, dir)))
-    }
-    star.toMap
-  }
+  /** One entry per implemented operator: the §2.10 gate set plus the
+    * training-data-pipeline extensions (dedup / similarity / text). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    (StarQueries.all ++ TextQueries.all ++ Similarity.all).map {
+      case (name, fn) =>
+        name -> ((s: SparkSession, dir: String) => fn(Tables(s, dir)))
+    }.toMap
 
   /** DuckDB oracle per oracle-checkable query (SURVEY §2.10 dialect
     * adapter). Keys absent here get the driver's rows-only check. */
   def oracleSql: Map[String, String] =
-    StarQueries.oracles
+    StarQueries.oracles ++ TextQueries.oracles ++ Similarity.oracles
 }

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text/hash primitives for the training-data-pipeline
+  * operators (dedup, similarity, quality, language-ID).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` and
+  * higher-order array functions — fully codegen'd Catalyst expressions,
+  * no UDFs, so the hot path stays inside whole-stage codegen and the
+  * same plan scales from local[32] to a 1000-executor cluster.
+  *
+  * Cross-engine determinism: the only hash primitive is [[hash60]]
+  * (60-bit prefix of md5), reproducible bit-for-bit in any engine with
+  * md5 + hex parsing — which is what lets MinHash signatures and SimHash
+  * fingerprints be checked hash-exact against the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Mersenne prime 2^31-1: modulus of the MinHash affine family.
+    * Keeps every product under 2^62 (no BIGINT overflow in any engine). */
+  val MinHashP: Long = 2147483647L
+
+  /** Fixed affine coefficients (a, b) for the k=16 MinHash family —
+    * arbitrary odd constants < P, hardcoded so Spark and the oracle
+    * agree without any shared-seed machinery. */
+  val MinHashCoeffs: Seq[(Long, Long)] = Seq(
+    (1000000007L, 12345L), (998244353L, 54321L), (1000000409L, 11111L),
+    (824633721L, 98765L), (1500000001L, 55555L), (1068439567L, 77777L),
+    (1268435459L, 13579L), (786433213L, 24680L), (1610612741L, 99999L),
+    (402653189L, 86420L), (1073741827L, 31415L), (536870923L, 27182L),
+    (917504017L, 16180L), (1342177283L, 14142L), (671088667L, 17320L),
+    (1431655777L, 23571L),
+  )
+
+  /** Whitespace tokens (single-space split, empties dropped) — matches
+    * `list_filter(string_split(text,' '), x -> x <> '')` in the oracle. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Deterministic 60-bit hash: first 15 hex digits of md5. Positive,
+    * fits BIGINT; DuckDB equivalent `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** hash60 folded into the MinHash modulus. */
+  def hashP(c: Column): Column = hash60(c) % MinHashP
+
+  /** j-th MinHash affine transform of a pre-folded hash column. */
+  def minHashJ(hm: Column, j: Int): Column = {
+    val (a, b) = MinHashCoeffs(j)
+    (lit(a) * hm + lit(b)) % MinHashP
+  }
+
+  /** Word n-gram shingles of the token array; empty array when the doc
+    * has fewer than n tokens (guards Spark's descending `sequence`). */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** 60-bit SimHash over all token occurrences, computed per-row with
+    * higher-order functions — no explode, no shuffle: the whole
+    * fingerprint is a narrow map-side projection (scale-critical vs the
+    * naive explode+groupBy formulation, which shuffles every token).
+    * Bit rule: majority vote, ties (sum >= 0) set the bit. */
+  def simhash60(textCol: String): Column = expr(
+    s"""aggregate(
+       |  transform(filter(split($textCol, ' '), t -> t != ''),
+       |            t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)),
+       |  array_repeat(CAST(0 AS BIGINT), 60),
+       |  (acc, h) -> zip_with(acc, sequence(0, 59),
+       |      (x, b) -> x + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END),
+       |  acc -> aggregate(zip_with(acc, sequence(0, 59),
+       |      (s, b) -> CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), b)
+       |                ELSE CAST(0 AS BIGINT) END),
+       |    CAST(0 AS BIGINT), (x, y) -> x + y))""".stripMargin)
+
+  /** Exact-dup fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Stopword-hit count: token occurrences contained in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(words.toArray), t)))
+
+  /** Tiny per-language stopword lists for the heuristic language-ID. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "que"),
+  )
+}

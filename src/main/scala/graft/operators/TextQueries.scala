@@ -1,0 +1,356 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline text operators over the `documents` table
+  * (beyond-reference extension surface; BASELINE.md north star).
+  *
+  * Every query here is oracle-gated: the Spark plan and the DuckDB SQL
+  * compute the same deterministic integers/doubles (shared md5-based
+  * hash primitive, explicit double casts, ROUND(_,6), total ORDER BY).
+  */
+object TextQueries {
+
+  /** x01 exact dedup: hash-groupBy on full text (the 100 TB-scale
+    * baseline dedup — one shuffle on a 128-bit key, no text movement
+    * after the md5 projection). */
+  def exactDedup(t: Tables): DataFrame =
+    t.documents
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .orderBy("h")
+
+  /** x02 per-document stats: length / token counts / punctuation. */
+  def textStats(t: Tables): DataFrame =
+    t.documents
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        round(
+          expr("aggregate(toks, 0L, (a, x) -> a + length(x))").cast("double")
+            / size(col("toks")).cast("double"), 6).as("avg_token_len"),
+        length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long")
+          .as("punct"))
+      .orderBy("doc_id")
+
+  /** x03 heuristic language-ID: stopword-hit argmax (ties broken by
+    * language code order). A narrow projection — scales linearly. */
+  def langId(t: Tables): DataFrame = {
+    val withScores = Stopwords.foldLeft(
+      t.documents.withColumn("toks", tokens(col("text")))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"s_$lang", stopwordHits(col("toks"), words).cast("long"))
+    }
+    val best = greatest(Stopwords.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = Stopwords.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col(s"s_$lang") === best, lang).otherwise(acc)
+    }
+    // foldRight gives priority to the FIRST language in code order on ties
+    withScores
+      .select(col("doc_id") +: pred.as("pred_lang") +:
+        Stopwords.map { case (l, _) => col(s"s_$l") }: _*)
+      .orderBy("doc_id")
+  }
+
+  /** x04 corpus token frequency, top 30 — partial-agg'd groupBy, the
+    * classic map-side-combine wordcount shape. */
+  def tokenFreq(t: Tables): DataFrame =
+    t.documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(30)
+
+  /** x05 exact 3-gram-shingle Jaccard, top-20 most similar pairs over
+    * the doc_id<100 subset. Exact pairwise Jaccard is O(n²) — this
+    * bounded variant is the correctness anchor; [[minhashSignatures]] /
+    * [[lshPairs]] are the scale path. */
+  def ngramJaccardTop(t: Tables): DataFrame = {
+    val sh = t.documents
+      .filter(col("doc_id") < 100)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(wordShingles(col("toks"), 3)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("sz", "sz1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("sz", "sz2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"), 6)
+          .as("jac"))
+      .orderBy(col("jac").desc, col("d1"), col("d2"))
+      .limit(20)
+  }
+
+  /** Distinct (doc_id, folded shingle hash) pairs — shared by the
+    * MinHash signature and LSH pair queries. */
+  private def shingleHashes(t: Tables): DataFrame =
+    t.documents
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(wordShingles(col("toks"), 3)).as("s"))
+      .distinct()
+      .select(col("doc_id"), hashP(col("s")).as("hm"))
+
+  /** x06 MinHash signatures (k=16) — the scale path for near-dup at
+    * 100 TB: one shuffle keyed by doc_id, signature is 16 longs/doc.
+    * Deterministic affine family over the shared md5 hash, so the
+    * whole signature is oracle-checkable hash-exact. */
+  def minhashSignatures(t: Tables): DataFrame = {
+    val aggs = MinHashCoeffs.indices.map(j =>
+      min(minHashJ(col("hm"), j)).as(f"m$j%02d"))
+    shingleHashes(t)
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("doc_id")
+  }
+
+  /** x07 LSH candidate pairs + exact Jaccard verification.
+    * Bands of 4 rows × 4 bands over the k=16 signature; candidates =
+    * docs sharing any band key; candidates then verified with exact
+    * shingle Jaccard (only over candidate pairs — the LSH point).
+    * At cluster scale each band join is a shuffle on a short string
+    * key; skewed mega-buckets would be handled by AQE skew splitting. */
+  def lshPairs(t: Tables): DataFrame = {
+    val sig = minhashSignatures(t)
+    val bandCols = (0 until 4).map { b =>
+      concat_ws("_", (0 until 4).map(r => col(f"m${b * 4 + r}%02d")): _*)
+        .as(s"band$b")
+    }
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    val candidates = (0 until 4).map { b =>
+        banded.as("x").join(banded.as("y"),
+          col(s"x.band$b") === col(s"y.band$b") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      }.reduce(_ union _)
+      .distinct()
+    val sh = t.documents
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(wordShingles(col("toks"), 3)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("inter"))
+    candidates
+      .join(inter, Seq("d1", "d2"), "left")
+      .join(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("sz", "sz1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("sz", "sz2"), "d2")
+      .select(col("d1"), col("d2"),
+        round(coalesce(col("inter"), lit(0)).cast("double") /
+          (col("sz1") + col("sz2") - coalesce(col("inter"), lit(0)))
+            .cast("double"), 6).as("jac"))
+      .orderBy("d1", "d2")
+  }
+
+  /** x10 quality score: bounded composite of length, lexical diversity
+    * and punctuation density (reference-free heuristic). */
+  def qualityScore(t: Tables): DataFrame =
+    t.documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast("double"))
+      .select(
+        col("doc_id"),
+        round(
+          least(lit(1.0), col("n_tok") / 100) * 0.5 +
+            (size(array_distinct(col("toks"))).cast("double") / col("n_tok")) * 0.3 +
+            (lit(1.0) - least(lit(1.0),
+              length(regexp_replace(col("text"), "[^.,!?;:]", ""))
+                .cast("double") / col("n_tok"))) * 0.2,
+          6).as("quality"))
+      .orderBy("doc_id")
+
+  /** x11 document fingerprint: md5 of normalized text (case/whitespace
+    * folded) — catches trivially-mutated exact dups. */
+  def fingerprints(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** x12 SimHash (60-bit) — computed per-row with higher-order
+    * functions: a narrow projection, zero shuffles before the output
+    * sort. Near-dup = small Hamming distance; see [[simhashPairs]]. */
+  def simhashes(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), simhash60("text").as("sim"))
+      .orderBy("doc_id")
+
+  /** x13 SimHash near-dup pairs via 4×15-bit band blocking + Hamming
+    * verification with bit_count(xor) — never O(n²). */
+  def simhashPairs(t: Tables): DataFrame = {
+    val sims = t.documents.select(col("doc_id"), simhash60("text").as("sim"))
+    val banded = sims.select(
+      col("doc_id") +: (0 until 4).map(b =>
+        (shiftright(col("sim"), b * 15) bitwiseAND lit(0x7fffL)).as(s"band$b")): _*)
+    (0 until 4).map { b =>
+        banded.as("x").join(banded.as("y"),
+          col(s"x.band$b") === col(s"y.band$b") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      }.reduce(_ union _)
+      .distinct()
+      .join(sims.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("sim", "sim1"), "d1")
+      .join(sims.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("sim", "sim2"), "d2")
+      .select(col("d1"), col("d2"),
+        bit_count(col("sim1").bitwiseXOR(col("sim2"))).cast("long").as("ham"))
+      .filter(col("ham") <= 6)
+      .orderBy("d1", "d2")
+  }
+
+  /** name → query, in declared order. */
+  val all: Seq[(String, Tables => DataFrame)] = Seq(
+    "x01_exactdedup" -> exactDedup _,
+    "x02_textstats" -> textStats _,
+    "x03_langid" -> langId _,
+    "x04_tokenfreq" -> tokenFreq _,
+    "x05_ngramjaccard" -> ngramJaccardTop _,
+    "x06_minhash" -> minhashSignatures _,
+    "x07_lshpairs" -> lshPairs _,
+    "x10_quality" -> qualityScore _,
+    "x11_fingerprint" -> fingerprints _,
+    "x12_simhash" -> simhashes _,
+    "x13_simhashpairs" -> simhashPairs _,
+  )
+
+  // ---- DuckDB oracles ----------------------------------------------------
+  // Shared fragments are generated from the SAME Scala constants the Spark
+  // plans use (MinHashCoeffs, Stopwords, band layout) so the two sides
+  // cannot drift.
+
+  /** DuckDB: whitespace tokens of `text` (empties dropped). */
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** DuckDB: 3-gram word shingles of a token-list column `tk`. */
+  private val shinglesSql =
+    "CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]) ELSE [] END"
+
+  /** DuckDB CTEs: distinct (doc_id, shingle) + folded hash, over `src`. */
+  private def shingleCtes(where: String): String = s"""
+      toks AS (SELECT doc_id, $toksSql AS tk FROM documents $where),
+      sh AS (SELECT DISTINCT doc_id, s
+             FROM (SELECT doc_id, unnest($shinglesSql) AS s FROM toks))"""
+
+  private val minhashAggSql: String =
+    MinHashCoeffs.zipWithIndex.map { case ((a, b), j) =>
+      f"MIN(($a%d * hm + $b%d) %% $MinHashP%d) AS m$j%02d"
+    }.mkString(", ")
+
+  private val sigSql: String = s"""
+      h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $MinHashP AS hm FROM sh),
+      sig AS (SELECT doc_id, $minhashAggSql FROM h GROUP BY doc_id)"""
+
+  private val stopCountsSql: String =
+    Stopwords.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(tk, x -> list_contains($lst, x))) AS BIGINT) AS s_$lang"
+    }.mkString(", ")
+
+  private val simhashSql: String = s"""
+      tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+      hh AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS hv FROM tok),
+      bb AS (SELECT doc_id, bit.b AS b, SUM(CASE WHEN ((hv >> bit.b) & 1) = 1 THEN 1 ELSE -1 END) AS sgn
+             FROM hh CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bit GROUP BY doc_id, bit.b),
+      ff AS (SELECT doc_id, CAST(SUM(CASE WHEN sgn >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sim
+             FROM bb GROUP BY doc_id),
+      sims AS (SELECT d.doc_id, CAST(COALESCE(ff.sim, ${(1L << 60) - 1}) AS BIGINT) AS sim
+               FROM documents d LEFT JOIN ff ON ff.doc_id = d.doc_id)"""
+
+  val oracles: Map[String, String] = Map(
+    "x01_exactdedup" ->
+      "SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count FROM documents GROUP BY h ORDER BY h",
+    "x02_textstats" -> s"""
+      WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents)
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+        CASE WHEN len(tk) > 0 THEN ROUND(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE), 6) END AS avg_token_len,
+        CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS punct
+      FROM t ORDER BY doc_id""",
+    "x03_langid" -> s"""
+      WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      s AS (SELECT doc_id, $stopCountsSql FROM t)
+      SELECT doc_id,
+        CASE ${Stopwords.map { case (l, _) =>
+          s"WHEN s_$l = greatest(${Stopwords.map("s_" + _._1).mkString(", ")}) THEN '$l'"
+        }.mkString(" ")} ELSE 'und' END AS pred_lang,
+        ${Stopwords.map("s_" + _._1).mkString(", ")}
+      FROM s ORDER BY doc_id""",
+    "x04_tokenfreq" -> s"""
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest($toksSql) AS tok FROM documents)
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 30""",
+    "x05_ngramjaccard" -> s"""
+      WITH ${shingleCtes("WHERE doc_id < 100")},
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / CAST(s1.sz + s2.sz - i AS DOUBLE), 6) AS jac
+      FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+      ORDER BY jac DESC, d1, d2 LIMIT 20""",
+    "x06_minhash" -> s"""
+      WITH ${shingleCtes("")}, $sigSql
+      SELECT * FROM sig ORDER BY doc_id""",
+    "x07_lshpairs" -> s"""
+      WITH ${shingleCtes("")}, $sigSql,
+      banded AS (SELECT doc_id, ${(0 until 4).map(b =>
+        s"concat_ws('_', ${(0 until 4).map(r => f"m${b * 4 + r}%02d").mkString(", ")}) AS band$b").mkString(", ")}
+        FROM sig),
+      cand AS (SELECT DISTINCT d1, d2 FROM (${(0 until 4).map(b =>
+        s"SELECT x.doc_id AS d1, y.doc_id AS d2 FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id").mkString(" UNION ALL ")})),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.d1, c.d2, COUNT(*) AS i FROM cand c
+                JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+                GROUP BY c.d1, c.d2)
+      SELECT c.d1, c.d2,
+        ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) / CAST(s1.sz + s2.sz - COALESCE(i.i, 0) AS DOUBLE), 6) AS jac
+      FROM cand c LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+      JOIN sz s1 ON s1.doc_id = c.d1 JOIN sz s2 ON s2.doc_id = c.d2
+      ORDER BY c.d1, c.d2""",
+    "x10_quality" -> s"""
+      WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+      u AS (SELECT doc_id, text, tk, CAST(len(tk) AS DOUBLE) AS n_tok FROM t)
+      SELECT doc_id,
+        CASE WHEN n_tok > 0 THEN ROUND(
+          least(1.0, n_tok / 100) * 0.5 +
+          (CAST(len(list_distinct(tk)) AS DOUBLE) / n_tok) * 0.3 +
+          (1.0 - least(1.0, CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / n_tok)) * 0.2, 6)
+        END AS quality
+      FROM u ORDER BY doc_id""",
+    "x11_fingerprint" ->
+      raw"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id",
+    "x12_simhash" -> s"""
+      WITH $simhashSql
+      SELECT doc_id, sim FROM sims ORDER BY doc_id""",
+    "x13_simhashpairs" -> s"""
+      WITH $simhashSql,
+      banded AS (SELECT doc_id, sim, ${(0 until 4).map(b =>
+        s"((sim >> ${b * 15}) & 32767) AS band$b").mkString(", ")} FROM sims),
+      cand AS (SELECT DISTINCT d1, d2 FROM (${(0 until 4).map(b =>
+        s"SELECT x.doc_id AS d1, y.doc_id AS d2 FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id").mkString(" UNION ALL ")}))
+      SELECT c.d1, c.d2, CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS ham
+      FROM cand c JOIN sims x ON x.doc_id = c.d1 JOIN sims y ON y.doc_id = c.d2
+      WHERE bit_count(xor(x.sim, y.sim)) <= 6
+      ORDER BY c.d1, c.d2""",
+  )
+}
