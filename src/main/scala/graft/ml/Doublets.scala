@@ -1,0 +1,116 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Doublet scoring — scDblFinder semantics (`2-2_Compute-metrics_
+  * doublets.r:34-36`): simulate artificial doublets by summing random
+  * cell pairs, embed real + artificial together, and score each real
+  * cell by the artificial fraction of its k nearest neighbors.
+  *
+  * Spark decomposition (SURVEY §2.9): pair table → grouped sum (the
+  * doublet synthesis is a join + agg on the long table), the existing
+  * LogNormalize → HVG → Scale → PCA pipeline for the embedding, and
+  * `BucketedRandomProjectionLSH` + a distance-ranked window for the
+  * kNN — every stage distributed, seeded, and deterministic (pairing
+  * uses a Fisher-Yates shuffle over the sorted barcode list).
+  *
+  * Classification (simplified vs scDblFinder's trained classifier,
+  * documented choice): `doublet` when the artificial-neighbor fraction
+  * exceeds 1.5× its null expectation `nArt/(nArt + nReal)`.
+  */
+object Doublets {
+
+  def scores(expr: DataFrame, k: Int = 20, numHvg: Int = 500,
+             numPcs: Int = 10, seed: Long = 123L): DataFrame = {
+    val spark = expr.sparkSession
+    val samples = expr.select("sample").distinct()
+      .collect().map(_.getString(0)).sorted
+    samples.map(s => scoreSample(expr.filter(col("sample") === s), s, k, numHvg, numPcs, seed))
+      .reduce(_ unionByName _)
+  }
+
+  private def scoreSample(expr: DataFrame, sample: String, k: Int,
+                          numHvg: Int, numPcs: Int, seed: Long): DataFrame = {
+    val spark = expr.sparkSession
+    import spark.implicits._
+
+    val barcodes = expr.select("barcode").distinct()
+      .collect().map(_.getString(0)).sorted
+    val nReal = barcodes.length
+    // deterministic pairing: Fisher-Yates over the sorted list
+    val rng = new java.util.SplittableRandom(seed ^ sample.hashCode.toLong)
+    val perm = barcodes.clone()
+    for (i <- perm.length - 1 to 1 by -1) {
+      val j = rng.nextInt(i + 1)
+      val t = perm(i); perm(i) = perm(j); perm(j) = t
+    }
+    val nArt = nReal / 2
+    val pairs = (0 until nArt).flatMap { i =>
+      val art = f"__art_$i%06d"
+      Seq((perm(2 * i), art), (perm(2 * i + 1), art))
+    }.toDF("barcode", "art_barcode")
+
+    val artExpr = expr.join(pairs, "barcode")
+      .groupBy(col("sample"), col("art_barcode").as("barcode"), col("gene"))
+      .agg(sum("count").as("count"))
+      .select("sample", "barcode", "gene", "count")
+    val combined = expr.select("sample", "barcode", "gene", "count")
+      .unionByName(artExpr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val nCells = nReal.toLong + nArt
+    val norm = Normalize.logNormalize(combined)
+    val hvg = Hvg.selectHvg(norm, nCells, numGenes = numHvg, valueCol = "norm")
+    val ords = Hvg.ordinals(hvg)
+    val moments = Scale.geneMoments(norm.join(ords, "gene"), nCells)
+    val scaled = Scale.scaleData(norm.join(ords, "gene"), moments)
+    val ids = graft.operators.DenseId.withDenseId(
+      combined.select("sample", "barcode").distinct(),
+      Seq(col("sample"), col("barcode")), "cells_id")
+    val zeroZ = Scale.zeroZ(moments).join(ords, "gene")
+      .select("gene_ord", "z0").collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(1))
+    val pcaIn = scaled.join(ids, Seq("sample", "barcode"))
+      .select("cells_id", "gene_ord", "z")
+    val (emb, _) = Pca.fit(pcaIn, zeroZ, k = numPcs)
+
+    val tagged = emb.join(ids, "cells_id")
+      .withColumn("is_art", col("barcode").startsWith("__art_"))
+      .withColumn("features", array_to_vector(col("pc")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(10.0).setNumHashTables(3).setSeed(seed)
+      .setInputCol("features").setOutputCol("__h")
+    val model = lsh.fit(tagged)
+    val neighbors = model.approxSimilarityJoin(
+        tagged.filter(!col("is_art")), tagged, 1e12, "dist")
+      .filter(col("datasetA.cells_id") =!= col("datasetB.cells_id"))
+      .select(
+        col("datasetA.cells_id").as("cid"),
+        col("datasetB.cells_id").as("nid"),
+        col("datasetB.is_art").as("n_art"),
+        col("dist"))
+    val ranked = neighbors
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cid").orderBy(col("dist").asc, col("nid").asc)))
+      .filter(col("rk") <= k)
+    val expected = nArt.toDouble / (nArt + nReal)
+    val out = ranked
+      .groupBy("cid")
+      .agg((count(when(col("n_art"), 1)).cast("double") / count(lit(1)))
+        .as("doublet_scores"))
+      .join(tagged.select(col("cells_id").as("cid"), col("sample"), col("barcode")), "cid")
+      .withColumn("doublet_class",
+        when(col("doublet_scores") >= expected * 1.5, "doublet")
+          .otherwise("singlet"))
+      .select("sample", "barcode", "doublet_scores", "doublet_class")
+    val result = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    combined.unpersist(); tagged.unpersist()
+    result
+  }
+}
