@@ -1,0 +1,75 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two tight 15-cell blobs in 5-D PC space, far apart. */
+  private lazy val emb = {
+    val blobA = (0 until 15).map(i =>
+      (i.toLong, Array(0.0 + 0.1 * (i % 5), 0.1 * (i % 3), 0.0, 0.0, 0.0)))
+    val blobB = (0 until 15).map(i =>
+      (100L + i, Array(50.0 + 0.1 * (i % 5), 50.0 + 0.1 * (i % 3), 0.0, 0.0, 0.0)))
+    (blobA ++ blobB).toDF("cells_id", "pc")
+      .persist()
+  }
+
+  test("kNN neighbors stay within the blob") {
+    val knn = Snn.knn(emb, k = 5)
+    val cross = knn.filter(
+      (col("cid") < 100 && col("nid") >= 100) ||
+        (col("cid") >= 100 && col("nid") < 100)).count()
+    assert(cross == 0)
+    val perCell = knn.groupBy("cid").count().collect().map(_.getLong(1))
+    assert(perCell.forall(_ == 5))
+  }
+
+  test("SNN graph + Louvain recovers the two blobs") {
+    // k=10 of 14 possible in-blob neighbors: dense intra-blob SNN, so
+    // the modularity optimum is the two planted communities
+    val knn = Snn.knn(emb, k = 10)
+    val edges = Snn.graph(knn, k = 10)
+    assert(edges.filter(col("weight") > 1).count() == 0)
+    val clusters = Clustering.louvain(emb.select("cells_id"), edges)
+    val byCluster = clusters.collect()
+      .groupBy(_.getAs[Long]("cluster"))
+      .view.mapValues(_.map(_.getAs[Long]("cells_id")).toSet).toMap
+    assert(byCluster.size == 2, s"expected 2 clusters, got ${byCluster.size}")
+    assert(byCluster.values.toSet ==
+      Set((0L until 15L).toSet, (100L until 115L).toSet))
+    // deterministic renumbering: cluster 0 contains the smallest id
+    assert(byCluster(0L).contains(0L))
+  }
+
+  test("label propagation (distributed fallback) never mixes blobs") {
+    val knn = Snn.knn(emb, k = 5)
+    val edges = Snn.graph(knn, k = 5)
+    val clusters = Clustering.labelPropagation(
+      emb.select("cells_id"), edges, maxIters = 10)
+    val byCluster = clusters.collect()
+      .groupBy(_.getAs[Long]("cluster"))
+      .view.mapValues(_.map(_.getAs[Long]("cells_id")).toSet).toMap
+    byCluster.values.foreach { members =>
+      assert(members.forall(_ < 100) || members.forall(_ >= 100),
+        s"cluster mixes blobs: $members")
+    }
+  }
+
+  test("umapLike keeps the blobs separated") {
+    val knn = Snn.knn(emb, k = 5)
+    val out = Embed.umapLike(emb, knn, epochs = 50)
+    val pts = out.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(pts.length == 30)
+    val (pa, pb) = pts.partition(_._1 < 100)
+    def centroid(ps: Array[(Long, Double, Double)]) =
+      (ps.map(_._2).sum / ps.length, ps.map(_._3).sum / ps.length)
+    val (ax, ay) = centroid(pa); val (bx, by) = centroid(pb)
+    val inter = math.hypot(ax - bx, ay - by)
+    val intraA = pa.map(p => math.hypot(p._2 - ax, p._3 - ay)).max
+    val intraB = pb.map(p => math.hypot(p._2 - bx, p._3 - by)).max
+    assert(inter > 2 * math.max(intraA, intraB),
+      s"inter=$inter intraA=$intraA intraB=$intraB")
+  }
+}
