@@ -53,10 +53,13 @@ object Rlm {
       // robust scale: MAD * 1.4826 (exact percentile; post-reduction size)
       val scales = withR.groupBy("sample")
         .agg((expr("percentile(abs(__r), 0.5D)") * 1.4826).as("__s"))
+      // weight 1 inside the Huber corner (incl. r = 0 — the division
+      // must not evaluate there under ANSI mode)
       val weighted = withR.join(broadcast(scales), "sample")
         .withColumn("__w",
-          when(col("__s") <= 0, lit(1.0)).otherwise(
-            least(lit(1.0), lit(huberK) * col("__s") / abs(col("__r")))))
+          when(col("__s") <= 0 ||
+            abs(col("__r")) <= lit(huberK) * col("__s"), lit(1.0))
+            .otherwise(lit(huberK) * col("__s") / abs(col("__r"))))
       coeffs = solve(weighted.groupBy("sample").agg(
         sum("__w").as("sw"), sum(col("__w") * col("x")).as("swx"),
         sum(col("__w") * col("y")).as("swy"),

@@ -140,7 +140,11 @@ object NumGenesVsNumUmisStep extends QcStep {
       .withColumn("__pred", col("alpha") + col("beta") * col("__x"))
       .withColumn("__se", col("sigma") *
         sqrt(lit(1.0) + lit(1.0) / col("n") +
-          (col("__x") - col("xbar")) * (col("__x") - col("xbar")) / col("sxx")))
+          // degenerate sample (all x equal): leverage term is 0, and
+          // the division must not evaluate under ANSI
+          when(col("sxx") > 0,
+            (col("__x") - col("xbar")) * (col("__x") - col("xbar")) / col("sxx"))
+            .otherwise(lit(0.0))))
       .filter(
         col("__y") <= col("__pred") + col("__tq") * col("__se") &&
           col("__y") >= col("__pred") - col("__tq") * col("__se"))

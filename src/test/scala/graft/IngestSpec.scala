@@ -1,0 +1,97 @@
+package graft
+
+import graft.qc.StepConfig
+import java.nio.file.{Files, Path}
+
+class IngestSpec extends SparkSpec {
+
+  /** Two-sample 10x fixture: per sample, 60 ambient barcodes (3 genes,
+    * tiny counts) + 12 real cells (12 genes incl. both MT genes,
+    * totals ≫ 100). 15 genes, two of them mitochondrial. */
+  private def writeSample(dir: Path, seedOff: Int): Unit = {
+    val nGenes = 15
+    val ambient = (0 until 60).map { i =>
+      val gs = Seq(i % nGenes, (i + 5) % nGenes, (i + 10) % nGenes)
+      (f"AMB$i%03d", gs.map(g => (g, 1L + (i + seedOff) % 2)))
+    }
+    val real = (0 until 12).map { i =>
+      val gs = (0 until 10) ++ Seq(13, 14)
+      (f"CELL$i%03d", gs.map(g => (g, 10L + (i * 7 + g * 3 + seedOff) % 30)))
+    }
+    val cells = ambient ++ real
+    val triples = cells.zipWithIndex.flatMap { case ((_, gs), ci) =>
+      gs.map { case (g, c) => (g + 1, ci + 1, c) }
+    }
+    Files.writeString(dir.resolve("matrix.mtx"),
+      ("%%MatrixMarket matrix coordinate integer general" ::
+        s"$nGenes ${cells.length} ${triples.length}" ::
+        triples.map { case (g, c, v) => s"$g $c $v" }.toList).mkString("", "\n", "\n"))
+    Files.writeString(dir.resolve("barcodes.tsv"),
+      cells.map(_._1).mkString("", "\n", "\n"))
+    val names = (0 until 13).map(g => s"ENSG$g%02d\tGene$g") ++
+      Seq("ENSG13\tMT-CO1", "ENSG14\tmt-nd2")
+    Files.writeString(dir.resolve("features.tsv"), names.mkString("", "\n", "\n"))
+  }
+
+  private lazy val result = {
+    val root = Files.createTempDirectory("ingest")
+    val d1 = Files.createDirectory(root.resolve("s1"))
+    val d2 = Files.createDirectory(root.resolve("s2"))
+    writeSample(d1, 0); writeSample(d2, 1)
+    Ingest.run(spark, Ingest.Config(
+      name = "fixture-exp",
+      samples = Seq("s1" -> d1.toString, "s2" -> d2.toString),
+      emptyDropsIters = 99,
+      metadata = Map("condition" -> Map("s1" -> "ctrl", "s2" -> "treat"))))
+  }
+
+  test("end-to-end ingest: invariants hold, no flagged samples") {
+    assert(result.flaggedSamples.isEmpty)
+    assert(result.violations.isEmpty, result.violations.mkString("; "))
+  }
+
+  test("degree filter leaves only real cells; ids dense") {
+    val cells = result.experiment.cells.collect()
+    assert(cells.length == 24)
+    assert(cells.forall(_.getAs[String]("barcode").startsWith("CELL")))
+    assert(cells.map(_.getAs[Long]("cells_id")).sorted.sameElements(0L until 24L))
+    assert(cells.forall { r =>
+      val p = r.getAs[Double]("percent_mt"); p > 0 && p < 100
+    })
+    assert(cells.forall(r => r.getAs[String]("condition") != null))
+  }
+
+  test("emptyDrops and doublet columns joined onto cells") {
+    val cells = result.experiment.cells
+    val cols = cells.columns.toSet
+    assert(Set("emptyDrops_FDR", "emptyDrops_PValue", "doublet_scores",
+      "doublet_class", "flag_filtered").subsetOf(cols))
+    // real cells are wildly non-ambient -> tiny FDR everywhere
+    val fdrs = cells.collect().map(_.getAs[Double]("emptyDrops_FDR"))
+    assert(fdrs.forall(f => f != null && f < 0.05))
+  }
+
+  test("processing config has per-sample resolved blocks") {
+    val cfg = result.processingConfig
+    assert(cfg.contains("\"sample-s1\"") && cfg.contains("\"sample-s2\""))
+    assert(cfg.contains("\"cellSizeDistribution\"") && cfg.contains("\"doubletScores\""))
+    assert(cfg.contains("\"probabilityThreshold\""))
+  }
+
+  test("cell sets document: 12 ids per sample, metadata root present") {
+    val json = result.cellSetsJson
+    assert(json.contains("\"sample-s1\"") && json.contains("\"sample-s2\""))
+    assert(json.contains("\"metadata-condition-ctrl\""))
+    assert(json.contains("\"rootNode\":true"))
+  }
+
+  test("export writes artifacts and yields a stable experiment id") {
+    val out = Files.createTempDirectory("ingest-out")
+    val id1 = Ingest.export(spark, result, out.toString)
+    assert(id1.matches("[0-9a-f]{32}"))
+    val id2 = Ingest.export(spark, result, out.toString)
+    assert(id1 == id2)
+    assert(Files.exists(out.resolve("processing_config.json")))
+    assert(Files.exists(out.resolve("cell_sets.json")))
+  }
+}
