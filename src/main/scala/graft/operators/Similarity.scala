@@ -52,6 +52,23 @@ object Similarity {
   /** Number of sign bits in the random-hyperplane sketch. */
   val SketchBits = 8
 
+  /** Max embedding dimension covered by the precomputed hyperplanes. */
+  val MaxDim = 256
+
+  /** Hyperplane coefficient g(i, j) = (h60(md5("i_j")) mod 1000)/500 − 1
+    * — EXACTLY the oracle's SQL formula, precomputed on the driver so
+    * the Spark plan multiplies against a literal array instead of
+    * running dim × bits md5 calls per row. */
+  private def g(i: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % 1000L).toDouble / 500.0 - 1.0
+  }
+
+  private lazy val hyperplanes: IndexedSeq[Array[Double]] =
+    (0 until SketchBits).map(j => Array.tabulate(MaxDim)(i => g(i, j)))
+
   /** x09 near-duplicate vectors: all pairs with cosine above a high
     * threshold, via random-hyperplane LSH blocking (8-bit sign sketch)
     * + exact verification inside buckets — the scale path avoids the n²
@@ -65,10 +82,10 @@ object Similarity {
     * literal array per bit (same values, one-time driver compute). */
   def cosineNearDup(t: Tables, threshold: Double = 0.9): DataFrame = {
     val sketchBit: Int => Column = j => {
+      val litSql = hyperplanes(j).map(v => s"${v}D").mkString("array(", ",", ")")
       val proj = expr(
-        s"""aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-           |  (x, i) -> CAST(x AS DOUBLE) *
-           |    (CAST(CAST(conv(substr(md5(concat(CAST(i AS STRING), '_', '$j')), 1, 15), 16, 10) AS BIGINT) % 1000 AS DOUBLE) / 500.0 - 1.0)),
+        s"""aggregate(zip_with(embedding, slice($litSql, 1, size(embedding)),
+           |  (x, gv) -> CAST(x AS DOUBLE) * gv),
            |  0D, (acc, v) -> acc + v)""".stripMargin)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }

