@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` with typed
+  * metadata, plus the feature-extraction plumbing a training-data
+  * pipeline needs (beyond-reference surface; BASELINE.md north star).
+  *
+  * The Spark side — schema, partition-preserving `mapPartitions`,
+  * batch shape, deterministic output — is real and tested. The actual
+  * codec is STUBBED: this container has no image/audio libraries, so
+  * [[decodeMedia]] throws, and [[extractFeatures]] takes a pluggable
+  * decoder defaulting to a deterministic byte-level fake
+  * ([[byteHistogram]]). Swapping in a real decoder changes no
+  * plumbing: same signature, same schema, same partitioning.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType))), nullable = true)))
+
+  /** REAL DECODER GOES HERE — requires an imaging/av library absent
+    * from this container (prompt-sanctioned stub). */
+  def decodeMedia(bytes: Array[Byte], mediaType: String): Nothing =
+    throw new NotImplementedError(
+      s"no $mediaType codec in this environment - plug a decoder into extractFeatures")
+
+  /** Deterministic stand-in featurizer: 64-bin byte histogram,
+    * L1-normalized. Same shape a CNN embedding would have. */
+  def byteHistogram(bytes: Array[Byte], dim: Int = 64): Array[Float] = {
+    val hist = new Array[Float](dim)
+    bytes.foreach(b => hist((b & 0xff) % dim) += 1f)
+    val total = math.max(1f, bytes.length.toFloat)
+    hist.map(_ / total)
+  }
+
+  /** Feature extraction over the binary column: partition-preserving
+    * `mapPartitions` (one featurizer instance per partition — the
+    * model-loading amortization point for a real decoder), emitting
+    * `(media_id, feature: array<float>)`. */
+  def extractFeatures(media: DataFrame, dim: Int = 64,
+                      featurizer: (Array[Byte], Int) => Array[Float] = byteHistogram)
+  : DataFrame = {
+    val spark = media.sparkSession
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("feature", ArrayType(FloatType), nullable = false)))
+    val rows = media.select("media_id", "bytes").rdd.mapPartitions { it =>
+      // per-partition setup would load the real model here, once
+      it.map { r =>
+        Row(r.getLong(0), featurizer(r.getAs[Array[Byte]]("bytes"), dim).toSeq)
+      }
+    }
+    spark.createDataFrame(rows, out)
+  }
+
+  /** Deterministic frame sampling: split the payload into `nFrames`
+    * equal byte ranges (a real implementation decodes and samples
+    * video frames — same output schema `(media_id, frame_idx,
+    * frame_bytes)`). */
+  def frameSample(media: DataFrame, nFrames: Int = 4): DataFrame = {
+    val frames = udf { bytes: Array[Byte] =>
+      val n = math.max(1, math.min(nFrames, bytes.length))
+      val step = math.max(1, bytes.length / n)
+      (0 until n).map(i => bytes.slice(i * step, math.min(bytes.length, (i + 1) * step)))
+    }
+    media
+      .select(col("media_id"), posexplode(frames(col("bytes"))).as(Seq("frame_idx", "frame_bytes")))
+  }
+}

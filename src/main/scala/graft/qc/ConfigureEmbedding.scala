@@ -1,0 +1,34 @@
+package graft.qc
+
+import graft.ml.{Clustering, Embed, Snn}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The configureEmbedding step (`QC_helpers/configureEmbedding.r:35-58`):
+  * `FindNeighbors(k = 20)` over the first `numPCs = 30` components →
+  * `FindClusters(louvain, resolution = 0.5)` → `RunUMAP`
+  * (`configureEmbedding.r:73-114`; the 30-PC width comes from the
+  * config at `4_Prepare_experiment.r:258`).
+  */
+object ConfigureEmbedding {
+
+  final case class Result(
+      clusters: DataFrame, // (cells_id, cluster)
+      umap: DataFrame)     // (cells_id, x, y)
+
+  def run(pca: DataFrame, numPCs: Int = 30, k: Int = 20,
+          resolution: Double = 0.5, umapEpochs: Int = 200,
+          seed: Long = 42L): Result = {
+    val trimmed = pca.select(col("cells_id"),
+      slice(col("pc"), 1, numPCs).as("pc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val knn = Snn.knn(trimmed, k, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = Snn.graph(knn, k)
+    val clusters = Clustering.louvain(
+      trimmed.select("cells_id"), edges, resolution)
+    val umap = Embed.umapLike(trimmed, knn, epochs = umapEpochs, seed = seed)
+    knn.unpersist(); trimmed.unpersist()
+    Result(clusters, umap)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured-Streaming surface over the `events` feed (SURVEY §2.9b:
+  * beyond-reference, non-gating — the reference is a one-shot batch
+  * DAG; these are the streaming forms of the gated batch analogs Q31
+  * and Q32, same aggregation logic applied to an unbounded source).
+  */
+object EventStream {
+
+  final case class Event(ts: java.sql.Timestamp, user_id: String, value: Double)
+  final case class UserTotal(user_id: String, n: Long, total: Double)
+
+  /** Q31's streaming form: tumbling 1-hour windows per user with a
+    * 1-hour watermark (late events beyond it are dropped; state is
+    * bounded). Works on both batch and streaming DataFrames. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(18, 6)).as("tot"))
+      .select(col("user_id"), col("window.start").as("h"), col("n"), col("tot"))
+
+  /** Q32's stateful form: running per-user totals via
+    * `mapGroupsWithState` — the engine's `KeyValueGroupedDataset`
+    * custom-state surface. Emits the updated running total for each
+    * user on every trigger. */
+  def runningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: String, batch: Iterator[Event], state: GroupState[(Long, Double)]) =>
+          val (n0, t0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var t = t0
+          batch.foreach { e => n += 1; t += e.value }
+          state.update((n, t))
+          UserTotal(user, n, t)
+      }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.EventStream.Event
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+
+  test("hourly windowed aggregation over a MemoryStream") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.hourlyAgg(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_agg")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        Event(ts(9, 5), "u1", 1.5), Event(ts(9, 40), "u1", 2.5),
+        Event(ts(10, 10), "u1", 4.0), Event(ts(9, 20), "u2", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_agg").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2),
+          r.getDecimal(3).doubleValue())).toSet
+      assert(rows == Set(
+        ("u1", "2026-01-01 09:00:00.0", 2L, 4.0),
+        ("u1", "2026-01-01 10:00:00.0", 1L, 4.0),
+        ("u2", "2026-01-01 09:00:00.0", 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("stateful running totals via mapGroupsWithState") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("running_totals")
+      .outputMode("update").start()
+    try {
+      mem.addData(Event(ts(9, 0), "u1", 1.0), Event(ts(9, 1), "u1", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(ts(9, 2), "u1", 4.0), Event(ts(9, 3), "u2", 10.0))
+      q.processAllAvailable()
+      val latest = spark.table("running_totals").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(latest("u1") == (("u1", 3L, 7.0))) // state carried across triggers
+      assert(latest("u2") == (("u2", 1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("batch and streaming hourly aggregations agree on the same data") {
+    val batch = Seq(
+      Event(ts(9, 5), "u1", 1.5), Event(ts(9, 40), "u1", 2.5),
+      Event(ts(10, 10), "u1", 4.0)).toDF()
+    val agg = EventStream.hourlyAgg(batch).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    assert(agg == Set(("u1", "2026-01-01 09:00:00.0", 2L),
+      ("u1", "2026-01-01 10:00:00.0", 1L)))
+  }
+}
