@@ -103,6 +103,56 @@ object Similarity {
       .orderBy("v1", "v2")
   }
 
+  /** x14 IVF approximate top-k — the cluster-scale ANN path: a k-means
+    * coarse quantizer (`nlist` centroids, seeded) partitions the
+    * corpus; each query probes only its `nprobe` nearest cells, so the
+    * scored fraction is ~`nprobe/nlist` of the corpus instead of all
+    * of it. Same output schema as [[bruteForceTopK]] (its exact
+    * baseline for recall measurement). Centroid assignment is one
+    * MLlib KMeans fit + transform; the probe map is a broadcast join.
+    * Not oracle-gated (k-means float iteration is not reproducible in
+    * SQL) — covered by the recall spec instead. */
+  def ivfTopK(t: Tables, nQueries: Int = 10, k: Int = 10, nlist: Int = 16,
+              nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = t.spark
+    import spark.implicits._
+    val vecs = t.embeddings
+      .withColumn("features", array_to_vector(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val fitted = model.fit(vecs)
+    val assigned = fitted.transform(vecs)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val centroids = fitted.clusterCenters.map(_.toArray)
+    // nprobe nearest centroids per query vector (driver: nQueries × nlist)
+    val queries = t.embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = queries.flatMap { case (qid, qe) =>
+      centroids.zipWithIndex.map { case (c, ci) =>
+        val d = c.zip(qe).map { case (a, b) => (a - b) * (a - b) }.sum
+        (qid, ci, d)
+      }.sortBy(p => (p._3, p._2)).take(nprobe).map(p => (qid, p._2))
+    }.toSeq.toDF("qid", "cell")
+    val queryDf = t.embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = assigned
+      .join(broadcast(probes), "cell")
+      .join(broadcast(queryDf), Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine("embedding", "qe").as("cos_raw"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("cos_raw").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), round(col("cos_raw"), 6).as("cos"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** name → query, in declared order. The near-dup threshold is wired
     * at 0.3 for the gate: the synthetic embeddings have no true
     * near-dups (max pairwise cosine ≈ 0.51 at sf0.01), and a gate query
@@ -110,6 +160,7 @@ object Similarity {
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x08_cosine_topk" -> (t => bruteForceTopK(t)),
     "x09_cosineneardup" -> (t => cosineNearDup(t, threshold = 0.3)),
+    "x14_ivf_topk" -> (t => ivfTopK(t)), // rows-only check: no SQL oracle for k-means
   )
 
   /** DuckDB double cosine between two list columns — the exact probe

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Physical-plan quality as a TESTED property (the 100 TB posture of
+  * SURVEY §4): filters must reach the parquet scan, dimension joins
+  * must broadcast, repeated subplans must reuse exchanges, and top-k
+  * must not global-sort. A regression here is a performance bug even
+  * while results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private lazy val t = Tables(spark, "/root/testdata/sf0.001")
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: predicate pushed down to the parquet scan") {
+    val p = plan(StarQueries.q02(t))
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_quantity"), p.take(2000))
+  }
+
+  test("q01: scan schema pruned to the projected columns") {
+    val p = plan(StarQueries.q01(t))
+    assert(!p.contains("l_comment") && !p.contains("l_extendedprice"))
+  }
+
+  test("q15: all three dimension joins are broadcast-hash") {
+    val p = plan(StarQueries.q15(t))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 BroadcastHashJoin, plan:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q25: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(StarQueries.q25(t))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q07: hash aggregation with map-side partial aggregation") {
+    val p = plan(StarQueries.q07(t))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("x13: Hamming cut runs inside the band join; simhash is codegen'd") {
+    val p = plan(TextQueries.simhashPairs(t))
+    // bit_count(xor) <= 6 evaluated as a join condition, not a
+    // post-join filter over the full candidate blowup
+    val joinLine = p.split("\n").find(l => l.contains("Join") && l.contains("bit_count"))
+    assert(joinLine.isDefined, p.take(3000))
+    // the per-token fingerprint is a HashAggregate (codegen), not an
+    // interpreted higher-order aggregate() lambda
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("aggregate(lambdafunction"), "HOF simhash crept back in")
+    // the self-join either reuses the exchange (large inputs) or
+    // broadcasts the banded side (small inputs)
+    assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("x08: query side broadcast, corpus side never shuffled for the join") {
+    val p = plan(Similarity.bruteForceTopK(t, 3, 5))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+}
