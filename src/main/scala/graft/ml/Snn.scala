@@ -17,28 +17,37 @@ import org.apache.spark.sql.functions._
   */
 object Snn {
 
+  /** Generic approximate kNN join: for each row of `query`, the k
+    * nearest rows of `corpus` (both `(cells_id, pc)`), excluding
+    * self-matches by id. Returns `(cid, nid, dist, rk)`. */
+  def knnJoin(query: DataFrame, corpus: DataFrame, k: Int,
+              seed: Long = 42L, bucketLength: Double = 10.0): DataFrame = {
+    val q = query.select(col("cells_id"), array_to_vector(col("pc")).as("features"))
+    val c = corpus.select(col("cells_id"), array_to_vector(col("pc")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(3).setSeed(seed)
+      .setInputCol("features").setOutputCol("__h")
+    val model = lsh.fit(c)
+    model.approxSimilarityJoin(q, c, 1e12, "dist")
+      .filter(col("datasetA.cells_id") =!= col("datasetB.cells_id"))
+      .select(
+        col("datasetA.cells_id").as("cid"),
+        col("datasetB.cells_id").as("nid"),
+        col("dist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cid").orderBy(col("dist").asc, col("nid").asc)))
+      .filter(col("rk") <= k)
+  }
+
   /** kNN edge table `(cid, nid, dist, rk)` from embeddings
     * `(cells_id, pc: array<double>)`. Each cell is its own 0-th
     * neighbor in Seurat; we exclude self and rank 1..k. */
   def knn(emb: DataFrame, k: Int = 20, seed: Long = 42L,
           bucketLength: Double = 10.0): DataFrame = {
     val vecs = emb
-      .select(col("cells_id"), array_to_vector(col("pc")).as("features"))
+      .select(col("cells_id"), col("pc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lsh = new BucketedRandomProjectionLSH()
-      .setBucketLength(bucketLength).setNumHashTables(3).setSeed(seed)
-      .setInputCol("features").setOutputCol("__h")
-    val model = lsh.fit(vecs)
-    val joined = model.approxSimilarityJoin(vecs, vecs, 1e12, "dist")
-      .filter(col("datasetA.cells_id") =!= col("datasetB.cells_id"))
-      .select(
-        col("datasetA.cells_id").as("cid"),
-        col("datasetB.cells_id").as("nid"),
-        col("dist"))
-    joined
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("cid").orderBy(col("dist").asc, col("nid").asc)))
-      .filter(col("rk") <= k)
+    knnJoin(vecs, vecs, k, seed, bucketLength)
   }
 
   /** SNN edges `(src, dst, weight)` with src < dst, Jaccard-weighted

@@ -47,4 +47,18 @@ object DataIntegration {
     norm.unpersist(); moments.unpersist()
     Reductions(emb, varExp, hvg)
   }
+
+  /** Multi-group path (`dataIntegration.r:90-97`): the uncorrected
+    * reductions plus MNN-anchor correction of the non-reference
+    * groups' embeddings ([[graft.ml.Integration]]). `splitCol` is the
+    * batch column — the reference splits by `"type"`, not `"samples"`
+    * (the documented quirk in SURVEY §2.9). Falls back to the
+    * unisample path when only one group exists. */
+  def runIntegrated(expr: DataFrame, cells: DataFrame,
+                    numHvg: Int = 2000, numPcs: Int = 50,
+                    splitCol: String = "sample"): Reductions = {
+    val red = run(expr, cells, numHvg, numPcs)
+    val groups = cells.select(col("cells_id"), col(splitCol).as("group"))
+    red.copy(pca = graft.ml.Integration.integrateEmbeddings(red.pca, groups))
+  }
 }

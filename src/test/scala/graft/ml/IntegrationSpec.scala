@@ -1,0 +1,61 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two batches of the same two populations, batch 2 shifted by a
+    * constant vector in PC space — the canonical batch-effect shape. */
+  private lazy val (pca, groups) = {
+    def pop(base: Array[Double], ids: Range, shift: Array[Double]) =
+      ids.map { i =>
+        val jitter = Array(0.05 * (i % 5), 0.07 * (i % 3), 0.03 * (i % 2))
+        (i.toLong, base.indices.map(d => base(d) + shift(d) + jitter(d)).toArray)
+      }
+    val batchShift = Array(8.0, -6.0, 4.0)
+    val zero = Array(0.0, 0.0, 0.0)
+    val p1 = Array(0.0, 0.0, 0.0); val p2 = Array(20.0, 20.0, 0.0)
+    val b1 = pop(p1, 0 until 20, zero) ++ pop(p2, 20 until 40, zero)
+    val b2 = pop(p1, 100 until 120, batchShift) ++ pop(p2, 120 until 140, batchShift)
+    val pcaDf = (b1 ++ b2).toDF("cells_id", "pc")
+    val grpDf = (b1 ++ b2).map(r => (r._1, if (r._1 < 100) "batch1" else "batch2"))
+      .toDF("cells_id", "group")
+    (pcaDf.persist(), grpDf)
+  }
+
+  private def dist(a: Seq[Double], b: Seq[Double]) =
+    math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+
+  test("MNN anchor correction removes the batch shift") {
+    val out = Integration.integrateEmbeddings(pca, groups, kAnchor = 8, kWeight = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out.size == 80)
+    def centroid(ids: Range) = {
+      val vs = ids.map(out(_))
+      vs.head.indices.map(d => vs.map(_(d)).sum / vs.size)
+    }
+    val p1b1 = centroid(0 until 20); val p1b2 = centroid(100 until 120)
+    val p2b1 = centroid(20 until 40); val p2b2 = centroid(120 until 140)
+    // corrected same-population centroids are close across batches...
+    assert(dist(p1b1, p1b2) < 2.0, s"P1 cross-batch ${dist(p1b1, p1b2)}")
+    assert(dist(p2b1, p2b2) < 2.0, s"P2 cross-batch ${dist(p2b1, p2b2)}")
+    // ...and populations remain separated
+    assert(dist(p1b1, p2b1) > 10.0)
+    // reference batch untouched
+    val orig = pca.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    (0 until 40).foreach(i => assert(out(i.toLong) == orig(i.toLong)))
+    // before correction the shift dominated
+    val rawP1b2 = (100 until 120).map(orig(_))
+    val rawCentroid = rawP1b2.head.indices.map(d => rawP1b2.map(_(d)).sum / rawP1b2.size)
+    assert(dist(p1b1, rawCentroid) > 5.0)
+  }
+
+  test("single group passes through unchanged") {
+    val single = groups.filter(col("group") === "batch1")
+    val out = Integration.integrateEmbeddings(
+      pca.join(single, Seq("cells_id"), "left_semi"), single)
+    assert(out.count() == 40)
+  }
+}
