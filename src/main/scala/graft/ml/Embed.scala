@@ -74,4 +74,91 @@ object Embed {
     ids.indices.map(i => (ids(i), pos(i)(0), pos(i)(1)))
       .toDF("cells_id", "x", "y")
   }
+
+  /** `RunTSNE` slot (`configureEmbedding.r:85-99`) — exact t-SNE
+    * driver kernel (van der Maaten & Hinton 2008): per-point sigma by
+    * binary search to the target perplexity, symmetrized affinities,
+    * early exaggeration, momentum gradient descent. O(n²) per
+    * iteration — the driver-kernel boundary the reference itself has
+    * (`Rtsne` on the collected matrix). Auto-params follow
+    * `4_Prepare_experiment.r:261-265`: perplexity = min(30, n/100),
+    * learning rate = max(200, n/12). */
+  def tsneLike(emb: DataFrame, perplexityOpt: Option[Double] = None,
+               iterations: Int = 300, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.select("cells_id", "pc").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val n = rows.length
+    val ids = rows.map(_._1)
+    val perplexity = math.max(2.0,
+      perplexityOpt.getOrElse(math.min(30.0, n / 100.0)))
+    val eta = math.max(200.0, n / 12.0)
+
+    // pairwise squared distances in PC space
+    val d2 = Array.ofDim[Double](n, n)
+    for (i <- 0 until n; j <- i + 1 until n) {
+      var s = 0.0
+      val a = rows(i)._2; val b = rows(j)._2
+      var d = 0; while (d < a.length) { val t = a(d) - b(d); s += t * t; d += 1 }
+      d2(i)(j) = s; d2(j)(i) = s
+    }
+    // conditional affinities via per-point binary search on beta
+    val p = Array.ofDim[Double](n, n)
+    val logU = math.log(perplexity)
+    for (i <- 0 until n) {
+      var beta = 1.0; var betaMin = 0.0; var betaMax = Double.PositiveInfinity
+      var iter = 0
+      while (iter < 50) {
+        var sum = 0.0; var sumDp = 0.0
+        for (j <- 0 until n if j != i) {
+          val e = math.exp(-beta * d2(i)(j)); sum += e; sumDp += e * d2(i)(j)
+        }
+        val h = if (sum > 0) math.log(sum) + beta * sumDp / sum else 0.0
+        if (math.abs(h - logU) < 1e-5) iter = 50
+        else {
+          if (h > logU) { betaMin = beta
+            beta = if (betaMax.isInfinite) beta * 2 else (beta + betaMax) / 2 }
+          else { betaMax = beta; beta = (beta + betaMin) / 2 }
+        }
+        iter += 1
+      }
+      var sum = 0.0
+      for (j <- 0 until n if j != i) { p(i)(j) = math.exp(-beta * d2(i)(j)); sum += p(i)(j) }
+      if (sum > 0) for (j <- 0 until n) p(i)(j) /= sum
+    }
+    // symmetrize
+    val pij = Array.ofDim[Double](n, n)
+    for (i <- 0 until n; j <- 0 until n)
+      pij(i)(j) = math.max((p(i)(j) + p(j)(i)) / (2.0 * n), 1e-12)
+
+    // deterministic init from first two PCs (tiny scale, standard)
+    val y = Array.ofDim[Double](n, 2)
+    for (i <- 0 until n; d <- 0 until 2)
+      y(i)(d) = (if (rows(i)._2.length > d) rows(i)._2(d) else 0.0) * 1e-4
+    val vel = Array.ofDim[Double](n, 2)
+    for (iter <- 0 until iterations) {
+      val exag = if (iter < 100) 12.0 else 1.0
+      val momentum = if (iter < 250) 0.5 else 0.8
+      // q distribution
+      val num = Array.ofDim[Double](n, n); var qsum = 0.0
+      for (i <- 0 until n; j <- i + 1 until n) {
+        val dx = y(i)(0) - y(j)(0); val dy = y(i)(1) - y(j)(1)
+        val v = 1.0 / (1.0 + dx * dx + dy * dy)
+        num(i)(j) = v; num(j)(i) = v; qsum += 2 * v
+      }
+      for (i <- 0 until n) {
+        var gx = 0.0; var gy = 0.0
+        for (j <- 0 until n if j != i) {
+          val q = math.max(num(i)(j) / qsum, 1e-12)
+          val mult = (exag * pij(i)(j) - q) * num(i)(j)
+          gx += mult * (y(i)(0) - y(j)(0)); gy += mult * (y(i)(1) - y(j)(1))
+        }
+        vel(i)(0) = momentum * vel(i)(0) - eta * 4 * gx
+        vel(i)(1) = momentum * vel(i)(1) - eta * 4 * gy
+      }
+      for (i <- 0 until n) { y(i)(0) += vel(i)(0); y(i)(1) += vel(i)(1) }
+    }
+    ids.indices.map(i => (ids(i), y(i)(0), y(i)(1))).toDF("cells_id", "x", "y")
+  }
 }

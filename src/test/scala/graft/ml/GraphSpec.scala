@@ -57,6 +57,21 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("tsneLike keeps the blobs separated") {
+    val out = Embed.tsneLike(emb, iterations = 150)
+    val pts = out.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(pts.length == 30)
+    val (pa, pb) = pts.partition(_._1 < 100)
+    def c(ps: Array[(Long, Double, Double)]) =
+      (ps.map(_._2).sum / ps.length, ps.map(_._3).sum / ps.length)
+    val (ax, ay) = c(pa); val (bx, by) = c(pb)
+    val inter = math.hypot(ax - bx, ay - by)
+    val intra = math.max(
+      pa.map(p => math.hypot(p._2 - ax, p._3 - ay)).max,
+      pb.map(p => math.hypot(p._2 - bx, p._3 - by)).max)
+    assert(inter > intra, s"inter=$inter intra=$intra")
+  }
+
   test("umapLike keeps the blobs separated") {
     val knn = Snn.knn(emb, k = 5)
     val out = Embed.umapLike(emb, knn, epochs = 50)
