@@ -88,6 +88,25 @@ object Mtx {
     (expr, features.select("input", "name"))
   }
 
+  /** Dense whitespace table → long form (`1_Preproc.r:150-159`, the
+    * reference's untested non-10x path): first column = gene id,
+    * remaining columns = barcodes; melted via `stack` so the output
+    * matches the sparse reader's `(sample, barcode, gene, count)`
+    * schema (zero entries dropped, keeping the long table sparse). */
+  def readDense(spark: SparkSession, path: String, sample: String): DataFrame = {
+    val raw = spark.read
+      .option("sep", "\t").option("header", "true").csv(path)
+    val geneCol = raw.columns.head
+    val barcodes = raw.columns.tail
+    val stackExpr = barcodes
+      .map(b => s"'${b.replace("'", "''")}', cast(`$b` as long)")
+      .mkString(s"stack(${barcodes.length}, ", ", ", ")")
+    raw.select(col(geneCol).as("gene"),
+        expr(s"$stackExpr as (barcode, count)"))
+      .filter(col("count") > 0)
+      .select(lit(sample).as("sample"), col("barcode"), col("gene"), col("count"))
+  }
+
   /** Write a long table as MatrixMarket triples, transposed to
     * cells-as-rows like the reference export (`4_Prepare_experiment.r:204`:
     * `Matrix::t(...)`). `geneIdx`/`cellIdx` give the 1-based positional

@@ -59,6 +59,16 @@ class MtxSpec extends SparkSpec {
     intercept[IllegalArgumentException](Mtx.detectLayout(spark, dir.toString))
   }
 
+  test("readDense melts a whitespace table to sparse long form") {
+    val dir = Files.createTempDirectory("dense")
+    Files.writeString(dir.resolve("table.tsv"),
+      "gene\tAAA\tBBB\nENSG1\t5\t0\nENSG2\t0\t7\n")
+    val df = Mtx.readDense(spark, dir.resolve("table.tsv").toString, "sd")
+    val rows = df.collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(rows == Set(("AAA", "ENSG1", 5L), ("BBB", "ENSG2", 7L)))
+  }
+
   test("writeMtx → readMatrix roundtrip preserves triples (transposed)") {
     val dir = Files.createTempDirectory("mtxw").resolve("out")
     val df = {
