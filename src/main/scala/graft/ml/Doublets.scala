@@ -29,7 +29,10 @@ object Doublets {
     val spark = expr.sparkSession
     val samples = expr.select("sample").distinct()
       .collect().map(_.getString(0)).sorted
-    samples.map(s => scoreSample(expr.filter(col("sample") === s), s, k, numHvg, numPcs, seed))
+    // independent per-sample pipelines submitted concurrently (each is
+    // seeded by sample name — order of completion cannot change scores)
+    Concurrency.mapSamples(samples)(s =>
+        scoreSample(expr.filter(col("sample") === s), s, k, numHvg, numPcs, seed))
       .reduce(_ unionByName _)
   }
 

@@ -41,7 +41,11 @@ object EmptyDrops {
     import spark.implicits._
     val samples = expr.select("sample").distinct()
       .collect().map(_.getString(0)).sorted
-    val perSample = samples.map { s =>
+    // samples are independent: submit their jobs CONCURRENTLY (the
+    // reference loops them serially — SURVEY §4.1 names per-sample
+    // parallelism the single biggest speedup over it). Results keyed
+    // by sample, so completion order cannot affect the output.
+    val perSample = Concurrency.mapSamples(samples) { s =>
       s -> runSample(expr.filter(col("sample") === s), s, lower, nIters, minAmbient)
     }
     val flagged = perSample.collect { case (s, None) => s }

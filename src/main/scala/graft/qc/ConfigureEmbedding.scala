@@ -18,7 +18,7 @@ object ConfigureEmbedding {
 
   def run(pca: DataFrame, numPCs: Int = 30, k: Int = 20,
           resolution: Double = 0.5, umapEpochs: Int = 200,
-          seed: Long = 42L): Result = {
+          method: String = "umap", seed: Long = 42L): Result = {
     val trimmed = pca.select(col("cells_id"),
       slice(col("pc"), 1, numPCs).as("pc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -27,8 +27,11 @@ object ConfigureEmbedding {
     val edges = Snn.graph(knn, k)
     val clusters = Clustering.louvain(
       trimmed.select("cells_id"), edges, resolution)
-    val umap = Embed.umapLike(trimmed, knn, epochs = umapEpochs, seed = seed)
+    val embedding = method match {
+      case "tsne" => Embed.tsneLike(trimmed, seed = seed)
+      case _ => Embed.umapLike(trimmed, knn, epochs = umapEpochs, seed = seed)
+    }
     knn.unpersist(); trimmed.unpersist()
-    Result(clusters, umap)
+    Result(clusters, embedding)
   }
 }
