@@ -20,7 +20,8 @@ final case class StepConfig(
     auto: Boolean = true,
     settings: Map[String, Double] = Map.empty)
 
-final case class StepOutcome(cells: DataFrame, settings: DataFrame)
+final case class StepOutcome(cells: DataFrame, settings: DataFrame,
+                             plots: Map[String, DataFrame])
 
 trait QcStep {
   def name: String
@@ -32,6 +33,11 @@ trait QcStep {
   /** Filter `cells` given the per-sample settings table. */
   def filter(cells: DataFrame, settings: DataFrame): DataFrame
 
+  /** The step's plot-data tables over the INPUT cells (the reference
+    * plots pre-filter data — `cellSizeDistribution.r:82-96`,
+    * `mitochondrialContent.r:60-80`). */
+  def plotData(cells: DataFrame): Map[String, DataFrame] = Map.empty
+
   private def manualSettings(cells: DataFrame, cfg: StepConfig): DataFrame =
     cells.select("sample").distinct()
       .select(col("sample") +: settingKeys.map(k => lit(cfg.settings(k)).as(k)): _*)
@@ -39,7 +45,7 @@ trait QcStep {
   final def run(cells: DataFrame, cfg: StepConfig): StepOutcome = {
     val s = if (cfg.auto) autoSettings(cells) else manualSettings(cells, cfg)
     val out = if (cfg.enabled) filter(cells, s) else cells
-    StepOutcome(out, s)
+    StepOutcome(out, s, plotData(cells))
   }
 }
 
@@ -57,6 +63,11 @@ object CellSizeStep extends QcStep {
     cells.join(broadcast(settings), "sample")
       .filter(col("nCount") >= col("minCellSize"))
       .drop("minCellSize")
+
+  /** `cellSizeDistribution.r:82-96`: UMI histogram + barcode-rank curve. */
+  override def plotData(cells: DataFrame): Map[String, DataFrame] = Map(
+    "histogram" -> PlotData.histogram(cells, "nCount", binStep = 200),
+    "knee" -> PlotData.rankCurve(cells))
 }
 
 /** Step 2 — mitochondrial content (`mitochondrialContent.r:34-84`):
@@ -73,6 +84,14 @@ object MitoContentStep extends QcStep {
     cells.join(broadcast(settings), "sample")
       .filter(col("fraction_mt") <= col("maxFraction"))
       .drop("maxFraction")
+
+  /** `mitochondrialContent.r:60-80`: fraction histogram + UMIs scatter. */
+  override def plotData(cells: DataFrame): Map[String, DataFrame] = Map(
+    "mitochondrialFractionHistogram" ->
+      PlotData.histogram(cells, "fraction_mt", binStep = 0.05),
+    "mitochondrialFractionScatter" ->
+      cells.select(col("sample"), col("barcode"), col("nCount").as("u"),
+        col("fraction_mt").as("MT_content")))
 }
 
 /** Step 3 — classifier / emptyDrops filter (`classifier.r:38-88`):
@@ -89,6 +108,11 @@ object ClassifierStep extends QcStep {
     cells.join(broadcast(settings), "sample")
       .filter(col("emptyDrops_FDR") <= col("FDR"))
       .drop("FDR")
+
+  /** `classifier.r:46-51`: FDR vs log10(UMIs) pairs. */
+  override def plotData(cells: DataFrame): Map[String, DataFrame] = Map(
+    "fdrVsLogU" -> cells.select(col("sample"), col("barcode"),
+      col("emptyDrops_FDR").as("FDR"), log10(col("nCount")).as("log_u")))
 }
 
 /** Step 4 — doublet filter (`doubletScores.r:31-70`): keep
@@ -107,6 +131,11 @@ object DoubletScoresStep extends QcStep {
     cells.join(broadcast(settings), "sample")
       .filter(col("doublet_scores") <= col("probabilityThreshold"))
       .drop("probabilityThreshold")
+
+  /** `doubletScores.r:56-66`: score histogram. */
+  override def plotData(cells: DataFrame): Map[String, DataFrame] = Map(
+    "probabilityOfBeingDoublet" ->
+      PlotData.histogram(cells, "doublet_scores", binStep = 0.02))
 }
 
 /** Step 5 — genes vs UMIs band filter (`numGenesVsNumUmis.r:51-112`):
@@ -151,6 +180,10 @@ object NumGenesVsNumUmisStep extends QcStep {
       .drop("alpha", "beta", "sigma", "xbar", "sxx", "n", "__tq",
         "__x", "__y", "__pred", "__se")
   }
+
+  /** `numGenesVsNumUmis.r:97-107`: log-log scatter pairs. */
+  override def plotData(cells: DataFrame): Map[String, DataFrame] = Map(
+    "featuresvsUMIsscatterplot" -> PlotData.genesVsUmis(cells))
 }
 
 object QcSteps {

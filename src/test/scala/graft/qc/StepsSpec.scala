@@ -37,6 +37,16 @@ class StepsSpec extends SparkSpec {
     assert(out.settings.collect()(0).getAs[Double]("probabilityThreshold") == 0.2)
   }
 
+  test("steps emit plot-data tables over the input cells") {
+    val out = MitoContentStep.run(cellsDf, StepConfig())
+    assert(out.plots.keySet == Set(
+      "mitochondrialFractionHistogram", "mitochondrialFractionScatter"))
+    // plotted over INPUT (4 cells), not the filtered output (3)
+    assert(out.plots("mitochondrialFractionScatter").count() == 4)
+    val knee = CellSizeStep.run(cellsDf, StepConfig(enabled = false))
+    assert(knee.plots("knee").count() == 4)
+  }
+
   test("disabled step filters nothing but still resolves settings") {
     val out = MitoContentStep.run(cellsDf, StepConfig(enabled = false))
     assert(keep(out.cells) == Set("A", "B", "C", "D"))
