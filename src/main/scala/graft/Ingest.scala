@@ -90,14 +90,19 @@ object Ingest {
     val exp = Experiment(trimmed, finalCells, genes)
     val violations = Invariants.check(exp)
 
-    // P6: cell sets (samples root; metadata roots appended)
+    // P6: cell sets — the reference document is an OBJECT
+    // {"cellSets": [...]} led by an empty scratchpad root
+    // (`5_Upload-to-aws.py:138-143,254-256`)
     val sampleSets = CellSets.fromColumn(finalCells, "sample", "sample")
     val sampleJson = CellSets.toJsonDocument(sampleSets, "sample", "Samples")
     val metaJsons = config.metadata.keys.toSeq.sorted.map { m =>
       CellSets.toJsonDocument(
         CellSets.fromColumn(finalCells, m, s"metadata-$m"), m, m)
     }
-    val cellSetsJson = (sampleJson +: metaJsons).mkString("[", ",", "]")
+    val scratchpad =
+      """{"key":"scratchpad","name":"Scratchpad","rootNode":true,"children":[]}"""
+    val cellSetsJson = (scratchpad +: sampleJson +: metaJsons)
+      .mkString("""{"cellSets":[""", ",", "]}")
 
     rawExpr.unpersist()
     Result(exp, processingConfig, cellSetsJson, ed.flagged, violations)

@@ -37,6 +37,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table("events")
       .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer division: `/` would promote to double and lose
+      // precision above 2^53 (epoch-ns ~1.7e18), shifting events that
+      // sit within ~130ns of an hour boundary into the wrong bucket
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

@@ -52,6 +52,13 @@ object Doublets {
       val t = perm(i); perm(i) = perm(j); perm(j) = t
     }
     val nArt = nReal / 2
+    if (nArt == 0) {
+      // a 1-cell sample cannot host a doublet: pass through as singlet
+      // (expected fraction would be 0 and misclassify everything)
+      return expr.select("sample", "barcode").distinct()
+        .withColumn("doublet_scores", lit(0.0))
+        .withColumn("doublet_class", lit("singlet"))
+    }
     val pairs = (0 until nArt).flatMap { i =>
       val art = f"__art_$i%06d"
       Seq((perm(2 * i), art), (perm(2 * i + 1), art))
@@ -79,7 +86,8 @@ object Doublets {
       .sortBy(_.getInt(0)).map(_.getDouble(1))
     val pcaIn = scaled.join(ids, Seq("sample", "barcode"))
       .select("cells_id", "gene_ord", "z")
-    val (emb, _) = Pca.fit(pcaIn, zeroZ, k = numPcs)
+    val (emb, _) = Pca.fit(pcaIn, zeroZ, k = numPcs,
+      allCells = Some(ids.select("cells_id")))
 
     val tagged = emb.join(ids, "cells_id")
       .withColumn("is_art", col("barcode").startsWith("__art_"))

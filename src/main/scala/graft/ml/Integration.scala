@@ -34,11 +34,16 @@ object Integration {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groupNames = tagged.select("group").distinct()
       .collect().map(_.getString(0)).sorted
-    if (groupNames.length < 2) return tagged.select("cells_id", "pc")
+    if (groupNames.length < 2) {
+      val passThrough = tagged.select("cells_id", "pc").localCheckpoint(true)
+      tagged.unpersist()
+      return passThrough
+    }
     val ref = tagged.filter(col("group") === groupNames.head)
       .select("cells_id", "pc")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val corrected = groupNames.tail.map { g =>
       val qry = tagged.filter(col("group") === g).select("cells_id", "pc")
       // mutual nearest neighbors = anchor pairs
@@ -52,6 +57,7 @@ object Integration {
         .select(col("qid"), col("qpc"),
           zip_with(col("rpc"), col("qpc"), (r, q) => r - q).as("vec"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toRelease += anchors
       if (anchors.isEmpty) qry
       else {
         // each query cell's kWeight nearest anchor query-side points
@@ -85,7 +91,10 @@ object Integration {
                 (p, c) => p + coalesce(c, lit(0.0)))).as("pc"))
       }
     }
-    val out = (ref +: corrected).reduce(_ unionByName _)
+    // materialize before releasing the cached inputs the lineage reads
+    val out = (ref +: corrected).reduce(_ unionByName _).localCheckpoint(true)
+    toRelease.foreach(_.unpersist())
+    tagged.unpersist(); ref.unpersist()
     out
   }
 }

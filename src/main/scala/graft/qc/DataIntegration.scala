@@ -43,7 +43,8 @@ object DataIntegration {
     val pcaIn = scaled
       .join(cells.select("sample", "barcode", "cells_id"), Seq("sample", "barcode"))
       .select("cells_id", "gene_ord", "z")
-    val (emb, varExp) = Pca.fit(pcaIn, zeroZ, numPcs)
+    val (emb, varExp) = Pca.fit(pcaIn, zeroZ, numPcs,
+      allCells = Some(cells.select("cells_id")))
     norm.unpersist(); moments.unpersist()
     Reductions(emb, varExp, hvg)
   }

@@ -42,8 +42,13 @@ trait QcStep {
     cells.select("sample").distinct()
       .select(col("sample") +: settingKeys.map(k => lit(cfg.settings(k)).as(k)): _*)
 
+  /** Per-sample settings from `cells` — the reference resolves these on
+    * the UNfiltered per-sample data (`4_Prepare_experiment.r:317`). */
+  final def resolveSettings(cells: DataFrame, cfg: StepConfig): DataFrame =
+    if (cfg.auto) autoSettings(cells) else manualSettings(cells, cfg)
+
   final def run(cells: DataFrame, cfg: StepConfig): StepOutcome = {
-    val s = if (cfg.auto) autoSettings(cells) else manualSettings(cells, cfg)
+    val s = resolveSettings(cells, cfg)
     val out = if (cfg.enabled) filter(cells, s) else cells
     StepOutcome(out, s, plotData(cells))
   }
@@ -60,8 +65,11 @@ object CellSizeStep extends QcStep {
       .select(col("sample"), col("minCellSize").cast("double"))
 
   def filter(cells: DataFrame, settings: DataFrame): DataFrame =
-    cells.join(broadcast(settings), "sample")
-      .filter(col("nCount") >= col("minCellSize"))
+    // left join + null-pass: a sample with no resolvable knee (e.g. no
+    // barcode above thresholdLow) passes through unfiltered instead of
+    // being deleted by an inner join
+    cells.join(broadcast(settings), Seq("sample"), "left")
+      .filter(col("minCellSize").isNull || col("nCount") >= col("minCellSize"))
       .drop("minCellSize")
 
   /** `cellSizeDistribution.r:82-96`: UMI histogram + barcode-rank curve. */
@@ -81,8 +89,8 @@ object MitoContentStep extends QcStep {
     cells.select("sample").distinct().withColumn("maxFraction", lit(0.1))
 
   def filter(cells: DataFrame, settings: DataFrame): DataFrame =
-    cells.join(broadcast(settings), "sample")
-      .filter(col("fraction_mt") <= col("maxFraction"))
+    cells.join(broadcast(settings), Seq("sample"), "left")
+      .filter(col("maxFraction").isNull || col("fraction_mt") <= col("maxFraction"))
       .drop("maxFraction")
 
   /** `mitochondrialContent.r:60-80`: fraction histogram + UMIs scatter. */
@@ -105,8 +113,8 @@ object ClassifierStep extends QcStep {
     cells.select("sample").distinct().withColumn("FDR", lit(0.1))
 
   def filter(cells: DataFrame, settings: DataFrame): DataFrame =
-    cells.join(broadcast(settings), "sample")
-      .filter(col("emptyDrops_FDR") <= col("FDR"))
+    cells.join(broadcast(settings), Seq("sample"), "left")
+      .filter(col("FDR").isNull || col("emptyDrops_FDR") <= col("FDR"))
       .drop("FDR")
 
   /** `classifier.r:46-51`: FDR vs log10(UMIs) pairs. */
@@ -128,8 +136,10 @@ object DoubletScoresStep extends QcStep {
       .agg(max(col("doublet_scores")).as("probabilityThreshold"))
 
   def filter(cells: DataFrame, settings: DataFrame): DataFrame =
-    cells.join(broadcast(settings), "sample")
-      .filter(col("doublet_scores") <= col("probabilityThreshold"))
+    // a sample with zero singlets yields no threshold row: pass through
+    cells.join(broadcast(settings), Seq("sample"), "left")
+      .filter(col("probabilityThreshold").isNull ||
+        col("doublet_scores") <= col("probabilityThreshold"))
       .drop("probabilityThreshold")
 
   /** `doubletScores.r:56-66`: score histogram. */
@@ -164,8 +174,8 @@ object NumGenesVsNumUmisStep extends QcStep {
         (r.getString(0), Rlm.tQuantile(r.getDouble(1), r.getLong(2) - 2))
       }.toSeq.toDF("sample", "__tq")
     pts
-      .join(broadcast(fit), "sample")
-      .join(broadcast(tq), "sample")
+      .join(broadcast(fit), Seq("sample"), "left")
+      .join(broadcast(tq), Seq("sample"), "left")
       .withColumn("__pred", col("alpha") + col("beta") * col("__x"))
       .withColumn("__se", col("sigma") *
         sqrt(lit(1.0) + lit(1.0) / col("n") +
@@ -174,9 +184,9 @@ object NumGenesVsNumUmisStep extends QcStep {
           when(col("sxx") > 0,
             (col("__x") - col("xbar")) * (col("__x") - col("xbar")) / col("sxx"))
             .otherwise(lit(0.0))))
-      .filter(
-        col("__y") <= col("__pred") + col("__tq") * col("__se") &&
-          col("__y") >= col("__pred") - col("__tq") * col("__se"))
+      .filter(col("__tq").isNull ||
+        (col("__y") <= col("__pred") + col("__tq") * col("__se") &&
+          col("__y") >= col("__pred") - col("__tq") * col("__se")))
       .drop("alpha", "beta", "sigma", "xbar", "sxx", "n", "__tq",
         "__x", "__y", "__pred", "__se")
   }
@@ -200,7 +210,12 @@ object QcSteps {
     all.foldLeft((cells, Map.empty[String, DataFrame])) {
       case ((c, acc), step) =>
         val cfg = configs.getOrElse(step.name, StepConfig())
-        val out = step.run(c, cfg)
-        (out.cells, acc + (step.name -> out.settings))
+        // settings resolve on the ORIGINAL cells (the reference's
+        // add_custom_config_per_sample subsets by sample, never by the
+        // previous steps\' filters, 4_Prepare_experiment.r:317-319);
+        // the filter chain still composes
+        val settings = step.resolveSettings(cells, cfg)
+        val out = if (cfg.enabled) step.filter(c, settings) else c
+        (out, acc + (step.name -> settings))
     }
 }

@@ -38,10 +38,26 @@ object Mtx {
       s"$dir: neither features.tsv* (v3) nor genes.tsv* (v2) present")
   }
 
+  /** Resolve a glob to exactly ONE file — a dir holding both
+    * `features.tsv` and `features.tsv.gz` would otherwise concatenate
+    * both into the positional index and silently corrupt every id
+    * past the first file. Plain file preferred over .gz. */
+  private def resolveOne(spark: SparkSession, pattern: String): String = {
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .map(_.getPath.toString).sorted
+    matches.length match {
+      case 0 => throw new IllegalArgumentException(s"no file matches $pattern")
+      case 1 => matches.head
+      case _ => matches.find(!_.endsWith(".gz")).getOrElse(matches.head)
+    }
+  }
+
   /** A TSV file as `(idx, c0, c1, ...)` where `idx` is the 1-based line
     * number — the positional id MatrixMarket triples refer to. */
   private def lookup(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
-    val rows = spark.read.textFile(path).rdd.zipWithIndex().map {
+    val rows = spark.read.textFile(resolveOne(spark, path)).rdd.zipWithIndex().map {
       case (line, i) =>
         val parts = line.split("\t", -1)
         org.apache.spark.sql.Row.fromSeq(
@@ -58,7 +74,7 @@ object Mtx {
     * (index 0 after comment filtering) since it is syntactically
     * indistinguishable from a triple. */
   def readMatrix(spark: SparkSession, path: String): DataFrame = {
-    val noComments = spark.read.textFile(path).rdd
+    val noComments = spark.read.textFile(resolveOne(spark, path)).rdd
       .filter(l => !l.startsWith("%") && l.trim.nonEmpty)
       .zipWithIndex()
     val rows = noComments.filter(_._2 > 0).map { case (line, _) =>

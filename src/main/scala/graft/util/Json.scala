@@ -18,7 +18,7 @@ object Json {
       m.toSeq.map { case (k, x) => (k.toString, x) }.sortBy(_._1)
         .map { case (k, x) => s"${quote(k)}:${write(x)}" }
         .mkString("{", ",", "}")
-    case kvs: Seq[_] if kvs.forall(_.isInstanceOf[(_, _)]) =>
+    case kvs: Seq[_] if kvs.nonEmpty && kvs.forall(_.isInstanceOf[(_, _)]) =>
       kvs.map { case (k, x) => s"${quote(k.toString)}:${write(x)}" }
         .mkString("{", ",", "}")
     case xs: Seq[_] => xs.map(write).mkString("[", ",", "]")
