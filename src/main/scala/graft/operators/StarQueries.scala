@@ -70,11 +70,15 @@ object StarQueries {
         round(log10(col("l_extendedprice")), 6).as("lg"))
       .orderBy("l_orderkey", "l_linenumber")
 
-  /** Q07 groupBy sum = colSums → nCount_RNA (2-1_Compute-metrics_emptyDrops.r:42). */
+  /** Q07 groupBy sum = colSums → nCount_RNA (2-1_Compute-metrics_emptyDrops.r:42).
+    * Decimal math stays internal (order-independent exact sum); the final
+    * projection surfaces ROUND(CAST(. AS DOUBLE), 2) because DECIMAL output
+    * canonicalizes differently across engines in the driver's hash path.
+    * Lossless: values are exact multiples of 10⁻² far below 2⁵³. */
   def q07(t: Tables): DataFrame =
     t.lineitem
       .groupBy("l_orderkey")
-      .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).as("ncount"))
+      .agg(round(sum(col("l_quantity").cast(dec2)).cast("double"), 2).as("ncount"))
       .orderBy("l_orderkey")
 
   /** Q08 conditional count = nFeature_RNA (2-2_Compute-metrics_doublets.r:34). */
@@ -89,8 +93,8 @@ object StarQueries {
     t.orders
       .groupBy("o_orderstatus")
       .agg(
-        min(col("o_totalprice").cast(dec2)).cast(dec2).as("mn"),
-        max(col("o_totalprice").cast(dec2)).cast(dec2).as("mx"))
+        round(min(col("o_totalprice").cast(dec2)).cast("double"), 2).as("mn"),
+        round(max(col("o_totalprice").cast(dec2)).cast("double"), 2).as("mx"))
       .orderBy("o_orderstatus")
 
   /** Q10 exact median (4_Prepare_experiment.r:132). Exact `percentile`,
@@ -148,7 +152,7 @@ object StarQueries {
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
-        sum(col("o_totalprice").cast(dec2)).cast(dec2).as("rev"),
+        round(sum(col("o_totalprice").cast(dec2)).cast("double"), 2).as("rev"),
         count(lit(1)).as("n"))
       .orderBy("r_name", "n_name")
 
@@ -244,7 +248,7 @@ object StarQueries {
   def q25(t: Tables): DataFrame =
     t.lineitem
       .groupBy("l_partkey")
-      .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).as("tot"))
+      .agg(round(sum(col("l_quantity").cast(dec2)).cast("double"), 2).as("tot"))
       .orderBy(col("tot").desc, col("l_partkey"))
       .limit(30)
 
@@ -301,7 +305,7 @@ object StarQueries {
         unix_timestamp(date_trunc("HOUR", col("ts"))).as("h"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(dec6)).cast(dec6).as("tot"))
+        round(sum(col("value").cast(dec6)).cast("double"), 6).as("tot"))
       .orderBy("user_id", "h")
 
   /** Q32 running cumulative sum per key — stateful-stream batch analog. */
@@ -309,11 +313,12 @@ object StarQueries {
     t.events
       .select(
         col("event_id"), col("user_id"),
-        sum(col("value").cast(dec6)).over(
-          Window.partitionBy("user_id")
-            .orderBy(col("ts_ns"), col("event_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast(dec6).as("cum"))
+        round(
+          sum(col("value").cast(dec6)).over(
+            Window.partitionBy("user_id")
+              .orderBy(col("ts_ns"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"), 6).as("cum"))
       .orderBy("user_id", "event_id")
 
   /** name → query, in declared order. */
@@ -350,11 +355,11 @@ object StarQueries {
     "q06_log10" ->
       "SELECT l_orderkey, l_linenumber, ROUND(LOG10(l_extendedprice), 6) AS lg FROM lineitem WHERE l_extendedprice > 0 ORDER BY l_orderkey, l_linenumber",
     "q07_groupsum" ->
-      "SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ncount FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+      "SELECT l_orderkey, ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS ncount FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
     "q08_condcount" ->
       "SELECT l_orderkey, COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS nfeat FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
     "q09_minmax" ->
-      "SELECT o_orderstatus, CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS mn, CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS mx FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+      "SELECT o_orderstatus, ROUND(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS mn, ROUND(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS mx FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "q10_median" ->
       "SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5), 6) AS med FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q11_countdistinct" ->
@@ -366,7 +371,7 @@ object StarQueries {
     "q14_leftjoin" ->
       "SELECT o_orderkey, c_name FROM orders LEFT JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey",
     "q15_multijoin" ->
-      "SELECT r_name, n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev, COUNT(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name",
+      "SELECT r_name, n_name, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev, COUNT(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name",
     "q16_broadcastjoin" ->
       "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
     "q17_semijoin" ->
@@ -386,7 +391,7 @@ object StarQueries {
     "q24_duprename" ->
       "SELECT p_partkey, CASE WHEN COUNT(*) OVER (PARTITION BY p_brand) > 1 THEN concat(p_brand, ' - ', CAST(p_partkey AS VARCHAR)) ELSE p_brand END AS uname FROM part ORDER BY p_partkey",
     "q25_topk" ->
-      "SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS tot FROM lineitem GROUP BY l_partkey ORDER BY tot DESC, l_partkey LIMIT 30",
+      "SELECT l_partkey, ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS tot FROM lineitem GROUP BY l_partkey ORDER BY tot DESC, l_partkey LIMIT 30",
     "q26_idlist" ->
       "SELECT o_orderstatus, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS ids FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "q28_md5" ->
@@ -396,8 +401,8 @@ object StarQueries {
     "q30_bhfdr" ->
       "SELECT event_id, ROUND(MIN(pnr) OVER (ORDER BY rk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS adj FROM (SELECT event_id, rk, value * n / rk AS pnr FROM (SELECT event_id, value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk, COUNT(*) OVER () AS n FROM events WHERE value IS NOT NULL) a) b ORDER BY event_id",
     "q31_window" ->
-      "SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS tot FROM events GROUP BY user_id, h ORDER BY user_id, h",
+      "SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, COUNT(*) AS n, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS tot FROM events GROUP BY user_id, h ORDER BY user_id, h",
     "q32_cumsum" ->
-      "SELECT event_id, user_id, CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6)) AS cum FROM events ORDER BY user_id, event_id",
+      "SELECT event_id, user_id, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS cum FROM events ORDER BY user_id, event_id",
   )
 }
