@@ -17,33 +17,93 @@ import org.apache.spark.sql.functions._
   */
 object Snn {
 
+  /** Sample-derived kNN search radius: the max kth-NN distance over a
+    * panel of query points sampled from `query`, measured against a
+    * corpus sample. The corpus sample *under*-states density, so its
+    * kth-NN distance already *over*-states the true one; the extra 2×
+    * safety factor trades candidates for recall in the safe direction.
+    * One TakeOrdered scan per side; ≤2048×dim doubles on the driver. */
+  private[ml] def estimateRadius(query: DataFrame, corpus: DataFrame,
+                                 k: Int, seed: Long): Double = {
+    def sampleVecs(df: DataFrame, n: Int): Array[Array[Double]] =
+      df.select(col("pc")).orderBy(rand(seed), col("pc").getItem(0))
+        .limit(n).collect()
+        .map(_.getSeq[Double](0).toArray)
+    val pts = sampleVecs(corpus, 2048)
+    if (pts.length <= k) return Double.MaxValue
+    val probes = sampleVecs(query, 128)
+    val kth = probes.map { p =>
+      val ds = pts.map { c =>
+        var s = 0.0; var i = 0
+        while (i < p.length) { val d = p(i) - c(i); s += d * d; i += 1 }
+        math.sqrt(s)
+      }
+      java.util.Arrays.sort(ds)
+      ds(math.min(k, ds.length - 1))
+    }
+    val r = kth.max * 2.0
+    if (r > 0 && java.lang.Double.isFinite(r)) r else Double.MaxValue
+  }
+
   /** Generic approximate kNN join: for each row of `query`, the k
     * nearest rows of `corpus` (both `(cells_id, pc)`), excluding
-    * self-matches by id. Returns `(cid, nid, dist, rk)`. */
+    * self-matches by id. Returns `(cid, nid, dist, rk)`.
+    *
+    * Scale posture (reference semantics: configureEmbedding.r:113): the
+    * LSH similarity join runs with a FINITE data-derived radius and a
+    * data-derived bucket length (pass `bucketLength <= 0` to derive
+    * both from a sample), so bucket occupancy — and with it the
+    * candidate-pair count — tracks the true k-neighborhood instead of
+    * growing quadratically with density. Survivors are then top-k
+    * pruned in two stages: a per-shuffle-partition rank caps any one
+    * cell's candidates at partitions×k before the global per-cell rank,
+    * so a skewed/hot cell never funnels its whole candidate set through
+    * one window partition. */
   def knnJoin(query: DataFrame, corpus: DataFrame, k: Int,
-              seed: Long = 42L, bucketLength: Double = 10.0): DataFrame = {
+              seed: Long = 42L, bucketLength: Double = 0.0): DataFrame =
+    rankCandidates(candidatePairs(query, corpus, k, seed, bucketLength), k)
+
+  /** Radius-bounded LSH candidate set `(cid, nid, dist)` — the stage
+    * whose size must stay O(n·k) as data grows (asserted in GraphSpec). */
+  private[ml] def candidatePairs(query: DataFrame, corpus: DataFrame, k: Int,
+                                 seed: Long, bucketLength: Double = 0.0): DataFrame = {
+    val radius = estimateRadius(query, corpus, k, seed)
+    val bl =
+      if (bucketLength > 0) bucketLength
+      else if (java.lang.Double.isFinite(radius) && radius < Double.MaxValue) radius
+      else 10.0
     val q = query.select(col("cells_id"), array_to_vector(col("pc")).as("features"))
     val c = corpus.select(col("cells_id"), array_to_vector(col("pc")).as("features"))
     val lsh = new BucketedRandomProjectionLSH()
-      .setBucketLength(bucketLength).setNumHashTables(3).setSeed(seed)
+      .setBucketLength(bl).setNumHashTables(3).setSeed(seed)
       .setInputCol("features").setOutputCol("__h")
     val model = lsh.fit(c)
-    model.approxSimilarityJoin(q, c, 1e12, "dist")
+    model.approxSimilarityJoin(q, c, radius, "dist")
       .filter(col("datasetA.cells_id") =!= col("datasetB.cells_id"))
       .select(
         col("datasetA.cells_id").as("cid"),
         col("datasetB.cells_id").as("nid"),
         col("dist"))
+  }
+
+  /** Skew-safe two-stage top-k over the candidate set. */
+  private def rankCandidates(candidates: DataFrame, k: Int): DataFrame =
+    candidates
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__prk", row_number().over(
+        Window.partitionBy("cid", "__pid")
+          .orderBy(col("dist").asc, col("nid").asc)))
+      .filter(col("__prk") <= k)
+      .drop("__pid", "__prk")
       .withColumn("rk", row_number().over(
         Window.partitionBy("cid").orderBy(col("dist").asc, col("nid").asc)))
       .filter(col("rk") <= k)
-  }
 
   /** kNN edge table `(cid, nid, dist, rk)` from embeddings
     * `(cells_id, pc: array<double>)`. Each cell is its own 0-th
     * neighbor in Seurat; we exclude self and rank 1..k. */
   def knn(emb: DataFrame, k: Int = 20, seed: Long = 42L,
-          bucketLength: Double = 10.0): DataFrame = {
+          bucketLength: Double = 0.0): DataFrame = {
     val vecs = emb
       .select(col("cells_id"), col("pc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

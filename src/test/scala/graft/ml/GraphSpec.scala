@@ -26,6 +26,29 @@ class GraphSpec extends SparkSpec {
     assert(perCell.forall(_ == 5))
   }
 
+  test("LSH candidate-pair count stays O(n·k) under a 10x blowup") {
+    // Uniform cloud in 5-D: with an unbounded radius every bucket
+    // collision survives, so candidates grow ~quadratically with n.
+    // The data-derived finite radius must keep growth ~linear.
+    val rnd = new scala.util.Random(7)
+    def cloud(n: Int) = (0 until n).map(i =>
+      (i.toLong, Array.fill(5)(rnd.nextDouble() * 100))).toDF("cells_id", "pc")
+    val k = 10
+    val small = cloud(300).persist()
+    val big = cloud(3000).persist()
+    val cSmall = Snn.candidatePairs(small, small, k, seed = 42L).count()
+    val cBig = Snn.candidatePairs(big, big, k, seed = 42L).count()
+    // quadratic would be 100x; require comfortably sub-quadratic and
+    // within a constant factor of the linear ideal (10x)
+    assert(cBig.toDouble / cSmall < 30,
+      s"candidate growth ${cBig.toDouble / cSmall}x for 10x data (small=$cSmall big=$cBig)")
+    // and the bounded join still yields full, correct k-neighborhoods
+    val perCell = Snn.knnJoin(big, big, k, seed = 42L)
+      .groupBy("cid").count().collect().map(_.getLong(1))
+    assert(perCell.length == 3000 && perCell.forall(_ == k))
+    small.unpersist(); big.unpersist()
+  }
+
   test("SNN graph + Louvain recovers the two blobs") {
     // k=10 of 14 possible in-blob neighbors: dense intra-blob SNN, so
     // the modularity optimum is the two planted communities
