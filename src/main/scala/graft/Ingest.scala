@@ -38,7 +38,8 @@ object Ingest {
       processingConfig: String,
       cellSetsJson: String,
       flaggedSamples: Seq[String],
-      violations: Seq[String])
+      violations: Seq[String],
+      metadataCols: Seq[String] = Nil)
 
   def run(spark: SparkSession, config: Config): Result = {
     import spark.implicits._
@@ -105,7 +106,8 @@ object Ingest {
       .mkString("""{"cellSets":[""", ",", "]}")
 
     rawExpr.unpersist()
-    Result(exp, processingConfig, cellSetsJson, ed.flagged, violations)
+    Result(exp, processingConfig, cellSetsJson, ed.flagged, violations,
+      config.metadata.keys.toSeq.sorted)
   }
 
   /** Export the experiment like stage-5 does (`4_Prepare_experiment.r:
@@ -123,6 +125,10 @@ object Ingest {
       result.processingConfig)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/cell_sets.json"), result.cellSetsJson)
+
+    // stage-4/5 TSV suite (4_Prepare_experiment.r:168-201, 3_Seurat.r:135-136)
+    graft.export.TsvExports.writeAll(
+      result.experiment, result.metadataCols, result.flaggedSamples, outDir)
 
     // transposed MTX of the raw counts, cells as rows (r:204-214)
     val geneIdx = result.experiment.genes

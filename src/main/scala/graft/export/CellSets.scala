@@ -8,16 +8,32 @@ import org.apache.spark.sql.functions._
   * with a deterministic color per group (`5_Upload-to-aws.py:138-196`).
   *
   * The reference pops colors positionally from a fixed 405-entry pool
-  * (`5_Upload-to-aws.py:150,191`); the k-th group (in a deterministic
-  * order) gets the k-th color. This engine generates its own pool
-  * (golden-angle HSV walk — evenly spaced hues at any size) and orders
-  * groups by sort key rather than first-appearance, per the SURVEY
-  * §2.10 rule that every ordinal comes from an explicit sort.
+  * (`src/color_pool.json`, popped at `5_Upload-to-aws.py:150,191`); the
+  * k-th group (in a deterministic order) gets the k-th color. The same
+  * 405 values ship as a bundled resource so cell-sets documents are
+  * byte-comparable with the reference's; past 405 groups the pool
+  * extends with a golden-angle HSV walk (the reference would throw).
+  * Groups are ordered by sort key rather than first-appearance, per the
+  * SURVEY §2.10 rule that every ordinal comes from an explicit sort.
   */
 object CellSets {
 
-  /** Deterministic color pool: golden-angle hue walk, fixed s/v. */
-  def colorPool(n: Int): Seq[String] = (0 until n).map { i =>
+  /** The reference's fixed color pool (resource copy of
+    * `src/color_pool.json`, 405 `#rrggbb` values). */
+  private lazy val referencePool: IndexedSeq[String] = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/color_pool.json"), "UTF-8")
+    try "#[0-9a-fA-F]{6}".r.findAllIn(src.mkString).toIndexedSeq
+    finally src.close()
+  }
+
+  /** First `n` colors: the reference pool positionally, then a
+    * golden-angle hue walk once the 405 run out. */
+  def colorPool(n: Int): Seq[String] =
+    if (n <= referencePool.size) referencePool.take(n)
+    else referencePool ++ (referencePool.size until n).map(goldenAngle)
+
+  private def goldenAngle(i: Int): String = {
     val h = (i * 137.508) % 360
     val (s, v) = (0.65, 0.90)
     val c = v * s

@@ -85,6 +85,49 @@ class IngestSpec extends SparkSpec {
     assert(json.contains("\"rootNode\":true"))
   }
 
+  test("stage-4/5 TSV export suite matches the FIXTURES.md contracts") {
+    val out = Files.createTempDirectory("ingest-tsv")
+    Ingest.export(spark, result, out.toString)
+
+    def lines(name: String): Seq[String] = {
+      val dir = out.resolve(name).toFile
+      assert(dir.isDirectory, s"$name missing")
+      val parts = dir.listFiles().filter(_.getName.startsWith("part-"))
+      assert(parts.length == 1, s"$name must be a single file")
+      scala.io.Source.fromFile(parts.head).getLines().toSeq
+    }
+
+    // samples-cells.csv: headerless cells_id \t sample, one row per cell
+    val sc = lines("samples-cells.csv")
+    assert(sc.length == 24)
+    assert(sc.head == "0\ts1" && sc.last == "23\ts2")
+    assert(sc.forall(_.split("\t").length == 2))
+
+    // metadata-cells.csv: header cells_id \t condition
+    val mc = lines("metadata-cells.csv")
+    assert(mc.head == "cells_id\tcondition")
+    assert(mc.length == 25)
+    assert(mc.tail.forall(l => l.endsWith("ctrl") || l.endsWith("treat")))
+
+    // r-out-cells.csv: one <sample>_<barcode> per line, cells_id order
+    val rc = lines("r-out-cells.csv")
+    assert(rc.length == 24)
+    assert(rc.head == "s1_CELL000" && rc.last == "s2_CELL011")
+
+    // r-out-annotations.csv: headerless input \t name \t original_name,
+    // restricted to kept genes (ambient-only genes trimmed away keep 12+2)
+    val ra = lines("r-out-annotations.csv")
+    assert(ra.forall(_.split("\t").length == 3))
+    val keptGenes = result.experiment.expr.select("gene").distinct().count()
+    assert(ra.length == keptGenes)
+    assert(ra.exists(_.startsWith("ENSG13\tMT-CO1")))
+
+    // df_flag_filtered.txt: header + one Filtered/Unfiltered row per sample
+    val ff = lines("df_flag_filtered.txt")
+    assert(ff.head == "samples\tflag_filtered")
+    assert(ff.tail == Seq("s1\tUnfiltered", "s2\tUnfiltered"))
+  }
+
   test("export writes artifacts and yields a stable experiment id") {
     val out = Files.createTempDirectory("ingest-out")
     val id1 = Ingest.export(spark, result, out.toString)

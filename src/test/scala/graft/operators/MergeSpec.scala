@@ -58,4 +58,22 @@ class MergeSpec extends SparkSpec {
     val json = CellSets.toJsonDocument(sets, "sample", "Samples")
     assert(json.contains("\"rootNode\":true") && json.contains("sample-s1"))
   }
+
+  test("k-th group gets the reference pool's k-th color") {
+    // head of the reference color_pool.json (405 fixed values, popped
+    // positionally at 5_Upload-to-aws.py:150,191)
+    val head = Seq("#e377c2", "#8c564b", "#d62728", "#2ca02c", "#ff7f0e")
+    assert(CellSets.colorPool(5) == head)
+    assert(CellSets.colorPool(405).length == 405)
+    assert(CellSets.colorPool(405).distinct.length == 405)
+    // past the reference pool the golden-angle extension keeps going
+    val ext = CellSets.colorPool(410)
+    assert(ext.take(405) == CellSets.colorPool(405))
+    assert(ext.drop(405).forall(_.matches("#[0-9a-f]{6}")))
+    // and the k-th group by sort order wears the k-th color
+    val cells = Seq(("a", 0L), ("b", 1L), ("c", 2L)).toDF("grp", "cells_id")
+    val got = CellSets.fromColumn(cells, "grp", "g").orderBy("key")
+      .collect().map(_.getAs[String]("color")).toSeq
+    assert(got == head.take(3))
+  }
 }
