@@ -129,6 +129,10 @@ object Similarity {
     val assigned = fitted.transform(vecs)
       .select(col("vec_id"), col("embedding"), col("cell"))
     val centroids = fitted.clusterCenters.map(_.toArray)
+    // the cache exists for the ~5 eager fit iterations; release it now so
+    // repeated calls in one session don't accumulate cached RDDs (the lazy
+    // scoring pass below re-derives features in a single scan)
+    vecs.unpersist()
     // nprobe nearest centroids per query vector (driver: nQueries × nlist)
     val queries = t.embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))

@@ -105,7 +105,11 @@ object TextQueries {
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), explode(wordShingles(col("toks"), 3)).as("s"))
       .distinct()
-      .select(col("doc_id"), hashP(col("s")).as("hm"))
+      // coalesce is a no-op (s is never null) but marks hm non-nullable,
+      // so outer joins on hm don't inject an isnotnull filter into this
+      // subtree — keeping every consumer's exchange byte-identical and
+      // therefore reusable (one scan + tokenize for the whole query)
+      .select(col("doc_id"), coalesce(hashP(col("s")), lit(0L)).as("hm"))
 
   /** x06 MinHash signatures (k=16) — the scale path for near-dup at
     * 100 TB: one shuffle keyed by doc_id, signature is 16 longs/doc.
@@ -132,41 +136,48 @@ object TextQueries {
     * the join shuffles on a short string key; skewed mega-buckets are
     * handled by AQE skew splitting. */
   def lshPairs(t: Tables): DataFrame = {
-    val sig = minhashSignatures(t)
+    // ONE distinct hashed-shingle table feeds the signature aggregation
+    // AND both verification join sides: the (doc_id, s)-distinct
+    // exchange is identical in all three consumers, so Spark plans it
+    // once and ReusedExchange serves the rest — no re-tokenize/explode.
+    // Verification Jaccard runs over hashed shingles (the oracle hashes
+    // identically, so the two engines see the same set algebra).
+    val sh = shingleHashes(t)
+    val aggs = MinHashCoeffs.indices.map(j =>
+      min(minHashJ(col("hm"), j)).as(f"m$j%02d"))
+    val sigSz = sh.groupBy("doc_id")
+      .agg(aggs.head, (aggs.tail :+ count(lit(1)).as("sz")): _*)
     val bandEntries = array((0 until 4).map { b =>
       struct(lit(b).as("b"),
         concat_ws("_", (0 until 4).map(r => col(f"m${b * 4 + r}%02d")): _*)
           .as("key"))
     }: _*)
-    val banded = sig
-      .select(col("doc_id"), explode(bandEntries).as("band"))
-      .select(col("doc_id"), col("band.b").as("b"), col("band.key").as("key"))
+    val banded = sigSz
+      .select(col("doc_id"), col("sz"), explode(bandEntries).as("band"))
+      .select(col("doc_id"), col("sz"),
+        col("band.b").as("b"), col("band.key").as("key"))
+    // band sizes ride along, so no separate per-doc size join later
     val candidates = banded.as("x")
       .join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.sz").as("sz1"), col("y.sz").as("sz2"))
       .distinct()
-    val sh = t.documents
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), explode(wordShingles(col("toks"), 3)).as("s"))
-      .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = candidates
-      .join(sh.select(col("doc_id").as("d1"), col("s")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("inter"))
+    // candidates is consumed exactly once: expand by d1's shingles
+    // (inner — every banded doc has >=1 shingle), probe d2's shingle set
+    // with a left join, and count the matches. Pairs whose intersection
+    // is empty survive with inter=0, so no second pass over candidates.
     candidates
-      .join(inter, Seq("d1", "d2"), "left")
-      .join(sizes.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("sz", "sz1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("sz", "sz2"), "d2")
+      .join(sh.select(col("doc_id").as("d1"), col("hm")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("hm"), lit(1).as("m")),
+        Seq("d2", "hm"), "left")
+      .groupBy("d1", "d2", "sz1", "sz2")
+      .agg(coalesce(sum("m"), lit(0)).as("inter"))
       .select(col("d1"), col("d2"),
-        round(coalesce(col("inter"), lit(0)).cast("double") /
-          (col("sz1") + col("sz2") - coalesce(col("inter"), lit(0)))
-            .cast("double"), 6).as("jac"))
+        round(col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")).cast("double"), 6)
+          .as("jac"))
       .orderBy("d1", "d2")
   }
 
@@ -350,9 +361,9 @@ object TextQueries {
         FROM sig),
       cand AS (SELECT DISTINCT d1, d2 FROM (${(0 until 4).map(b =>
         s"SELECT x.doc_id AS d1, y.doc_id AS d2 FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id").mkString(" UNION ALL ")})),
-      sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM h GROUP BY doc_id),
       inter AS (SELECT c.d1, c.d2, COUNT(*) AS i FROM cand c
-                JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+                JOIN h a ON a.doc_id = c.d1 JOIN h b ON b.doc_id = c.d2 AND b.hm = a.hm
                 GROUP BY c.d1, c.d2)
       SELECT c.d1, c.d2,
         ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) / CAST(s1.sz + s2.sz - COALESCE(i.i, 0) AS DOUBLE), 6) AS jac

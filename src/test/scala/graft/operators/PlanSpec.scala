@@ -62,4 +62,41 @@ class PlanSpec extends SparkSpec {
     val p = plan(Similarity.bruteForceTopK(t, 3, 5))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("x07: one shingle scan serves signatures and verification") {
+    // exchange reuse is decided by AQE at runtime — assert on the final
+    // adaptive plan, after execution
+    val df = TextQueries.lshPairs(t)
+    df.collect()
+    // executedPlan.toString appends the pre-AQE "Initial Plan" section,
+    // which never runs — audit only the final plan
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the distinct hashed-shingle exchange is planned once and reused by
+    // every other consumer instead of re-tokenizing the documents table
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(p.contains("ReusedExchange"), p.take(3000))
+    assert(scans <= 1, s"expected 1 parquet scan (got $scans)\n${p.take(3000)}")
+  }
+
+  test("per-sample stage filter prunes a sample-partitioned store to one partition") {
+    // EmptyDrops.run / Doublets.scores split work with
+    // filter(col("sample") === s) per sample; over an
+    // ExperimentStore-shaped parquet layout that must become a
+    // PartitionFilters entry (scan one directory), not a row filter.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pruned").toString
+    Seq(("s1", "b1", "g1", 3L), ("s2", "b2", "g1", 5L))
+      .toDF("sample", "barcode", "gene", "count")
+      .write.mode("overwrite").partitionBy("sample").parquet(s"$dir/expr")
+    val expr = spark.read.parquet(s"$dir/expr")
+    val perSample = expr.filter(col("sample") === "s1")
+      .groupBy("sample", "barcode")
+      .agg(org.apache.spark.sql.functions.sum("count").as("total"))
+    val p = plan(perSample)
+    val scanLine = p.split("\n").filter(_.contains("PartitionFilters")).mkString
+    assert(scanLine.contains("sample"), p.take(3000))
+    assert(perSample.collect().map(_.getString(0)).forall(_ == "s1"))
+  }
 }
