@@ -1,35 +1,92 @@
 package graft.ml
 
+import org.apache.spark.mllib.linalg.{DenseMatrix, Vectors}
+import org.apache.spark.mllib.linalg.distributed.{IndexedRow, IndexedRowMatrix, RowMatrix}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Anchor-based batch integration, v1 — the Seurat-v4 step
+/** Anchor-based batch integration — the Seurat-v4 step
   * (`QC_helpers/dataIntegration.r:90-97`: split by group, find anchor
-  * pairs in reduced space, integrate; SURVEY §7.4 ranks this hardest).
+  * pairs in reduced space, integrate; the reference configures
+  * `dimensionalityReduction method="rpca", numPCs=30` at
+  * `4_Prepare_experiment.r:251-259`).
   *
-  * v1 semantics (published MNN-correct lineage, Haghverdi et al. 2018,
-  * which Seurat's anchor search refines):
+  * v2 semantics (reciprocal-PCA anchor search with Seurat's
+  * filter/score stages, re-derived for the embedding-level input):
   *  1. the first group (ascending order) is the reference;
-  *  2. anchors between the reference and each other group = MUTUAL
-  *     nearest neighbors in the joint PCA space (two LSH kNN joins,
-  *     intersected);
-  *  3. each anchor carries a correction vector (ref PC − query PC);
-  *  4. every query cell is corrected by the distance-weighted mean of
-  *     its `kWeight` nearest anchors' vectors (weights 1/(1+d), the
-  *     blend is a posexplode + grouped weighted sum — fully
-  *     relational, no driver kernel).
+  *  2. each group gets its own `dims`-dim eigenbasis (covariance of its
+  *     rows in the joint PCA space — a d×d Gramian computed
+  *     distributed, eigendecomposed on the driver);
+  *  3. anchors = MUTUAL nearest neighbors searched reciprocally: query
+  *     vs reference with both sides projected onto the REFERENCE basis,
+  *     and reference vs query on the QUERY basis (Seurat
+  *     `FindIntegrationAnchors(reduction="rpca")`);
+  *  4. anchors are kept only if the reference cell is within `kFilter`
+  *     NN of the query cell in the joint space (Seurat `k.filter`);
+  *  5. each anchor is scored by the shared-neighbor overlap of its two
+  *     cells' `kScore`-neighborhoods in the reference-projected space,
+  *     quantile-scaled to [0,1] with the 1%/90% quantiles (Seurat
+  *     `k.score` + `ScoreAnchors`); a degenerate score distribution
+  *     (all equal) carries no information and scores 1;
+  *  6. every query cell is corrected by the score-and-distance-weighted
+  *     mean of its `kWeight` nearest anchors' correction vectors
+  *     (weights score/(1+d)); cells whose nearby anchors all score 0
+  *     pass through uncorrected — the behavior Seurat's rPCA is
+  *     recommended for when a population exists in only one batch.
   * Groups with no anchors pass through uncorrected (matches the
   * reference's skip branch `dataIntegration.r:86-89` spirit).
+  *
+  * With `dims >= d` the projections are full-rank rotations, so the
+  * anchor search degenerates to joint-space MNN (the v1 lineage,
+  * Haghverdi et al. 2018) and only filtering/scoring remain active.
   */
 object Integration {
 
+  /** Top-`dims` eigenbasis (d×dims, column-major) of the group's
+    * covariance in the joint PCA space. Returns None when the group is
+    * too small for a covariance or truncation would be a no-op. */
+  private def eigenBasis(df: DataFrame, dims: Int): Option[DenseMatrix] = {
+    val rows = df.select("pc").rdd
+      .map(r => Vectors.dense(r.getSeq[Double](0).toArray))
+    val first = rows.take(1)
+    if (first.isEmpty) return None
+    val d = first.head.size
+    if (dims >= d || df.limit(2).count() < 2) return None
+    val cov = new RowMatrix(rows).computeCovariance()
+    val bm = new breeze.linalg.DenseMatrix(d, d, cov.toArray)
+    val es = breeze.linalg.eigSym(bm)
+    val top = (0 until d).sortBy(i => -es.eigenvalues(i)).take(dims)
+    val data = new Array[Double](d * dims)
+    for ((c, j) <- top.zipWithIndex; i <- 0 until d)
+      data(j * d + i) = es.eigenvectors(i, c)
+    Some(new DenseMatrix(d, dims, data))
+  }
+
+  /** `(cells_id, pc)` rows projected onto `basis` (distributed
+    * row-matrix multiply, ids preserved). Identity when basis is None. */
+  private def project(df: DataFrame, basis: Option[DenseMatrix]): DataFrame =
+    basis match {
+      case None => df
+      case Some(b) =>
+        val spark = df.sparkSession
+        val rows = df.select("cells_id", "pc").rdd
+          .map(r => IndexedRow(r.getLong(0),
+            Vectors.dense(r.getSeq[Double](1).toArray)))
+        import spark.implicits._
+        new IndexedRowMatrix(rows).multiply(b)
+          .rows.map(r => (r.index, r.vector.toArray))
+          .toDF("cells_id", "pc")
+    }
+
   /** `pca`: `(cells_id, pc)`; `groups`: `(cells_id, group)`.
     * Returns `(cells_id, pc)` with non-reference groups corrected into
-    * the reference's space. */
+    * the reference's space. Defaults mirror Seurat's
+    * `FindIntegrationAnchors` (k.anchor=5, k.filter=200, k.score=30)
+    * and the reference's `numPCs=30` rPCA config. */
   def integrateEmbeddings(pca: DataFrame, groups: DataFrame,
                           kAnchor: Int = 5, kWeight: Int = 5,
-                          seed: Long = 42L): DataFrame = {
-    val spark = pca.sparkSession
+                          seed: Long = 42L, dims: Int = 30,
+                          kScore: Int = 30, kFilter: Int = 200): DataFrame = {
     val tagged = pca.join(groups, "cells_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groupNames = tagged.select("group").distinct()
@@ -42,40 +99,97 @@ object Integration {
     val ref = tagged.filter(col("group") === groupNames.head)
       .select("cells_id", "pc")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val basisR = eigenBasis(ref, dims)
+    val refR = project(ref, basisR)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refCount = ref.count()
 
     val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val corrected = groupNames.tail.map { g =>
       val qry = tagged.filter(col("group") === g).select("cells_id", "pc")
-      // mutual nearest neighbors = anchor pairs
-      val q2r = Snn.knnJoin(qry, ref, kAnchor, seed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toRelease += qry
+      val basisQ = eigenBasis(qry, dims)
+      val qryR = project(qry, basisR)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toRelease += qryR
+      // reciprocal anchor search: q→r on the reference basis, r→q on
+      // the query basis; mutual pairs are anchors
+      val q2r = Snn.knnJoin(qryR, refR, kAnchor, seed)
         .select(col("cid").as("qid"), col("nid").as("rid"))
-      val r2q = Snn.knnJoin(ref, qry, kAnchor, seed)
+      val r2q = Snn.knnJoin(project(ref, basisQ), project(qry, basisQ),
+          kAnchor, seed)
         .select(col("nid").as("qid"), col("cid").as("rid"))
-      val anchors = q2r.intersect(r2q)
+      val mutual = q2r.intersect(r2q)
+      // k.filter: the pair must also be a joint-space kFilter-neighbor;
+      // kFilter >= |ref| keeps every pair by definition, so skip the
+      // join (and its LSH recall noise) entirely in that regime
+      val filtered =
+        if (kFilter <= 0 || kFilter >= refCount) mutual
+        else mutual.join(
+          Snn.knnJoin(qry, ref, kFilter, seed)
+            .select(col("cid").as("qid"), col("nid").as("rid")),
+          Seq("qid", "rid"), "left_semi")
+      // k.score: shared-neighbor overlap of the two anchor cells'
+      // neighborhoods in the reference-projected space (both groups);
+      // kScore <= 0 disables scoring (every anchor weighs equally)
+      val withShared =
+        if (kScore <= 0) filtered.withColumn("shared", lit(0L))
+        else {
+          val allR = refR.unionByName(qryR)
+          val nbrs = Snn.knnJoin(allR, allR, kScore, seed).select("cid", "nid")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          toRelease += nbrs
+          val overlap = filtered
+            .join(nbrs.select(col("cid").as("qid"), col("nid").as("n")), "qid")
+            .join(nbrs.select(col("cid").as("rid"), col("nid").as("n")),
+              Seq("rid", "n"))
+            .groupBy("qid", "rid")
+            .agg(count(lit(1)).as("shared"))
+          filtered.join(overlap, Seq("qid", "rid"), "left")
+            .withColumn("shared", coalesce(col("shared"), lit(0L)))
+        }
+      val anchors = withShared
         .join(qry.select(col("cells_id").as("qid"), col("pc").as("qpc")), "qid")
         .join(ref.select(col("cells_id").as("rid"), col("pc").as("rpc")), "rid")
-        .select(col("qid"), col("qpc"),
+        .select(col("qid"), col("qpc"), col("shared"),
           zip_with(col("rpc"), col("qpc"), (r, q) => r - q).as("vec"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       toRelease += anchors
       if (anchors.isEmpty) qry
       else {
+        // quantile-scale scores to [0,1] (Seurat: 1% and 90% quantiles);
+        // a flat distribution is uninformative → everyone scores 1
+        val Array(lo, hi) = anchors.stat
+          .approxQuantile("shared", Array(0.01, 0.90), 0.001)
+        val scoreCol =
+          if (hi > lo)
+            least(greatest((col("shared") - lit(lo)) / lit(hi - lo),
+              lit(0.0)), lit(1.0))
+          else lit(1.0)
+        val scored = anchors.withColumn("score", scoreCol)
         // each query cell's kWeight nearest anchor query-side points
-        val anchorPts = anchors.select(col("qid").as("cells_id"), col("qpc").as("pc"))
+        val anchorPts = scored
+          .select(col("qid").as("cells_id"), col("qpc").as("pc"))
           .dropDuplicates("cells_id")
         val near = Snn.knnJoin(qry, anchorPts, kWeight, seed)
           .select(col("cid").as("cells_id"), col("nid").as("aid"),
-            (lit(1.0) / (lit(1.0) + col("dist"))).as("w"))
+            col("dist"))
         // allow self-anchor (a query cell that IS an anchor corrects by
         // its own vector too): knnJoin excluded self, so union it back
-        val selfA = anchorPts.select(col("cells_id"), col("cells_id").as("aid"),
-          lit(1.0).as("w"))
+        val selfA = anchorPts.select(col("cells_id"),
+          col("cells_id").as("aid"), lit(0.0).as("dist"))
         // an anchor cell paired with several ref cells contributes one
-        // row per pair (each with the cell's weight) — deterministic,
+        // row per pair (each with the pair's score) — deterministic,
         // unlike collapsing to an arbitrary "first" vector
         val weighted = near.unionByName(selfA)
-          .join(anchors.select(col("qid").as("aid"), col("vec")), "aid")
-        // blend: posexplode vectors, grouped weighted mean per dim
+          .join(scored.select(col("qid").as("aid"), col("vec"),
+            col("score")), "aid")
+          .withColumn("w", col("score") / (lit(1.0) + col("dist")))
+          .filter(col("w") > 0)
+        // blend: posexplode vectors, grouped weighted mean per dim;
+        // cells whose anchors all scored 0 have no rows here and pass
+        // through via the left join below
         val blended = weighted
           .select(col("cells_id"), col("w"), posexplode(col("vec")).as(Seq("d", "v")))
           .groupBy("cells_id", "d")
@@ -94,7 +208,7 @@ object Integration {
     // materialize before releasing the cached inputs the lineage reads
     val out = (ref +: corrected).reduce(_ unionByName _).localCheckpoint(true)
     toRelease.foreach(_.unpersist())
-    tagged.unpersist(); ref.unpersist()
+    tagged.unpersist(); ref.unpersist(); refR.unpersist()
     out
   }
 }

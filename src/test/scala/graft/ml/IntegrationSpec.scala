@@ -52,6 +52,69 @@ class IntegrationSpec extends SparkSpec {
     assert(dist(p1b1, rawCentroid) > 5.0)
   }
 
+  /** b1 holds P1 and P2; b2 holds P1 (batch-shifted) and P3 — a
+    * population unique to b2 whose nearest reference population is P2.
+    * Joint-space MNN (full-rank dims + uninformative scores) anchors
+    * P3 onto P2 and collapses it; the rPCA search with shared-neighbor
+    * scoring gives those false anchors score 0 and leaves P3 alone. */
+  private lazy val (mixPca, mixGroups) = {
+    def pop(base: Array[Double], ids: Range, shift: Array[Double]) =
+      ids.map { i =>
+        val jitter = Array(0.05 * (i % 5), 0.07 * (i % 3), 0.03 * (i % 2))
+        (i.toLong, base.indices.map(d => base(d) + shift(d) + jitter(d)).toArray)
+      }
+    val shift = Array(0.0, 6.0, 0.0); val zero = Array(0.0, 0.0, 0.0)
+    val p1 = Array(0.0, 0.0, 0.0)
+    val p2 = Array(20.0, 0.0, 0.0)
+    val p3 = Array(36.0, 0.0, 0.0)
+    val b1 = pop(p1, 0 until 30, zero) ++ pop(p2, 30 until 60, zero)
+    val b2 = pop(p1, 100 until 130, shift) ++ pop(p3, 130 until 160, shift)
+    val pcaDf = (b1 ++ b2).toDF("cells_id", "pc")
+    val grpDf = (b1 ++ b2).map(r => (r._1, if (r._1 < 100) "batch1" else "batch2"))
+      .toDF("cells_id", "group")
+    (pcaDf.persist(), grpDf)
+  }
+
+  test("joint-space MNN collapses a batch-unique population (the v1 failure)") {
+    val out = Integration.integrateEmbeddings(mixPca, mixGroups,
+      kAnchor = 5, kWeight = 5, dims = 3, kScore = 0) // full rank, unscored → plain MNN
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def centroid(ids: Range) = {
+      val vs = ids.map(out(_)); vs.head.indices.map(d => vs.map(_(d)).sum / vs.size)
+    }
+    // P3 (unique to b2) gets dragged onto P2 — the known MNN failure mode
+    assert(dist(centroid(130 until 160), centroid(30 until 60)) < 3.0)
+  }
+
+  test("rPCA anchors + shared-neighbor scoring preserve the unique population") {
+    val out = Integration.integrateEmbeddings(mixPca, mixGroups,
+      kAnchor = 5, kWeight = 5, dims = 1, kScore = 20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out.size == 120)
+    def centroid(ids: Range) = {
+      val vs = ids.map(out(_)); vs.head.indices.map(d => vs.map(_(d)).sum / vs.size)
+    }
+    // true pairs still corrected: P1 centroids converge across batches
+    assert(dist(centroid(0 until 30), centroid(100 until 130)) < 2.0,
+      s"P1 cross-batch ${dist(centroid(0 until 30), centroid(100 until 130))}")
+    // the unique population is NOT collapsed onto P2 (or P1)...
+    assert(dist(centroid(130 until 160), centroid(30 until 60)) > 10.0,
+      s"P3 vs P2 ${dist(centroid(130 until 160), centroid(30 until 60))}")
+    assert(dist(centroid(130 until 160), centroid(0 until 30)) > 10.0)
+    // ...its false anchors scored 0, so it receives the same rigid batch
+    // correction the true (P1) anchors estimated, preserving structure
+    val orig = mixPca.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def origCentroid(ids: Range) = {
+      val vs = ids.map(orig(_)); vs.head.indices.map(d => vs.map(_(d)).sum / vs.size)
+    }
+    val inferredShift = origCentroid(100 until 130).zip(centroid(0 until 30))
+      .map { case (b2, b1) => b2 - b1 }
+    val expectedP3 = origCentroid(130 until 160).zip(inferredShift)
+      .map { case (p, s) => p - s }
+    assert(dist(centroid(130 until 160), expectedP3) < 1.5,
+      s"P3 corrected ${centroid(130 until 160)} expected $expectedP3")
+  }
+
   test("single group passes through unchanged") {
     val single = groups.filter(col("group") === "batch1")
     val out = Integration.integrateEmbeddings(
