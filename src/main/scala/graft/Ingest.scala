@@ -31,7 +31,14 @@ object Ingest {
       minCells: Int = 3, minFeatures: Int = 10,
       emptyDropsLower: Long = 100, emptyDropsIters: Int = 1000,
       runQcFilters: Boolean = false, // ingest resolves configs; filters run downstream
-      metadata: Map[String, Map[String, String]] = Map.empty) // col -> sample -> value
+      metadata: Map[String, Map[String, String]] = Map.empty, // col -> sample -> value
+      // When set, the merged raw matrix is checkpointed to
+      // `<dir>/raw_expr` partitioned by sample (the stage-1 RDS
+      // checkpoint, `1_Preproc.r:174`) and the per-sample stages read
+      // it back with partition pruning — at cluster scale each
+      // per-sample job then scans ONE directory instead of the whole
+      // union (PartitionFilters asserted in PlanSpec).
+      checkpointDir: Option[String] = None)
 
   final case class Result(
       experiment: Experiment,
@@ -48,8 +55,16 @@ object Ingest {
     val perSample = config.samples.map { case (name, dir) =>
       Mtx.read10x(spark, dir, name)
     }
-    val rawExpr = perSample.map(_._1).reduce(_ unionByName _)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merged = perSample.map(_._1).reduce(_ unionByName _)
+    val rawExpr = config.checkpointDir match {
+      case Some(dir) =>
+        merged.write.mode("overwrite").partitionBy("sample")
+          .parquet(s"$dir/raw_expr")
+        spark.read.parquet(s"$dir/raw_expr")
+          .select("sample", "barcode", "gene", "count")
+      case None =>
+        merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val annotations = MergeSamples.unionAnnotations(perSample.map(_._2))
 
     // P2: emptyDrops on the RAW matrix (pre-trim, `2-1:12`)
@@ -105,7 +120,7 @@ object Ingest {
     val cellSetsJson = (scratchpad +: sampleJson +: metaJsons)
       .mkString("""{"cellSets":[""", ",", "]}")
 
-    rawExpr.unpersist()
+    if (config.checkpointDir.isEmpty) rawExpr.unpersist()
     Result(exp, processingConfig, cellSetsJson, ed.flagged, violations,
       config.metadata.keys.toSeq.sorted)
   }

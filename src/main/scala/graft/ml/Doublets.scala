@@ -1,9 +1,6 @@
 package graft.ml
 
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Doublet scoring — scDblFinder semantics (`2-2_Compute-metrics_
@@ -14,9 +11,9 @@ import org.apache.spark.sql.functions._
   * Spark decomposition (SURVEY §2.9): pair table → grouped sum (the
   * doublet synthesis is a join + agg on the long table), the existing
   * LogNormalize → HVG → Scale → PCA pipeline for the embedding, and
-  * `BucketedRandomProjectionLSH` + a distance-ranked window for the
-  * kNN — every stage distributed, seeded, and deterministic (pairing
-  * uses a Fisher-Yates shuffle over the sorted barcode list).
+  * the bounded [[Snn.knnJoin]] for the kNN — every stage distributed,
+  * seeded, and deterministic (pairing hashes each barcode with the
+  * seed and pairs consecutive dense ranks; no driver materialization).
   *
   * Classification (simplified vs scDblFinder's trained classifier,
   * documented choice): `doublet` when the artificial-neighbor fraction
@@ -41,28 +38,29 @@ object Doublets {
     val spark = expr.sparkSession
     import spark.implicits._
 
-    val barcodes = expr.select("barcode").distinct()
-      .collect().map(_.getString(0)).sorted
-    val nReal = barcodes.length
-    // deterministic pairing: Fisher-Yates over the sorted list
-    val rng = new java.util.SplittableRandom(seed ^ sample.hashCode.toLong)
-    val perm = barcodes.clone()
-    for (i <- perm.length - 1 to 1 by -1) {
-      val j = rng.nextInt(i + 1)
-      val t = perm(i); perm(i) = perm(j); perm(j) = t
-    }
+    val bc = expr.select("barcode").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nReal = bc.count()
     val nArt = nReal / 2
     if (nArt == 0) {
       // a 1-cell sample cannot host a doublet: pass through as singlet
       // (expected fraction would be 0 and misclassify everything)
+      bc.unpersist()
       return expr.select("sample", "barcode").distinct()
         .withColumn("doublet_scores", lit(0.0))
         .withColumn("doublet_class", lit("singlet"))
     }
-    val pairs = (0 until nArt).flatMap { i =>
-      val art = f"__art_$i%06d"
-      Seq((perm(2 * i), art), (perm(2 * i + 1), art))
-    }.toDF("barcode", "art_barcode")
+    // deterministic DISTRIBUTED pairing: a seeded hash gives every
+    // barcode a pseudo-random rank, a two-pass dense id turns the rank
+    // into a permutation index, and consecutive indices pair up — no
+    // O(cells) barcode list ever reaches the driver
+    val keyed = bc.withColumn("__k",
+      xxhash64(col("barcode"), lit(seed ^ sample.hashCode.toLong)))
+    val pairs = graft.operators.DenseId
+      .withDenseId(keyed, Seq(col("__k"), col("barcode")), "__idx")
+      .filter(col("__idx") < lit(2L * nArt))
+      .select(col("barcode"),
+        format_string("__art_%06d", shiftright(col("__idx"), 1)).as("art_barcode"))
 
     val artExpr = expr.join(pairs, "barcode")
       .groupBy(col("sample"), col("art_barcode").as("barcode"), col("gene"))
@@ -91,24 +89,14 @@ object Doublets {
 
     val tagged = emb.join(ids, "cells_id")
       .withColumn("is_art", col("barcode").startsWith("__art_"))
-      .withColumn("features", array_to_vector(col("pc")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lsh = new BucketedRandomProjectionLSH()
-      .setBucketLength(10.0).setNumHashTables(3).setSeed(seed)
-      .setInputCol("features").setOutputCol("__h")
-    val model = lsh.fit(tagged)
-    val neighbors = model.approxSimilarityJoin(
-        tagged.filter(!col("is_art")), tagged, 1e12, "dist")
-      .filter(col("datasetA.cells_id") =!= col("datasetB.cells_id"))
-      .select(
-        col("datasetA.cells_id").as("cid"),
-        col("datasetB.cells_id").as("nid"),
-        col("datasetB.is_art").as("n_art"),
-        col("dist"))
-    val ranked = neighbors
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("cid").orderBy(col("dist").asc, col("nid").asc)))
-      .filter(col("rk") <= k)
+    // bounded kNN (radius + bucket length derived from the data, skew-
+    // safe two-stage rank) — the same scale posture as Snn.knn
+    val ranked = Snn.knnJoin(
+        tagged.filter(!col("is_art")).select("cells_id", "pc"),
+        tagged.select("cells_id", "pc"), k, seed)
+      .join(tagged.select(col("cells_id").as("nid"),
+        col("is_art").as("n_art")), "nid")
     val expected = nArt.toDouble / (nArt + nReal)
     val out = ranked
       .groupBy("cid")
@@ -121,7 +109,7 @@ object Doublets {
       .select("sample", "barcode", "doublet_scores", "doublet_class")
     val result = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
-    combined.unpersist(); tagged.unpersist()
+    bc.unpersist(); combined.unpersist(); tagged.unpersist()
     result
   }
 }

@@ -114,11 +114,14 @@ object Integration {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       toRelease += qryR
       // reciprocal anchor search: q→r on the reference basis, r→q on
-      // the query basis; mutual pairs are anchors
-      val q2r = Snn.knnJoin(qryR, refR, kAnchor, seed)
+      // the query basis; mutual pairs are anchors. All cross-batch
+      // searches run with the conservative radius: the batch gap means
+      // neighbors are NOT local, and missing them (not candidate
+      // volume) is the failure mode.
+      val q2r = Snn.knnJoin(qryR, refR, kAnchor, seed, conservative = true)
         .select(col("cid").as("qid"), col("nid").as("rid"))
       val r2q = Snn.knnJoin(project(ref, basisQ), project(qry, basisQ),
-          kAnchor, seed)
+          kAnchor, seed, conservative = true)
         .select(col("nid").as("qid"), col("cid").as("rid"))
       val mutual = q2r.intersect(r2q)
       // k.filter: the pair must also be a joint-space kFilter-neighbor;
@@ -127,7 +130,7 @@ object Integration {
       val filtered =
         if (kFilter <= 0 || kFilter >= refCount) mutual
         else mutual.join(
-          Snn.knnJoin(qry, ref, kFilter, seed)
+          Snn.knnJoin(qry, ref, kFilter, seed, conservative = true)
             .select(col("cid").as("qid"), col("nid").as("rid")),
           Seq("qid", "rid"), "left_semi")
       // k.score: shared-neighbor overlap of the two anchor cells'
@@ -167,12 +170,20 @@ object Integration {
             least(greatest((col("shared") - lit(lo)) / lit(hi - lo),
               lit(0.0)), lit(1.0))
           else lit(1.0)
+        // anchors scored 0 were judged spurious — discard them BEFORE
+        // the weighting search; keeping them as weight-0 placeholders
+        // would both occupy kWeight slots and zero out the correction
+        // for exactly the cells that need a real (if distant) anchor
         val scored = anchors.withColumn("score", scoreCol)
-        // each query cell's kWeight nearest anchor query-side points
+          .filter(col("score") > 0)
+        // each query cell's kWeight nearest anchor query-side points;
+        // conservative radius — a cell far from every anchor must still
+        // find its nearest ones (Seurat searches anchors exactly)
         val anchorPts = scored
           .select(col("qid").as("cells_id"), col("qpc").as("pc"))
           .dropDuplicates("cells_id")
-        val near = Snn.knnJoin(qry, anchorPts, kWeight, seed)
+        val near = Snn.knnJoin(qry, anchorPts, kWeight, seed,
+            conservative = true)
           .select(col("cid").as("cells_id"), col("nid").as("aid"),
             col("dist"))
         // allow self-anchor (a query cell that IS an anchor corrects by

@@ -24,9 +24,14 @@ object Snn {
     * safety factor trades candidates for recall in the safe direction.
     * One TakeOrdered scan per side; ≤2048×dim doubles on the driver. */
   private[ml] def estimateRadius(query: DataFrame, corpus: DataFrame,
-                                 k: Int, seed: Long): Double = {
+                                 k: Int, seed: Long,
+                                 conservative: Boolean = false): Double = {
+    // value-keyed pseudo-random sample (NOT rand(): its stream depends
+    // on the partition layout, so the same data in a different layout
+    // would yield a different radius)
     def sampleVecs(df: DataFrame, n: Int): Array[Array[Double]] =
-      df.select(col("pc")).orderBy(rand(seed), col("pc").getItem(0))
+      df.select(col("pc")).orderBy(xxhash64(col("pc"), lit(seed)),
+          col("pc").getItem(0))
         .limit(n).collect()
         .map(_.getSeq[Double](0).toArray)
     val pts = sampleVecs(corpus, 2048)
@@ -41,7 +46,15 @@ object Snn {
       java.util.Arrays.sort(ds)
       ds(math.min(k, ds.length - 1))
     }
-    val r = kth.max * 2.0
+    // median probe by default: the estimator must be stable — an
+    // outlier probe (a corner cell) inflating the radius inflates the
+    // candidate count for the WHOLE join; the 2x factor covers the
+    // upper tail of true kth-NN distances instead. `conservative` takes
+    // the max probe: for queries that must reach across a gap (anchor
+    // search between batches), missing neighbors is the failure mode,
+    // not candidate volume.
+    java.util.Arrays.sort(kth)
+    val r = (if (conservative) kth(kth.length - 1) else kth(kth.length / 2)) * 2.0
     if (r > 0 && java.lang.Double.isFinite(r)) r else Double.MaxValue
   }
 
@@ -60,14 +73,17 @@ object Snn {
     * so a skewed/hot cell never funnels its whole candidate set through
     * one window partition. */
   def knnJoin(query: DataFrame, corpus: DataFrame, k: Int,
-              seed: Long = 42L, bucketLength: Double = 0.0): DataFrame =
-    rankCandidates(candidatePairs(query, corpus, k, seed, bucketLength), k)
+              seed: Long = 42L, bucketLength: Double = 0.0,
+              conservative: Boolean = false): DataFrame =
+    rankCandidates(
+      candidatePairs(query, corpus, k, seed, bucketLength, conservative), k)
 
   /** Radius-bounded LSH candidate set `(cid, nid, dist)` — the stage
     * whose size must stay O(n·k) as data grows (asserted in GraphSpec). */
   private[ml] def candidatePairs(query: DataFrame, corpus: DataFrame, k: Int,
-                                 seed: Long, bucketLength: Double = 0.0): DataFrame = {
-    val radius = estimateRadius(query, corpus, k, seed)
+                                 seed: Long, bucketLength: Double = 0.0,
+                                 conservative: Boolean = false): DataFrame = {
+    val radius = estimateRadius(query, corpus, k, seed, conservative)
     val bl =
       if (bucketLength > 0) bucketLength
       else if (java.lang.Double.isFinite(radius) && radius < Double.MaxValue) radius

@@ -50,6 +50,35 @@ class IngestSpec extends SparkSpec {
     assert(result.violations.isEmpty, result.violations.mkString("; "))
   }
 
+  test("sample-partitioned checkpoint run matches the in-memory run") {
+    val root = Files.createTempDirectory("ingest-ckpt")
+    val d1 = Files.createDirectory(root.resolve("s1"))
+    val d2 = Files.createDirectory(root.resolve("s2"))
+    writeSample(d1, 0); writeSample(d2, 1)
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val r = Ingest.run(spark, Ingest.Config(
+      name = "fixture-exp",
+      samples = Seq("s1" -> d1.toString, "s2" -> d2.toString),
+      emptyDropsIters = 99,
+      metadata = Map("condition" -> Map("s1" -> "ctrl", "s2" -> "treat")),
+      checkpointDir = Some(ckpt)))
+    // the checkpoint is laid out for per-sample partition pruning
+    assert(new java.io.File(s"$ckpt/raw_expr/sample=s1").isDirectory)
+    assert(new java.io.File(s"$ckpt/raw_expr/sample=s2").isDirectory)
+    assert(r.violations.isEmpty, r.violations.mkString("; "))
+    // cell membership must match exactly; per-cell float scores may
+    // drift at fp-noise scale between layouts (distributed reductions
+    // are not associativity-stable), so classes are validated, not
+    // diffed row-by-row
+    def key(res: Ingest.Result) = res.experiment.cells
+      .select("sample", "barcode")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(key(r).toSeq == key(result).toSeq)
+    val classes = r.experiment.cells.select("doublet_class")
+      .collect().map(_.getString(0))
+    assert(classes.forall(c => c == "singlet" || c == "doublet"))
+  }
+
   test("degree filter leaves only real cells; ids dense") {
     val cells = result.experiment.cells.collect()
     assert(cells.length == 24)
