@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd dot product of two numeric array columns, in
+  * DOUBLE with sequential (index-order) accumulation — the exact
+  * summation order DuckDB's `list_sum(list_transform(...))` uses, so
+  * cosine rankings built on it stay hash-identical to the oracle while
+  * running inside whole-stage codegen instead of an interpreted
+  * higher-order `aggregate()` lambda (~5x on the similarity queries,
+  * same win PlanSpec documents for the simhash aggregation).
+  *
+  * Semantics: Σ a(i)·b(i) over i < min(|a|, |b|); elements are assumed
+  * non-null (embedding vectors). Floats widen to double per element.
+  */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects array<float|double> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val fx = isFloat(left); val fy = isFloat(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val getX =
+        if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY =
+        if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $getX * $getY; }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session extensions registering the engine's native expressions
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`, or
+  * `.withExtensions(new GraftExtensions)` on the builder). Queries call
+  * them via `call_function`; builders that may run in a session without
+  * the extensions fall back to equivalent HOF expressions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+  }
+}
+
+object GraftExtensions {
+  private val probed = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** True when the active session has the native functions injected.
+    * Extension-injected builtins are invisible to the public Catalog
+    * API, so this probes actual resolution once per session. */
+  def active: Boolean = {
+    val s = try SparkSession.active catch { case _: Throwable => return false }
+    probed.computeIfAbsent(s, _ => try {
+      import org.apache.spark.sql.functions.{array, call_function, lit}
+      s.emptyDataFrame
+        .select(call_function("graft_dot", array(lit(1.0)), array(lit(1.0))))
+        .schema
+      java.lang.Boolean.TRUE
+    } catch { case _: Throwable => java.lang.Boolean.FALSE })
+  }
+}

@@ -15,12 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order double dot product of two float-array columns. */
+  /** Sequential-order double dot product of two float-array columns.
+    * Uses the codegen'd native [[graft.functions.VectorDot]] when the
+    * session has [[graft.functions.GraftExtensions]] injected (same
+    * index-order double accumulation, so results are bit-identical),
+    * else the interpreted higher-order fallback. */
   def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    if (graft.functions.GraftExtensions.active)
+      call_function("graft_dot", col(a), col(b))
+    else
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
 
   def norm(a: String): Column =
-    sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
+    if (graft.functions.GraftExtensions.active)
+      sqrt(call_function("graft_dot", col(a), col(a)))
+    else
+      sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
 
   def cosine(a: String, b: String): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -82,11 +92,19 @@ object Similarity {
     * literal array per bit (same values, one-time driver compute). */
   def cosineNearDup(t: Tables, threshold: Double = 0.9): DataFrame = {
     val sketchBit: Int => Column = j => {
-      val litSql = hyperplanes(j).map(v => s"${v}D").mkString("array(", ",", ")")
-      val proj = expr(
-        s"""aggregate(zip_with(embedding, slice($litSql, 1, size(embedding)),
-           |  (x, gv) -> CAST(x AS DOUBLE) * gv),
-           |  0D, (acc, v) -> acc + v)""".stripMargin)
+      val proj =
+        if (graft.functions.GraftExtensions.active)
+          // min-length semantics of graft_dot == the slice() below for
+          // any embedding dim <= MaxDim (all of them, by contract)
+          call_function("graft_dot", col("embedding"),
+            lit(hyperplanes(j)))
+        else {
+          val litSql = hyperplanes(j).map(v => s"${v}D").mkString("array(", ",", ")")
+          expr(
+            s"""aggregate(zip_with(embedding, slice($litSql, 1, size(embedding)),
+               |  (x, gv) -> CAST(x AS DOUBLE) * gv),
+               |  0D, (acc, v) -> acc + v)""".stripMargin)
+        }
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     val sketched = t.embeddings.select(
