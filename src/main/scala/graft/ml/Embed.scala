@@ -1,6 +1,7 @@
 package graft.ml
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** `RunUMAP` slot (`QC_helpers/configureEmbedding.r:73-99`,
   * `dataIntegration.r:112`) — 2-D layout of the PCA space.
@@ -160,5 +161,43 @@ object Embed {
       for (i <- 0 until n) { y(i)(0) += vel(i)(0); y(i)(1) += vel(i)(1) }
     }
     ids.indices.map(i => (ids(i), y(i)(0), y(i)(1))).toDF("cells_id", "x", "y")
+  }
+
+  /** Landmark interpolation — the scale path for either kernel above
+    * (the exact O(n²) t-SNE and the driver-SGD UMAP both stop being
+    * viable past ~10⁵ cells, the boundary SURVEY §2.9 sanctions for
+    * driver kernels).
+    *
+    *  1. `m` landmark cells are chosen by a seeded value hash
+    *     (deterministic, layout-independent, no driver pass);
+    *  2. the exact kernel lays out ONLY the landmarks (m² bounded,
+    *     m ≪ n);
+    *  3. every remaining cell is placed at the distance-weighted mean
+    *     of its `kPlace` nearest landmarks' 2-D positions — one bounded
+    *     distributed kNN join, O(n·k) — the standard landmark/kernel
+    *     out-of-sample extension for t-SNE-family embeddings.
+    *
+    * With n <= m the kernel runs on everything and this is exact. */
+  def landmarkLayout(emb: DataFrame, m: Int = 2000, kPlace: Int = 10,
+                     seed: Long = 42L)(
+      kernel: DataFrame => DataFrame): DataFrame = {
+    val marked = emb.withColumn("__h", xxhash64(col("pc"), lit(seed)))
+    val landmarks = marked
+      .orderBy(col("__h"), col("cells_id")).limit(m).drop("__h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val layout = kernel(landmarks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    layout.count()
+    val rest = emb.join(landmarks.select("cells_id"), Seq("cells_id"), "left_anti")
+    val placed = Snn.knnJoin(rest, landmarks, kPlace, seed, conservative = true)
+      .join(layout.select(col("cells_id").as("nid"), col("x"), col("y")), "nid")
+      .withColumn("w", lit(1.0) / (lit(1.0) + col("dist")))
+      .groupBy("cid")
+      .agg((sum(col("w") * col("x")) / sum("w")).as("x"),
+        (sum(col("w") * col("y")) / sum("w")).as("y"))
+      .select(col("cid").as("cells_id"), col("x"), col("y"))
+    val out = layout.unionByName(placed).localCheckpoint(true)
+    landmarks.unpersist(); layout.unpersist()
+    out
   }
 }

@@ -16,9 +16,13 @@ object ConfigureEmbedding {
       clusters: DataFrame, // (cells_id, cluster)
       umap: DataFrame)     // (cells_id, x, y)
 
+  /** `maxExact` is the driver-kernel boundary: above it the embedding
+    * runs through [[Embed.landmarkLayout]] (exact kernel on that many
+    * landmarks, distributed weighted-kNN placement for the rest). */
   def run(pca: DataFrame, numPCs: Int = 30, k: Int = 20,
           resolution: Double = 0.5, umapEpochs: Int = 200,
-          method: String = "umap", seed: Long = 42L): Result = {
+          method: String = "umap", seed: Long = 42L,
+          maxExact: Int = 10000): Result = {
     val trimmed = pca.select(col("cells_id"),
       slice(col("pc"), 1, numPCs).as("pc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -27,10 +31,15 @@ object ConfigureEmbedding {
     val edges = Snn.graph(knn, k)
     val clusters = Clustering.louvain(
       trimmed.select("cells_id"), edges, resolution)
-    val embedding = method match {
-      case "tsne" => Embed.tsneLike(trimmed, seed = seed)
-      case _ => Embed.umapLike(trimmed, knn, epochs = umapEpochs, seed = seed)
+    def kernel(sub: DataFrame, subKnn: DataFrame): DataFrame = method match {
+      case "tsne" => Embed.tsneLike(sub, seed = seed)
+      case _ => Embed.umapLike(sub, subKnn, epochs = umapEpochs, seed = seed)
     }
+    val embedding =
+      if (trimmed.count() > maxExact)
+        Embed.landmarkLayout(trimmed, m = maxExact, seed = seed)(
+          sub => kernel(sub, Snn.knn(sub, k, seed)))
+      else kernel(trimmed, knn)
     knn.unpersist(); trimmed.unpersist()
     Result(clusters, embedding)
   }

@@ -110,4 +110,36 @@ class GraphSpec extends SparkSpec {
     assert(inter > 2 * math.max(intraA, intraB),
       s"inter=$inter intraA=$intraA intraB=$intraB")
   }
+
+  test("landmark layout places every cell and keeps the blobs separated") {
+    // two 120-cell blobs, landmark budget 40 — most cells are placed by
+    // the distributed weighted-kNN interpolation, not the exact kernel
+    val big = (0 until 120).map(i =>
+      (i.toLong, Array(0.0 + 0.1 * (i % 12), 0.1 * (i % 7), 0.0, 0.0, 0.0))) ++
+      (0 until 120).map(i =>
+        (1000L + i, Array(50.0 + 0.1 * (i % 12), 50.0 + 0.1 * (i % 7), 0.0, 0.0, 0.0)))
+    val df = big.toDF("cells_id", "pc").persist()
+    // umap kernel: stable at a 40-point landmark budget (the driver
+    // t-SNE's fixed eta=200 is tuned for the production m~2000 regime)
+    val out = Embed.landmarkLayout(df, m = 40, kPlace = 5)(
+      sub => Embed.umapLike(sub, Snn.knn(sub, 5), epochs = 50))
+    val pts = out.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(pts.length == 240)
+    assert(pts.map(_._1).distinct.length == 240)
+    val (pa, pb) = pts.partition(_._1 < 1000)
+    def c(ps: Array[(Long, Double, Double)]) =
+      (ps.map(_._2).sum / ps.length, ps.map(_._3).sum / ps.length)
+    val (ax, ay) = c(pa); val (bx, by) = c(pb)
+    val inter = math.hypot(ax - bx, ay - by)
+    val intra = math.max(
+      pa.map(p => math.hypot(p._2 - ax, p._3 - ay)).max,
+      pb.map(p => math.hypot(p._2 - bx, p._3 - by)).max)
+    assert(inter > intra, s"inter=$inter intra=$intra")
+    // deterministic: same seed, same layout
+    val again = Embed.landmarkLayout(df, m = 40, kPlace = 5)(
+      sub => Embed.umapLike(sub, Snn.knn(sub, 5), epochs = 50))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(again.sortBy(_._1).toSeq == pts.sortBy(_._1).toSeq)
+    df.unpersist()
+  }
 }
