@@ -198,6 +198,23 @@ object TextQueries {
           6).as("quality"))
       .orderBy("doc_id")
 
+  /** x15 BPE-ish token counting: subword-proxy counts per document
+    * from three single-pattern regex scans — letter runs, digit runs,
+    * and non-alphanumeric marks — the pretokenization shape BPE
+    * vocabularies segment on (whitespace token counts live in x02).
+    * Single-character-class patterns keep Java regex (Spark) and RE2
+    * (DuckDB) semantics identical — no alternation-order or lookahead
+    * divergence. Linear narrow scan, no shuffle. */
+  def bpeTokens(t: Tables): DataFrame =
+    t.documents.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[A-Za-z]+")).cast("long").as("n_words"),
+        regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_nums"),
+        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long").as("n_marks"))
+      .withColumn("n_bpeish",
+        col("n_words") + col("n_nums") + col("n_marks"))
+      .orderBy("doc_id")
+
   /** x11 document fingerprint: md5 of normalized text (case/whitespace
     * folded) — catches trivially-mutated exact dups. */
   def fingerprints(t: Tables): DataFrame =
@@ -275,6 +292,7 @@ object TextQueries {
     "x11_fingerprint" -> fingerprints _,
     "x12_simhash" -> simhashes _,
     "x13_simhashpairs" -> simhashPairs _,
+    "x15_bpetokens" -> bpeTokens _,
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -395,5 +413,12 @@ object TextQueries {
       FROM cand c JOIN sims x ON x.doc_id = c.d1 JOIN sims y ON y.doc_id = c.d2
       WHERE bit_count(xor(x.sim, y.sim)) <= 6
       ORDER BY c.d1, c.d2""",
+    "x15_bpetokens" -> """
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+        CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums,
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_marks,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+')) + len(regexp_extract_all(text, '[0-9]+')) + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
+      FROM documents ORDER BY doc_id""",
   )
 }

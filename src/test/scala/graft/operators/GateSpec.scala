@@ -45,6 +45,23 @@ class GateSpec extends SparkSpec {
     assert(rows.zip(rows.tail).forall { case (a, b) => a <= b + 1e-9 })
   }
 
+  test("x15 bpe-ish counts decompose: words + nums + marks = total") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextQueries.bpeTokens(t).limit(200).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == r.getLong(4))
+      assert(r.getLong(1) >= 0 && r.getLong(3) >= 0)
+    }
+    // a known string decomposes as expected through the same patterns
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    Seq((1L, "Hello, world! 42 cats")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.bpeTokens(Tables(spark, dir)).collect().head
+    assert(out.getLong(1) == 3 && out.getLong(2) == 1 && out.getLong(3) == 2)
+  }
+
   test("x06 minhash signature is permutation-min: adding docs never raises a doc's signature") {
     // signature of the same doc computed over doc_id<50 vs all docs must be identical
     val full = TextQueries.minhashSignatures(t).filter("doc_id < 5").collect()
