@@ -26,6 +26,15 @@ object Similarity {
     else
       expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
 
+  /** Column-form dot (for literal-array operands). */
+  def dotCols(a: Column, b: Column): Column =
+    if (graft.functions.GraftExtensions.active)
+      call_function("graft_dot", a, b)
+    else
+      aggregate(zip_with(a, b,
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+
   def norm(a: String): Column =
     if (graft.functions.GraftExtensions.active)
       sqrt(call_function("graft_dot", col(a), col(a)))
@@ -130,27 +139,78 @@ object Similarity {
     * MLlib KMeans fit + transform; the probe map is a broadcast join.
     * Not oracle-gated (k-means float iteration is not reproducible in
     * SQL) — covered by the recall spec instead. */
+  /** Seeded Lloyd k-means on a driver-side sample — how IVF quantizers
+    * are actually trained at scale (faiss trains on a bounded subset;
+    * the corpus itself never iterates). k-means++-style seeding from
+    * the seeded RNG, then `iters` Lloyd rounds. */
+  private[operators] def trainQuantizer(sample: Array[Array[Double]],
+                                        nlist: Int, iters: Int,
+                                        seed: Long): Array[Array[Double]] = {
+    val rng = new java.util.SplittableRandom(seed)
+    val n = sample.length
+    val dim = sample.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centers = scala.collection.mutable.ArrayBuffer(sample(rng.nextInt(n)))
+    while (centers.length < math.min(nlist, n)) {
+      val dists = sample.map(v => centers.map(c => d2(v, c)).min)
+      val total = dists.sum
+      if (total <= 0) centers += sample(rng.nextInt(n))
+      else {
+        var r = rng.nextDouble() * total; var i = 0
+        while (i < n - 1 && r > dists(i)) { r -= dists(i); i += 1 }
+        centers += sample(i)
+      }
+    }
+    var cs = centers.toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Long](cs.length)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          val d = d2(v, cs(c)); if (d < bd) { bd = d; best = c }; c += 1
+        }
+        counts(best) += 1
+        var i = 0; while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cs = cs.indices.map { c =>
+        if (counts(c) == 0) cs(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    cs
+  }
+
   def ivfTopK(t: Tables, nQueries: Int = 10, k: Int = 10, nlist: Int = 16,
-              nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              nprobe: Int = 4, seed: Long = 42L,
+              maxTrain: Int = 20000): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    val vecs = t.embeddings
-      .withColumn("features", array_to_vector(col("embedding")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // a coarse quantizer needs rough cells, not convergence: 5
-    // iterations cuts the fit cost ~4x with no recall change at test SFs
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cell")
-    val fitted = model.fit(vecs)
-    val assigned = fitted.transform(vecs)
+    // quantizer trained on a bounded, deterministic (value-hashed)
+    // sample — the corpus never iterates, so fit cost is O(maxTrain)
+    // regardless of corpus size
+    val sample = t.embeddings
+      .orderBy(xxhash64(col("embedding"), lit(seed)), col("vec_id"))
+      .limit(maxTrain)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val centroids = trainQuantizer(sample, nlist, iters = 5, seed = seed)
+    // distributed assignment: argmax over centroids of 2·x·c − |c|²
+    // (equivalent to nearest-centroid), each dot a codegen'd graft_dot
+    // against a literal array — one narrow pass, no MLlib jobs
+    val scoreArr = array(centroids.map { c =>
+      dotCols(col("embedding"), lit(c)) * 2.0 - lit(c.map(x => x * x).sum)
+    }: _*)
+    val assigned = t.embeddings
+      .withColumn("__s", scoreArr)
+      .withColumn("cell",
+        (array_position(col("__s"), array_max(col("__s"))) - 1).cast("int"))
       .select(col("vec_id"), col("embedding"), col("cell"))
-    val centroids = fitted.clusterCenters.map(_.toArray)
-    // the cache exists for the ~5 eager fit iterations; release it now so
-    // repeated calls in one session don't accumulate cached RDDs (the lazy
-    // scoring pass below re-derives features in a single scan)
-    vecs.unpersist()
     // nprobe nearest centroids per query vector (driver: nQueries × nlist)
     val queries = t.embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
