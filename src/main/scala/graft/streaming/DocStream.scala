@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Streaming deduplication over an unbounded document feed — the
+  * incremental forms of the batch dedup family (x01 exact, x11
+  * fingerprint, x12/x13 SimHash near-dup). Beyond-reference,
+  * non-gating (SURVEY §2.9b): the batch analogs are the gated surface;
+  * these apply the same column logic to `readStream` sources.
+  */
+object DocStream {
+
+  final case class Doc(ts: java.sql.Timestamp, doc_id: Long, text: String)
+  final case class NearDup(doc_id: Long, dup_of: Long, ham: Int)
+
+  /** Exact streaming dedup: first occurrence of a normalized
+    * fingerprint wins; duplicates arriving within the watermark horizon
+    * are dropped and state is evicted past it (bounded — the streaming
+    * requirement the batch x01 groupBy doesn't have). */
+  def exactDedup(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+
+  private val Bands = 4
+  private val BandBits = 15
+  private val BandMask = (1L << BandBits) - 1
+
+  /** Streaming SimHash near-dup flagging: each document's 60-bit
+    * SimHash is split into 4×15-bit bands (the x13 blocking layout);
+    * per band-key state remembers the last `perBucket` (doc_id, sim)
+    * pairs, and an arriving document is Hamming-checked ONLY against
+    * its bucket cohort — never the whole history. A pair agreeing in
+    * several bands is emitted once per agreeing band (consumers
+    * `dropDuplicates("doc_id","dup_of")` per sink epoch if exact-once
+    * flags matter). State per key is a bounded FIFO, so memory is
+    * O(buckets × perBucket) regardless of stream length. */
+  def nearDupFlags(docs: Dataset[Doc], maxHamming: Int = 6,
+                   perBucket: Int = 1024): Dataset[NearDup] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      .withColumn("sim", TextFunctions.simhash60("text"))
+      .select(col("doc_id"), col("sim"),
+        explode(array((0 until Bands).map(b =>
+          concat_ws("_", lit(b),
+            shiftright(col("sim"), b * BandBits) bitwiseAND BandMask)): _*))
+          .as("bucket"))
+      .as[(Long, Long, String)]
+    banded
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(Long, Long, String)],
+         state: GroupState[List[(Long, Long)]]) =>
+          var cohort = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDup]
+          // deterministic intra-batch order
+          rows.toSeq.sortBy(_._1).foreach { case (id, sim, _) =>
+            cohort.foreach { case (oid, osim) =>
+              if (oid != id) {
+                val ham = java.lang.Long.bitCount(sim ^ osim)
+                if (ham <= maxHamming) out += NearDup(id, oid, ham)
+              }
+            }
+            cohort = ((id, sim) :: cohort).take(perBucket)
+          }
+          state.update(cohort)
+          out.iterator
+      }
+  }
+}

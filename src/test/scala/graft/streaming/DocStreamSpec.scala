@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.DocStream.Doc
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class DocStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 09:$m%02d:00")
+
+  private val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+
+  test("exact streaming dedup keeps first occurrence, drops later copies") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = DocStream.exactDedup(mem.toDF())
+      .writeStream.format("memory").queryName("exact_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Doc(ts(0), 1L, base),
+        Doc(ts(1), 2L, "completely different text"),
+        Doc(ts(2), 3L, base)) // duplicate of doc 1
+      q.processAllAvailable()
+      mem.addData(Doc(ts(3), 4L, base.toUpperCase)) // fingerprint folds case
+      q.processAllAvailable()
+      val kept = spark.table("exact_dedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup flags a lightly-mutated copy, not unrelated text") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = DocStream.nearDupFlags(mem.toDS(), maxHamming = 10)
+      .writeStream.format("memory").queryName("near_dup")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc(ts(0), 1L, base))
+      q.processAllAvailable()
+      val mutated = base.replace("tok7 ", "tok7x ") // 1 of 60 tokens changed
+      val unrelated = (0 until 60).map(i => s"other$i").mkString(" ")
+      mem.addData(Doc(ts(1), 2L, mutated), Doc(ts(2), 3L, unrelated))
+      q.processAllAvailable()
+      val flags = spark.table("near_dup")
+        .select("doc_id", "dup_of").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(flags.contains((2L, 1L)), s"got $flags")
+      assert(!flags.exists(p => p._1 == 3L || p._2 == 3L), s"got $flags")
+    } finally q.stop()
+  }
+
+  test("near-dup state is a bounded FIFO per bucket") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    // perBucket=2: doc 1 must be evicted after two more cohort members,
+    // so a final exact copy of it only matches the still-resident ones
+    val q = DocStream.nearDupFlags(mem.toDS(), maxHamming = 0, perBucket = 2)
+      .writeStream.format("memory").queryName("near_dup_fifo")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc(ts(0), 1L, base))
+      q.processAllAvailable()
+      mem.addData(Doc(ts(1), 2L, base), Doc(ts(2), 3L, base))
+      q.processAllAvailable()
+      mem.addData(Doc(ts(3), 4L, base))
+      q.processAllAvailable()
+      val flags = spark.table("near_dup_fifo")
+        .select("doc_id", "dup_of").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // doc4 matches docs 2 and 3 (resident) but NOT evicted doc 1
+      assert(flags.contains((4L, 2L)) && flags.contains((4L, 3L)), s"got $flags")
+      assert(!flags.contains((4L, 1L)), s"got $flags")
+    } finally q.stop()
+  }
+}
