@@ -54,7 +54,70 @@ object Clustering {
       iter += 1
     }
     sym.unpersist()
-    // renumber clusters by ascending min member id
+    renumber(labels)
+  }
+
+  /** Distributed Louvain-style local-move refinement of an initial
+    * partition (e.g. [[labelPropagation]]'s): each pass computes, for
+    * every node, the modularity gain of moving to each neighboring
+    * community — ΔQ ∝ k_{i→C} − γ·k_i·Σ_C/2m, the Louvain local-move
+    * rule — and applies the best strictly-relational move. Moves are
+    * parity-gated (even ids on even passes) so the synchronous update
+    * cannot oscillate by swapping a pair. Every stage is a join +
+    * grouped sum keyed by vertex or community id: no driver
+    * materialization, unlike the [[Louvain]] kernel. */
+  def modularityRefine(vertices: DataFrame, edges: DataFrame,
+                       init: DataFrame, resolution: Double = 1.0,
+                       maxIters: Int = 6): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"), col("weight"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m2Row = sym.agg(sum("weight")).head
+    if (m2Row.isNullAt(0)) { sym.unpersist(); return renumber(init) }
+    val m2 = m2Row.getDouble(0) // = 2m
+    val deg = sym.groupBy(col("src").as("cells_id"))
+      .agg(sum("weight").as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = init.select("cells_id", "label").localCheckpoint(true)
+    for (it <- 0 until maxIters) {
+      val commDeg = labels.join(deg, "cells_id")
+        .groupBy("label").agg(sum("deg").as("cdeg"))
+        .withColumnRenamed("label", "clabel")
+      val nbrW = sym
+        .join(labels.select(col("cells_id").as("dst"), col("label").as("clabel")), "dst")
+        .groupBy(col("src"), col("clabel")).agg(sum("weight").as("kic"))
+      // the node's own community is always a candidate, even with no
+      // neighbors in it (kic = 0) — union + max dedupes the two rows
+      val own = labels.select(col("cells_id").as("src"),
+        col("label").as("clabel"), lit(0.0).as("kic"))
+      val cand = nbrW.unionByName(own)
+        .groupBy("src", "clabel").agg(max("kic").as("kic"))
+        .join(labels.select(col("cells_id").as("src"), col("label").as("own")), "src")
+        .join(deg.select(col("cells_id").as("src"), col("deg")), "src")
+        .join(commDeg, "clabel")
+        // Σ_C must exclude the node itself when C is its own community
+        .withColumn("cdegx", col("cdeg") -
+          when(col("clabel") === col("own"), col("deg")).otherwise(lit(0.0)))
+        .withColumn("gain",
+          col("kic") - lit(resolution) * col("deg") * col("cdegx") / lit(m2))
+      val best = cand
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("src").orderBy(col("gain").desc, col("clabel").asc)))
+        .filter(col("rk") === 1)
+        .select(col("src").as("cells_id"), col("clabel").as("new_label"))
+      labels = labels.join(best, Seq("cells_id"), "left")
+        .select(col("cells_id"),
+          when(pmod(col("cells_id"), lit(2)) === lit(it % 2),
+            coalesce(col("new_label"), col("label")))
+            .otherwise(col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist(); deg.unpersist()
+    renumber(labels)
+  }
+
+  /** Cluster ids 0..C−1 by ascending min member id. */
+  private def renumber(labels: DataFrame): DataFrame = {
     val renum = labels.groupBy("label")
       .agg(min("cells_id").as("rep"))
       .withColumn("cluster",
@@ -62,6 +125,16 @@ object Clustering {
       .select("label", "cluster")
     labels.join(renum, "label").select("cells_id", "cluster")
   }
+
+  /** The fully-distributed clustering path: label-propagation init +
+    * modularity local-move refinement — the 100 TB substitute for the
+    * [[Louvain]] driver kernel. */
+  def louvainDistributed(vertices: DataFrame, edges: DataFrame,
+                         resolution: Double = 1.0): DataFrame =
+    modularityRefine(vertices, edges,
+      labelPropagation(vertices, edges)
+        .select(col("cells_id"), col("cluster").as("label")),
+      resolution)
 
   /** Louvain modularity clustering via the [[Louvain]] driver kernel —
     * the reference-parity path (`configureEmbedding.r:114`). The edge

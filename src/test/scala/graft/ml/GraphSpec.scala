@@ -80,6 +80,52 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("distributed modularity refinement: cliques recovered, modularity not worse than init") {
+    // ring of 4 cliques (6 nodes each) bridged by single weak edges —
+    // the canonical modularity fixture
+    val cliques = (0 until 4).flatMap { c =>
+      val ids = (0 until 6).map(i => (c * 100 + i).toLong)
+      ids.combinations(2).map { case Seq(a, b) => (a, b, 1.0) }
+    }
+    val bridges = (0 until 4).map(c =>
+      ((c * 100 + 5).toLong, (((c + 1) % 4) * 100).toLong, 0.1))
+    val edges = (cliques ++ bridges).toDF("src", "dst", "weight").persist()
+    val verts = (0 until 4).flatMap(c => (0 until 6).map(i => (c * 100 + i).toLong))
+      .toDF("cells_id").persist()
+
+    def modularity(assign: Map[Long, Long]): Double = {
+      val sym = (cliques ++ bridges).flatMap { case (a, b, w) =>
+        Seq((a, b, w), (b, a, w)) }
+      val m2 = sym.map(_._3).sum
+      val deg = sym.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val intra = sym.filter { case (a, b, _) => assign(a) == assign(b) }
+        .map(_._3).sum
+      val sumTot = assign.values.toSet.toSeq.map { c: Long =>
+        val d: Double = assign.collect { case (v, cc) if cc == c => deg(v) }.sum
+        d * d
+      }.sum
+      intra / m2 - sumTot / (m2 * m2)
+    }
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val lp = toMap(Clustering.labelPropagation(verts, edges))
+    val refined = toMap(Clustering.louvainDistributed(verts, edges))
+    assert(refined.size == 24)
+    // cliques end up whole: members of one clique share a cluster and
+    // no cluster spans two cliques
+    val byCluster = refined.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    byCluster.values.foreach { members =>
+      assert(members.map(_ / 100).size == 1, s"cluster spans cliques: $members")
+    }
+    assert(refined.groupBy(_._1 / 100).values.forall(_.values.toSet.size == 1))
+    assert(modularity(refined) >= modularity(lp) - 1e-9,
+      s"refined ${modularity(refined)} < lp ${modularity(lp)}")
+    // deterministic
+    assert(toMap(Clustering.louvainDistributed(verts, edges)) == refined)
+    edges.unpersist(); verts.unpersist()
+  }
+
   test("tsneLike keeps the blobs separated") {
     val out = Embed.tsneLike(emb, iterations = 150)
     val pts = out.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
