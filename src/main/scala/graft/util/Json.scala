@@ -8,8 +8,13 @@ package graft.util
   * reference's bool/null rewrites). */
 object Json {
 
+  /** Pre-serialized JSON emitted verbatim (for embedding an
+    * already-built document inside another). */
+  final case class Raw(json: String)
+
   def write(v: Any): String = v match {
     case null => "null"
+    case Raw(j) => j
     case s: String => quote(s)
     case b: Boolean => b.toString
     case d: Double => if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString else d.toString

@@ -50,6 +50,25 @@ class IngestSpec extends SparkSpec {
     assert(result.violations.isEmpty, result.violations.mkString("; "))
   }
 
+  test("upload sink writes the stage-5 records and objects through Hadoop FS") {
+    val root = Files.createTempDirectory("upload").toString
+    val sink = new graft.export.HadoopFsSink(s"file:$root")
+    graft.export.Upload.uploadExperiment(sink, result,
+      experimentId = "abc123", name = "fixture-exp", env = "test",
+      matrixObject = Some("MTXBYTES".getBytes("UTF-8")))
+    def read(p: String) = Files.readString(java.nio.file.Paths.get(root, p))
+    val exp = read("records/experiments-test/abc123.json")
+    assert(exp.contains("\"apiVersion\":\"2.0.0-data-ingest-seurat-rds-automated\""))
+    assert(exp.contains("\"experimentId\":\"abc123\""))
+    assert(exp.contains("\"experimentName\":\"fixture-exp\""))
+    assert(exp.contains("\"processingConfig\":{")) // embedded verbatim, not quoted
+    val samples = read("records/samples-test/abc123.json")
+    assert(samples.contains("\"ids\":[\"sample-s1\",\"sample-s2\"]"))
+    val cellSets = read("objects/cell-sets-test/abc123")
+    assert(cellSets == result.cellSetsJson)
+    assert(read("objects/biomage-source-test/abc123/r.rds") == "MTXBYTES")
+  }
+
   test("sample-partitioned checkpoint run matches the in-memory run") {
     val root = Files.createTempDirectory("ingest-ckpt")
     val d1 = Files.createDirectory(root.resolve("s1"))
