@@ -70,12 +70,16 @@ object Doublets {
       .unionByName(artExpr)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val nCells = nReal.toLong + nArt
+    val nCells = nReal + nArt
     val norm = Normalize.logNormalize(combined)
     val hvg = Hvg.selectHvg(norm, nCells, numGenes = numHvg, valueCol = "norm")
     val ords = Hvg.ordinals(hvg)
-    val moments = Scale.geneMoments(norm.join(ords, "gene"), nCells)
-    val scaled = Scale.scaleData(norm.join(ords, "gene"), moments)
+    // the HVG-restricted normalized table feeds both the moments pass
+    // and the scaling pass — cache it once instead of re-normalizing
+    val normHvg = norm.join(ords, "gene")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val moments = Scale.geneMoments(normHvg, nCells)
+    val scaled = Scale.scaleData(normHvg, moments)
     val ids = graft.operators.DenseId.withDenseId(
       combined.select("sample", "barcode").distinct(),
       Seq(col("sample"), col("barcode")), "cells_id")
@@ -109,7 +113,7 @@ object Doublets {
       .select("sample", "barcode", "doublet_scores", "doublet_class")
     val result = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
-    bc.unpersist(); combined.unpersist(); tagged.unpersist()
+    bc.unpersist(); combined.unpersist(); normHvg.unpersist(); tagged.unpersist()
     result
   }
 }
