@@ -60,7 +60,10 @@ object Ingest {
       case Some(dir) =>
         merged.write.mode("overwrite").partitionBy("sample")
           .parquet(s"$dir/raw_expr")
-        spark.read.parquet(s"$dir/raw_expr")
+        // supply the written schema: partition-column TYPE INFERENCE
+        // would otherwise mangle numeric-looking sample names
+        // ("007" -> int 7) and silently break every string-keyed join
+        spark.read.schema(merged.schema).parquet(s"$dir/raw_expr")
           .select("sample", "barcode", "gene", "count")
       case None =>
         merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

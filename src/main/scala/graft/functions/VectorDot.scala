@@ -88,7 +88,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
-      (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => VectorDot(a, b)
+        case other => throw new IllegalArgumentException(
+          s"graft_dot expects exactly 2 arguments, got ${other.length}")
+      }))
   }
 }
 

@@ -78,7 +78,13 @@ object Clustering {
     val deg = sym.groupBy(col("src").as("cells_id"))
       .agg(sum("weight").as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = init.select("cells_id", "label").localCheckpoint(true)
+    // vertices not covered by init become singleton communities (the
+    // same isolated-cell contract labelPropagation documents)
+    var labels = init.select("cells_id", "label")
+      .unionByName(vertices
+        .join(init.select("cells_id"), Seq("cells_id"), "left_anti")
+        .select(col("cells_id"), col("cells_id").as("label")))
+      .localCheckpoint(true)
     for (it <- 0 until maxIters) {
       val commDeg = labels.join(deg, "cells_id")
         .groupBy("label").agg(sum("deg").as("cdeg"))

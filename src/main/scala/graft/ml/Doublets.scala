@@ -102,11 +102,19 @@ object Doublets {
       .join(tagged.select(col("cells_id").as("nid"),
         col("is_art").as("n_art")), "nid")
     val expected = nArt.toDouble / (nArt + nReal)
-    val out = ranked
+    // LEFT join from the full real-cell set: an isolated cell whose
+    // kth-NN lies beyond the bounded radius has NO ranked rows — it
+    // must still emerge, with 0 artificial neighbors = score 0/singlet
+    // (the same contract the unbounded-radius join used to guarantee)
+    val scoresByCell = ranked
       .groupBy("cid")
       .agg((count(when(col("n_art"), 1)).cast("double") / count(lit(1)))
         .as("doublet_scores"))
-      .join(tagged.select(col("cells_id").as("cid"), col("sample"), col("barcode")), "cid")
+    val out = tagged.filter(!col("is_art"))
+      .select(col("cells_id").as("cid"), col("sample"), col("barcode"))
+      .join(scoresByCell, Seq("cid"), "left")
+      .withColumn("doublet_scores",
+        coalesce(col("doublet_scores"), lit(0.0)))
       .withColumn("doublet_class",
         when(col("doublet_scores") >= expected * 1.5, "doublet")
           .otherwise("singlet"))

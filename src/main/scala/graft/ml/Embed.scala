@@ -196,7 +196,17 @@ object Embed {
       .agg((sum(col("w") * col("x")) / sum("w")).as("x"),
         (sum(col("w") * col("y")) / sum("w")).as("y"))
       .select(col("cid").as("cells_id"), col("x"), col("y"))
-    val out = layout.unionByName(placed).localCheckpoint(true)
+    // LEFT join from `rest`: a cell beyond the kNN radius of every
+    // landmark still gets a row — at its first-two-PC coordinates, the
+    // same convention both kernels use for initialization
+    val restPlaced = rest
+      .join(placed, Seq("cells_id"), "left")
+      .select(col("cells_id"),
+        coalesce(col("x"), element_at(col("pc"), 1)).as("x"),
+        coalesce(col("y"),
+          when(size(col("pc")) >= 2, element_at(col("pc"), 2))
+            .otherwise(lit(0.0))).as("y"))
+    val out = layout.unionByName(restPlaced).localCheckpoint(true)
     landmarks.unpersist(); layout.unpersist()
     out
   }

@@ -20,26 +20,23 @@ object Similarity {
     * session has [[graft.functions.GraftExtensions]] injected (same
     * index-order double accumulation, so results are bit-identical),
     * else the interpreted higher-order fallback. */
-  def dot(a: String, b: String): Column =
-    if (graft.functions.GraftExtensions.active)
-      call_function("graft_dot", col(a), col(b))
-    else
-      expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+  def dot(a: String, b: String): Column = dotCols(col(a), col(b))
 
-  /** Column-form dot (for literal-array operands). */
+  /** Column-form dot. The fallback slices both sides to the common
+    * length so its unequal-length behavior matches graft_dot's
+    * min-length sum (zip_with would otherwise NULL-pad and poison the
+    * aggregate) — results cannot depend on session wiring. */
   def dotCols(a: Column, b: Column): Column =
     if (graft.functions.GraftExtensions.active)
       call_function("graft_dot", a, b)
-    else
-      aggregate(zip_with(a, b,
+    else {
+      val n = least(size(a), size(b))
+      aggregate(zip_with(slice(a, lit(1), n), slice(b, lit(1), n),
         (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, v) => acc + v)
+    }
 
-  def norm(a: String): Column =
-    if (graft.functions.GraftExtensions.active)
-      sqrt(call_function("graft_dot", col(a), col(a)))
-    else
-      sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
+  def norm(a: String): Column = sqrt(dotCols(col(a), col(a)))
 
   def cosine(a: String, b: String): Column =
     dot(a, b) / (norm(a) * norm(b))

@@ -204,13 +204,16 @@ object TextQueries {
     * vocabularies segment on (whitespace token counts live in x02).
     * Single-character-class patterns keep Java regex (Spark) and RE2
     * (DuckDB) semantics identical — no alternation-order or lookahead
-    * divergence. Linear narrow scan, no shuffle. */
+    * divergence; whitespace is an EXPLICIT char list because the two
+    * engines' \s classes differ on vertical tab. Linear narrow scan,
+    * no shuffle. */
   def bpeTokens(t: Tables): DataFrame =
     t.documents.select(
         col("doc_id"),
         regexp_count(col("text"), lit("[A-Za-z]+")).cast("long").as("n_words"),
         regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_nums"),
-        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long").as("n_marks"))
+        regexp_count(col("text"), lit("[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"))
+          .cast("long").as("n_marks"))
       .withColumn("n_bpeish",
         col("n_words") + col("n_nums") + col("n_marks"))
       .orderBy("doc_id")
@@ -417,8 +420,8 @@ object TextQueries {
       SELECT doc_id,
         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
         CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums,
-        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_marks,
-        CAST(len(regexp_extract_all(text, '[A-Za-z]+')) + len(regexp_extract_all(text, '[0-9]+')) + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_marks,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+')) + len(regexp_extract_all(text, '[0-9]+')) + len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_bpeish
       FROM documents ORDER BY doc_id""",
   )
 }

@@ -36,7 +36,9 @@ object ConfigureEmbedding {
       if (nCells > maxExact)
         Clustering.louvainDistributed(trimmed.select("cells_id"), edges, resolution)
       else Clustering.louvain(trimmed.select("cells_id"), edges, resolution)
-    def kernel(sub: DataFrame, subKnn: DataFrame): DataFrame = method match {
+    // subKnn is by-name: the tsne branch never evaluates it, so the
+    // landmark path doesn't pay for an unused kNN join
+    def kernel(sub: DataFrame, subKnn: => DataFrame): DataFrame = method match {
       case "tsne" => Embed.tsneLike(sub, seed = seed)
       case _ => Embed.umapLike(sub, subKnn, epochs = umapEpochs, seed = seed)
     }
