@@ -321,6 +321,25 @@ object StarQueries {
             .cast("double"), 6).as("cum"))
       .orderBy("user_id", "event_id")
 
+  /** Q33 session-window aggregation per user (SURVEY §2.9b family):
+    * native `session_window` with a 30-minute gap — the third streaming
+    * batch analog (tumbling = Q31, running state = Q32, sessions here).
+    * The oracle reproduces the same sessions as gaps-and-islands SQL
+    * (break when the gap to the previous event is >= 30 min; session
+    * end = last event + gap). Epochs floored to whole seconds on both
+    * sides (convention #4). */
+  def q33(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast(dec6)).cast("double"), 6).as("tot"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("s_start"),
+        unix_timestamp(col("w.end")).as("s_end"),
+        col("n"), col("tot"))
+      .orderBy("user_id", "s_start")
+
   /** name → query, in declared order. */
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "q01_project" -> q01 _, "q02_filter" -> q02 _, "q03_regex" -> q03 _,
@@ -333,7 +352,7 @@ object StarQueries {
     "q21_denseid" -> q21 _, "q22_grouprank" -> q22 _, "q23_lag" -> q23 _,
     "q24_duprename" -> q24 _, "q25_topk" -> q25 _, "q26_idlist" -> q26 _,
     "q28_md5" -> q28 _, "q29_dateextract" -> q29 _, "q30_bhfdr" -> q30 _,
-    "q31_window" -> q31 _, "q32_cumsum" -> q32 _,
+    "q31_window" -> q31 _, "q32_cumsum" -> q32 _, "q33_session" -> q33 _,
   )
 
   /** DuckDB-dialect oracles, semantically identical to the Spark plans.
@@ -404,5 +423,18 @@ object StarQueries {
       "SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, COUNT(*) AS n, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS tot FROM events GROUP BY user_id, h ORDER BY user_id, h",
     "q32_cumsum" ->
       "SELECT event_id, user_id, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS cum FROM events ORDER BY user_id, event_id",
+    "q33_session" -> """
+      WITH e AS (SELECT user_id, ts, event_id, value,
+          CASE WHEN LAG(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+      SELECT user_id,
+        CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS s_start,
+        CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) + 1800 AS s_end,
+        COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS tot
+      FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""",
   )
 }

@@ -27,6 +27,22 @@ object EventStream {
         sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(18, 6)).as("tot"))
       .select(col("user_id"), col("window.start").as("h"), col("n"), col("tot"))
 
+  /** Q33's streaming form: session windows with a 30-minute gap per
+    * user; the watermark bounds session state (a session closes — and
+    * emits — once the watermark passes its end). Works on both batch
+    * and streaming frames like [[hourlyAgg]]. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(18, 6)).as("tot"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n"), col("tot"))
+
   /** Q32's stateful form: running per-user totals via
     * `mapGroupsWithState` — the engine's `KeyValueGroupedDataset`
     * custom-state surface. Emits the updated running total for each

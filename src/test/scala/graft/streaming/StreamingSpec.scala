@@ -50,6 +50,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge events within the gap and split across it") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionAgg(mem.toDF())
+      .writeStream.format("memory").queryName("session_agg")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        Event(ts(9, 0), "u1", 1.0), Event(ts(9, 20), "u1", 2.0), // one session
+        Event(ts(10, 30), "u1", 4.0), // 70-min gap: new session
+        Event(ts(9, 10), "u2", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_agg").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3))).toSet
+      assert(rows == Set(
+        ("u1", "2026-01-01 09:00:00.0", "2026-01-01 09:50:00.0", 2L),
+        ("u1", "2026-01-01 10:30:00.0", "2026-01-01 11:00:00.0", 1L),
+        ("u2", "2026-01-01 09:10:00.0", "2026-01-01 09:40:00.0", 1L)), rows)
+    } finally q.stop()
+  }
+
   test("batch and streaming hourly aggregations agree on the same data") {
     val batch = Seq(
       Event(ts(9, 5), "u1", 1.5), Event(ts(9, 40), "u1", 2.5),
