@@ -43,6 +43,31 @@ class VectorDotSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("property: native dot is bit-identical to driver-side sequential sum") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val vecGen = for {
+      n <- Gen.choose(1, 64)
+      xs <- Gen.listOfN(n, Gen.choose(-1e6f, 1e6f))
+      ys <- Gen.listOfN(n, Gen.choose(-1e6f, 1e6f))
+    } yield (xs.toArray, ys.toArray)
+    val prop = forAll(vecGen) { case (xs, ys) =>
+      val expected = {
+        var s = 0.0; var i = 0
+        while (i < xs.length) { s += xs(i).toDouble * ys(i).toDouble; i += 1 }
+        s
+      }
+      val actual = Seq((xs, ys)).toDF("a", "b")
+        .select(call_function("graft_dot", col("a"), col("b")))
+        .head.getDouble(0)
+      java.lang.Double.doubleToLongBits(actual) ==
+        java.lang.Double.doubleToLongBits(expected)
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("whole-stage codegen covers the dot projection") {
     val p = vecs.select(call_function("graft_dot", col("a"), col("b")))
       .queryExecution.executedPlan.toString

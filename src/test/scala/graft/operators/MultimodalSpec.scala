@@ -48,6 +48,33 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(joined.take(8), "UTF-8") == "fake-png")
   }
 
+  test("media features flow into the similarity operators end-to-end") {
+    // the multimodal -> dedup pipeline: featurize binary payloads,
+    // then run the embedding near-dup machinery over the features.
+    // Items 1 and 3 share a payload prefix (near-identical byte
+    // histograms); item 2 is unrelated.
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      Row(1L, "image/png", ("A" * 400 + "PAD").getBytes("UTF-8"), Row(64, 64, null)),
+      Row(2L, "audio/wav", ("zx9" * 200).getBytes("UTF-8"), Row(null, null, 2000L)),
+      Row(3L, "image/png", ("A" * 400 + "QED").getBytes("UTF-8"), Row(64, 64, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(df, dim = 32)
+      .select(col("media_id").as("v1"), col("feature").as("e1"))
+    val pairs = feats.as("x")
+      .join(feats.select(col("v1").as("v2"), col("e1").as("e2")).as("y"),
+        col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        (Similarity.dotCols(col("e1"), col("e2")) /
+          (org.apache.spark.sql.functions.sqrt(Similarity.dotCols(col("e1"), col("e1"))) *
+           org.apache.spark.sql.functions.sqrt(Similarity.dotCols(col("e2"), col("e2")))))
+          .as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 3L)) > 0.99, s"near-dup pair ${pairs((1L, 3L))}")
+    assert(pairs((1L, 2L)) < 0.9 && pairs((2L, 3L)) < 0.9, pairs)
+  }
+
   test("decodeMedia is an explicit stub") {
     intercept[NotImplementedError](
       Multimodal.decodeMedia(Array[Byte](1, 2), "image/png"))
