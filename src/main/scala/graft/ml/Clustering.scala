@@ -79,11 +79,17 @@ object Clustering {
       .agg(sum("weight").as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // vertices not covered by init become singleton communities (the
-    // same isolated-cell contract labelPropagation documents)
+    // same isolated-cell contract labelPropagation documents); their
+    // labels are offset above init's namespace — init is typically
+    // renumbered 0..C-1, so a raw cells_id could collide with an
+    // existing community and silently absorb the vertex into it
+    val maxLabelRow = init.agg(max("label")).head
+    val labelBase = (if (maxLabelRow.isNullAt(0)) -1L
+                     else maxLabelRow.getLong(0)) + 1L
     var labels = init.select("cells_id", "label")
       .unionByName(vertices
         .join(init.select("cells_id"), Seq("cells_id"), "left_anti")
-        .select(col("cells_id"), col("cells_id").as("label")))
+        .select(col("cells_id"), (col("cells_id") + lit(labelBase)).as("label")))
       .localCheckpoint(true)
     for (it <- 0 until maxIters) {
       val commDeg = labels.join(deg, "cells_id")

@@ -197,15 +197,17 @@ object Embed {
         (sum(col("w") * col("y")) / sum("w")).as("y"))
       .select(col("cid").as("cells_id"), col("x"), col("y"))
     // LEFT join from `rest`: a cell beyond the kNN radius of every
-    // landmark still gets a row — at its first-two-PC coordinates, the
-    // same convention both kernels use for initialization
+    // landmark still gets a row — at the layout's centroid, which is
+    // deterministic and on the layout's own coordinate scale (raw PC
+    // coordinates would be on a different scale than either kernel's
+    // output)
+    val centroid = layout.agg(avg("x"), avg("y")).head
+    val (cx, cy) = (centroid.getDouble(0), centroid.getDouble(1))
     val restPlaced = rest
       .join(placed, Seq("cells_id"), "left")
       .select(col("cells_id"),
-        coalesce(col("x"), element_at(col("pc"), 1)).as("x"),
-        coalesce(col("y"),
-          when(size(col("pc")) >= 2, element_at(col("pc"), 2))
-            .otherwise(lit(0.0))).as("y"))
+        coalesce(col("x"), lit(cx)).as("x"),
+        coalesce(col("y"), lit(cy)).as("y"))
     val out = layout.unionByName(restPlaced).localCheckpoint(true)
     landmarks.unpersist(); layout.unpersist()
     out

@@ -324,10 +324,13 @@ object StarQueries {
   /** Q33 session-window aggregation per user (SURVEY §2.9b family):
     * native `session_window` with a 30-minute gap — the third streaming
     * batch analog (tumbling = Q31, running state = Q32, sessions here).
-    * The oracle reproduces the same sessions as gaps-and-islands SQL
-    * (break when the gap to the previous event is >= 30 min; session
-    * end = last event + gap). Epochs floored to whole seconds on both
-    * sides (convention #4). */
+    * The oracle reproduces the same sessions as gaps-and-islands SQL.
+    * Boundary semantics pinned to Spark's merge rule: an event exactly
+    * `gap` after the previous one still MERGES (sessions split only
+    * when the gap strictly exceeds 30 min), and the comparison runs on
+    * microsecond-truncated timestamps on both engines (Spark
+    * sessionizes the µs-converted ts; the oracle truncates its ns ts
+    * to match). Epochs floored to whole seconds (convention #4). */
   def q33(t: Tables): DataFrame =
     t.events
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -426,7 +429,7 @@ object StarQueries {
     "q33_session" -> """
       WITH e AS (SELECT user_id, ts, event_id, value,
           CASE WHEN LAG(ts) OVER w IS NULL
-                 OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS brk
+                 OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP)) > 1800000000 THEN 1 ELSE 0 END AS brk
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS UNBOUNDED PRECEDING) AS sid FROM e)

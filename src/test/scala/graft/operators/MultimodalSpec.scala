@@ -65,11 +65,7 @@ class MultimodalSpec extends SparkSpec {
     val pairs = feats.as("x")
       .join(feats.select(col("v1").as("v2"), col("e1").as("e2")).as("y"),
         col("v1") < col("v2"))
-      .select(col("v1"), col("v2"),
-        (Similarity.dotCols(col("e1"), col("e2")) /
-          (org.apache.spark.sql.functions.sqrt(Similarity.dotCols(col("e1"), col("e1"))) *
-           org.apache.spark.sql.functions.sqrt(Similarity.dotCols(col("e2"), col("e2")))))
-          .as("cos"))
+      .select(col("v1"), col("v2"), Similarity.cosine("e1", "e2").as("cos"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(pairs((1L, 3L)) > 0.99, s"near-dup pair ${pairs((1L, 3L))}")
     assert(pairs((1L, 2L)) < 0.9 && pairs((2L, 3L)) < 0.9, pairs)
