@@ -19,4 +19,33 @@ object ExperimentStore {
       expr = spark.read.parquet(s"$dir/expr"),
       cells = spark.read.parquet(s"$dir/cells"),
       genes = spark.read.parquet(s"$dir/genes"))
+
+  /** Bucketed variant: `expr` and `cells` are bucketed AND sorted on
+    * the join key `(sample, barcode)`, so every downstream cell-keyed
+    * join (metrics joins, score joins, QC filters — the pipeline's
+    * hottest shape) runs exchange-free: both sides scan pre-sorted
+    * buckets and merge directly. At cluster scale this removes the
+    * largest repeated shuffle in the lifecycle; `buckets` should be
+    * sized so one bucket of `expr` fits an executor core (~128 MB).
+    * Tables are EXTERNAL (data under `dir`); genes stays a plain
+    * parquet — it is broadcast-sized by construction. */
+  def saveBucketed(exp: Experiment, dir: String, prefix: String,
+                   buckets: Int = 32): Unit = {
+    def bucketed(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.write.mode("overwrite").format("parquet")
+        .option("path", s"$dir/$name")
+        .bucketBy(buckets, "sample", "barcode")
+        .sortBy("sample", "barcode")
+        .saveAsTable(s"${prefix}_$name")
+    bucketed(exp.expr, "expr")
+    bucketed(exp.cells, "cells")
+    exp.genes.write.mode("overwrite").parquet(s"$dir/genes")
+  }
+
+  def loadBucketed(spark: SparkSession, dir: String,
+                   prefix: String): Experiment =
+    Experiment(
+      expr = spark.table(s"${prefix}_expr"),
+      cells = spark.table(s"${prefix}_cells"),
+      genes = spark.read.parquet(s"$dir/genes"))
 }

@@ -22,6 +22,48 @@ class CoreSpec extends SparkSpec {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("bucketed store: the cell-keyed join runs exchange-free") {
+    val nCells = 200
+    val exp = Experiment(
+      expr = (0 until nCells).flatMap(i => (0 until 5).map(g =>
+        (s"s${i % 2 + 1}", f"BC$i%04d", s"G$g", (i + g).toLong)))
+        .toDF("sample", "barcode", "gene", "count"),
+      cells = (0 until nCells).map(i =>
+        (s"s${i % 2 + 1}", f"BC$i%04d", i.toLong))
+        .toDF("sample", "barcode", "cells_id"),
+      genes = Seq(("G1", "GeneOne")).toDF("input", "name"))
+    val dir = java.nio.file.Files.createTempDirectory("bucketstore").toString
+    ExperimentStore.saveBucketed(exp, dir, "bktspec", buckets = 4)
+    val back = ExperimentStore.loadBucketed(spark, dir, "bktspec")
+    // the pipeline's hottest join shape: expr x cells on (sample,
+    // barcode). Both sides are bucketed+sorted on the key, so the plan
+    // must contain NO shuffle exchange — a SortMergeJoin (or AQE
+    // conversion) straight over bucketed scans.
+    // disable broadcast so the plan shows the shape that matters at
+    // scale, where neither side fits an executor: SMJ over bucketed
+    // scans with no shuffle
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => spark.conf.set(k, "-1") }
+      val joined = back.expr.join(back.cells, Seq("sample", "barcode"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        p.take(3000))
+      assert(joined.count() == nCells * 5)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.sql("DROP TABLE IF EXISTS bktspec_expr")
+    spark.sql("DROP TABLE IF EXISTS bktspec_cells")
+  }
+
   test("MetaConfig parses the reference meta.json shape") {
     val cfg = MetaConfig.parse(
       """{"name": "exp1", "organism": "mmusculus",
