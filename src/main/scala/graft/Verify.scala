@@ -19,9 +19,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    // independent queries submitted concurrently (bounded pool) — the
+    // scheduler interleaves their jobs across cores; each result lands
+    // in its own directory so there is no output-order dependence
+    graft.ml.Concurrency.mapSamples(
+      SparkEntry.queries.keys.toSeq.sorted, maxConcurrent = 4) { name =>
+      try SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
