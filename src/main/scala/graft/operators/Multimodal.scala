@@ -62,6 +62,41 @@ object Multimodal {
     spark.createDataFrame(rows, out)
   }
 
+  /** Resize plumbing: emit each media row with payload transformed by
+    * a pluggable kernel and the typed metadata updated to the target
+    * dimensions — the real implementation decodes, resamples, and
+    * re-encodes; the deterministic stand-in strides over the payload so
+    * output size tracks the target area the way a resized image would.
+    * Partition-preserving, one kernel instance per partition (the
+    * model/codec amortization point), same `mediaSchema` out. */
+  def resize(media: DataFrame, width: Int, height: Int,
+             kernel: (Array[Byte], Int, Int) => Array[Byte] = strideResample)
+  : DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("media_id", "media_type", "bytes", "meta")
+      .rdd.mapPartitions { it =>
+        // per-partition setup would initialize the real codec here, once
+        it.map { r =>
+          val meta = r.getStruct(3)
+          val dur = if (meta == null || meta.isNullAt(2)) null
+                    else java.lang.Long.valueOf(meta.getLong(2))
+          Row(r.getLong(0), r.getString(1),
+            kernel(r.getAs[Array[Byte]]("bytes"), width, height),
+            Row(width, height, dur))
+        }
+      }
+    spark.createDataFrame(rows, mediaSchema)
+  }
+
+  /** Deterministic resample stand-in: stride-sample the payload down
+    * (or repeat it up) to `w*h` bytes. */
+  def strideResample(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, w * h)
+    if (bytes.isEmpty) new Array[Byte](target)
+    else Array.tabulate(target)(i =>
+      bytes(((i.toLong * bytes.length) / target).toInt))
+  }
+
   /** Deterministic frame sampling: split the payload into `nFrames`
     * equal byte ranges (a real implementation decodes and samples
     * video frames — same output schema `(media_id, frame_idx,

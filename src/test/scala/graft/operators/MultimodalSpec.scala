@@ -39,6 +39,24 @@ class MultimodalSpec extends SparkSpec {
     assert(f == again)
   }
 
+  test("resize updates payload size and typed metadata, preserves schema") {
+    val out = Multimodal.resize(media, width = 8, height = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 2)
+    out.values.foreach { r =>
+      assert(r.getAs[Array[Byte]]("bytes").length == 32) // 8*4
+      val meta = r.getStruct(3)
+      assert(meta.getInt(0) == 8 && meta.getInt(1) == 4)
+    }
+    // audio row keeps its duration through the metadata rewrite
+    assert(out(2L).getStruct(3).getLong(2) == 2000L)
+    // deterministic
+    val again = Multimodal.resize(media, width = 8, height = 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes").toSeq).toMap
+    assert(out.keys.forall(k =>
+      again(k) == out(k).getAs[Array[Byte]]("bytes").toSeq))
+  }
+
   test("frameSample emits ordered frame ranges per media item") {
     val frames = Multimodal.frameSample(media, nFrames = 4).collect()
     val byId = frames.groupBy(_.getLong(0))
