@@ -15,26 +15,37 @@ import org.apache.spark.sql.functions._
   * seeded, and deterministic (pairing hashes each barcode with the
   * seed and pairs consecutive dense ranks; no driver materialization).
   *
-  * Classification (simplified vs scDblFinder's trained classifier,
-  * documented choice): `doublet` when the artificial-neighbor fraction
-  * exceeds 1.5× its null expectation `nArt/(nArt + nReal)`.
+  * Classification follows scDblFinder's trained-classifier design
+  * (`2-2:34-36` semantics): the artificial doublets are a LABELED
+  * positive class, so a logistic model is fit on ALL cells (real +
+  * artificial) over per-cell features — artificial-neighbor fraction,
+  * log library size, log feature count — and each real cell's
+  * `doublet_scores` is the model's predicted doublet probability
+  * (scDblFinder trains xgboost on the same artificial-vs-real task; a
+  * distributed seeded logistic fit is the Spark-honest analog).
+  * `doublet` when the probability passes `probabilityThreshold` —
+  * the 0.5 default the reference configures
+  * (`4_Prepare_experiment.r: config.doubletScores`).
   */
 object Doublets {
 
   def scores(expr: DataFrame, k: Int = 20, numHvg: Int = 500,
-             numPcs: Int = 10, seed: Long = 123L): DataFrame = {
+             numPcs: Int = 10, seed: Long = 123L,
+             probabilityThreshold: Double = 0.5): DataFrame = {
     val spark = expr.sparkSession
     val samples = expr.select("sample").distinct()
       .collect().map(_.getString(0)).sorted
     // independent per-sample pipelines submitted concurrently (each is
     // seeded by sample name — order of completion cannot change scores)
     Concurrency.mapSamples(samples)(s =>
-        scoreSample(expr.filter(col("sample") === s), s, k, numHvg, numPcs, seed))
+        scoreSample(expr.filter(col("sample") === s), s, k, numHvg, numPcs,
+          seed, probabilityThreshold))
       .reduce(_ unionByName _)
   }
 
   private def scoreSample(expr: DataFrame, sample: String, k: Int,
-                          numHvg: Int, numPcs: Int, seed: Long): DataFrame = {
+                          numHvg: Int, numPcs: Int, seed: Long,
+                          probabilityThreshold: Double): DataFrame = {
     val spark = expr.sparkSession
     import spark.implicits._
 
@@ -94,34 +105,55 @@ object Doublets {
     val tagged = emb.join(ids, "cells_id")
       .withColumn("is_art", col("barcode").startsWith("__art_"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bounded kNN (radius + bucket length derived from the data, skew-
-    // safe two-stage rank) — the same scale posture as Snn.knn
+    // bounded kNN over ALL cells (real + artificial are both featurized
+    // — the artificial class is the training signal), radius + bucket
+    // length derived from the data, skew-safe two-stage rank
     val ranked = Snn.knnJoin(
-        tagged.filter(!col("is_art")).select("cells_id", "pc"),
+        tagged.select("cells_id", "pc"),
         tagged.select("cells_id", "pc"), k, seed)
       .join(tagged.select(col("cells_id").as("nid"),
         col("is_art").as("n_art")), "nid")
-    val expected = nArt.toDouble / (nArt + nReal)
-    // LEFT join from the full real-cell set: an isolated cell whose
-    // kth-NN lies beyond the bounded radius has NO ranked rows — it
-    // must still emerge, with 0 artificial neighbors = score 0/singlet
-    // (the same contract the unbounded-radius join used to guarantee)
-    val scoresByCell = ranked
-      .groupBy("cid")
+    // LEFT join from the full cell set: an isolated cell whose kth-NN
+    // lies beyond the bounded radius has NO ranked rows — it must still
+    // emerge, with artificial-neighbor fraction 0
+    val artFrac = ranked
+      .groupBy(col("cid").as("cells_id"))
       .agg((count(when(col("n_art"), 1)).cast("double") / count(lit(1)))
-        .as("doublet_scores"))
-    val out = tagged.filter(!col("is_art"))
-      .select(col("cells_id").as("cid"), col("sample"), col("barcode"))
-      .join(scoresByCell, Seq("cid"), "left")
+        .as("art_frac"))
+    // per-cell library features from the combined matrix
+    val libs = combined
+      .groupBy("sample", "barcode")
+      .agg(sum("count").as("lib"), count(lit(1)).as("nfeat"))
+      .join(ids, Seq("sample", "barcode"))
+      .select(col("cells_id"), log1p(col("lib")).as("log_lib"),
+        log1p(col("nfeat")).as("log_nfeat"))
+    val feats = tagged
+      .join(artFrac, Seq("cells_id"), "left")
+      .withColumn("art_frac", coalesce(col("art_frac"), lit(0.0)))
+      .join(libs, "cells_id")
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector(
+        array(col("art_frac"), col("log_lib"), col("log_nfeat"))))
+      .withColumn("label", col("is_art").cast("double"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // scDblFinder-style classifier: artificial doublets are the labeled
+    // positive class; predict each real cell's doublet probability
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(50).setRegParam(1e-3)
+      .setFeaturesCol("features").setLabelCol("label")
+      .setProbabilityCol("__prob")
+    val model = lr.fit(feats)
+    val out = model.transform(feats.filter(!col("is_art")))
       .withColumn("doublet_scores",
-        coalesce(col("doublet_scores"), lit(0.0)))
+        org.apache.spark.ml.functions.vector_to_array(col("__prob"))
+          .getItem(1))
       .withColumn("doublet_class",
-        when(col("doublet_scores") >= expected * 1.5, "doublet")
+        when(col("doublet_scores") >= probabilityThreshold, "doublet")
           .otherwise("singlet"))
       .select("sample", "barcode", "doublet_scores", "doublet_class")
     val result = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
-    bc.unpersist(); combined.unpersist(); normHvg.unpersist(); tagged.unpersist()
+    bc.unpersist(); combined.unpersist(); normHvg.unpersist()
+    tagged.unpersist(); feats.unpersist()
     result
   }
 }

@@ -5,10 +5,12 @@ import graft.SparkSpec
 class DoubletsSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Two well-separated expression clusters + 3 planted doublet-like
-    * cells mixing both programs. Cross-cluster artificial doublets land
-    * where the planted cells live, so their neighborhoods should be
-    * artificial-enriched. */
+  /** Two well-separated expression clusters + 3 planted doublets that
+    * are true mixtures: the SUM of an A-profile and a B-profile, so
+    * they carry both the mixed program AND the ~2x library a real
+    * doublet has. Cross-cluster artificial doublets land where the
+    * planted cells live, so their neighborhoods are artificial-enriched
+    * and the classifier sees both of its signals. */
   private def fixture = {
     val clusterA = (0 until 30).flatMap { i =>
       (0 until 8).map(g => ("s1", f"a$i%02d", s"gA$g", 20L + (i % 3)))
@@ -17,8 +19,8 @@ class DoubletsSpec extends SparkSpec {
       (0 until 8).map(g => ("s1", f"b$i%02d", s"gB$g", 20L + (i % 3)))
     }
     val planted = (0 until 3).flatMap { i =>
-      (0 until 8).map(g => ("s1", s"dbl$i", s"gA$g", 10L + i)) ++
-        (0 until 8).map(g => ("s1", s"dbl$i", s"gB$g", 10L + i))
+      (0 until 8).map(g => ("s1", s"dbl$i", s"gA$g", 20L + i)) ++
+        (0 until 8).map(g => ("s1", s"dbl$i", s"gB$g", 20L + i))
     }
     (clusterA ++ clusterB ++ planted).toDF("sample", "barcode", "gene", "count")
   }
