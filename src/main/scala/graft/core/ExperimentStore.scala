@@ -28,7 +28,12 @@ object ExperimentStore {
     * largest repeated shuffle in the lifecycle; `buckets` should be
     * sized so one bucket of `expr` fits an executor core (~128 MB).
     * Tables are EXTERNAL (data under `dir`); genes stays a plain
-    * parquet — it is broadcast-sized by construction. */
+    * parquet — it is broadcast-sized by construction.
+    *
+    * Trade-off vs [[save]]: bucket layout replaces the per-sample
+    * directory partitioning, so per-sample stages filter rows instead
+    * of pruning directories. Use [[save]] when the per-sample stages
+    * dominate; the bucketed store when the cell-keyed joins do. */
   def saveBucketed(exp: Experiment, dir: String, prefix: String,
                    buckets: Int = 32): Unit = {
     def bucketed(df: org.apache.spark.sql.DataFrame, name: String): Unit =
@@ -42,10 +47,28 @@ object ExperimentStore {
     exp.genes.write.mode("overwrite").parquet(s"$dir/genes")
   }
 
-  def loadBucketed(spark: SparkSession, dir: String,
-                   prefix: String): Experiment =
+  /** Bucket metadata lives in the catalog, which for the default
+    * in-memory catalog dies with the writing session — so load REBINDS
+    * the external table definition from `(dir, prefix)` (schema read
+    * from the files, bucket spec re-declared with the SAME `buckets`
+    * the writer used), dropping any stale same-name binding. Works in
+    * the writing session and in a fresh one. */
+  def loadBucketed(spark: SparkSession, dir: String, prefix: String,
+                   buckets: Int = 32): Experiment = {
+    def bind(name: String): org.apache.spark.sql.DataFrame = {
+      val tbl = s"${prefix}_$name"
+      val ddl = spark.read.parquet(s"$dir/$name").schema.toDDL
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(
+        s"""CREATE TABLE $tbl ($ddl) USING parquet
+           |CLUSTERED BY (sample, barcode)
+           |SORTED BY (sample, barcode) INTO $buckets BUCKETS
+           |LOCATION '$dir/$name'""".stripMargin)
+      spark.table(tbl)
+    }
     Experiment(
-      expr = spark.table(s"${prefix}_expr"),
-      cells = spark.table(s"${prefix}_cells"),
+      expr = bind("expr"),
+      cells = bind("cells"),
       genes = spark.read.parquet(s"$dir/genes"))
+  }
 }

@@ -33,8 +33,12 @@ object Doublets {
              numPcs: Int = 10, seed: Long = 123L,
              probabilityThreshold: Double = 0.5): DataFrame = {
     val spark = expr.sparkSession
+    import spark.implicits._
     val samples = expr.select("sample").distinct()
       .collect().map(_.getString(0)).sorted
+    if (samples.isEmpty)
+      return Seq.empty[(String, String, Double, String)]
+        .toDF("sample", "barcode", "doublet_scores", "doublet_class")
     // independent per-sample pipelines submitted concurrently (each is
     // seeded by sample name — order of completion cannot change scores)
     Concurrency.mapSamples(samples)(s =>
@@ -55,7 +59,7 @@ object Doublets {
     val nArt = nReal / 2
     if (nArt == 0) {
       // a 1-cell sample cannot host a doublet: pass through as singlet
-      // (expected fraction would be 0 and misclassify everything)
+      // (no artificial class exists, so there is nothing to train on)
       bc.unpersist()
       return expr.select("sample", "barcode").distinct()
         .withColumn("doublet_scores", lit(0.0))

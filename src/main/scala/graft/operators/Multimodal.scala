@@ -91,7 +91,9 @@ object Multimodal {
   /** Deterministic resample stand-in: stride-sample the payload down
     * (or repeat it up) to `w*h` bytes. */
   def strideResample(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val target = math.max(1, w * h)
+    val area = w.toLong * h.toLong
+    require(area <= Int.MaxValue, s"resize target $w x $h overflows Int")
+    val target = math.max(1L, area).toInt
     if (bytes.isEmpty) new Array[Byte](target)
     else Array.tabulate(target)(i =>
       bytes(((i.toLong * bytes.length) / target).toInt))

@@ -34,7 +34,11 @@ class CoreSpec extends SparkSpec {
       genes = Seq(("G1", "GeneOne")).toDF("input", "name"))
     val dir = java.nio.file.Files.createTempDirectory("bucketstore").toString
     ExperimentStore.saveBucketed(exp, dir, "bktspec", buckets = 4)
-    val back = ExperimentStore.loadBucketed(spark, dir, "bktspec")
+    // simulate a FRESH session: the writer's catalog entries are gone,
+    // load must rebind the bucketed definition from the files alone
+    spark.sql("DROP TABLE IF EXISTS bktspec_expr")
+    spark.sql("DROP TABLE IF EXISTS bktspec_cells")
+    val back = ExperimentStore.loadBucketed(spark, dir, "bktspec", buckets = 4)
     // the pipeline's hottest join shape: expr x cells on (sample,
     // barcode). Both sides are bucketed+sorted on the key, so the plan
     // must contain NO shuffle exchange — a SortMergeJoin (or AQE
