@@ -36,6 +36,40 @@ class PipelineSpec extends SparkSpec {
     assert(b.forall(p => math.abs(p._2 - mb) < math.abs(p._2 - ma)))
   }
 
+  test("runIntegrated: two batches of the same programs converge in PC space") {
+    // the s1 fixture duplicated as batch s2 with a mild systematic
+    // depth shift — the full multi-batch wiring (normalize -> HVG ->
+    // scale -> PCA -> rPCA anchors) must pull same-program cells from
+    // the two batches together
+    val rows2 = (0 until 24).flatMap { c =>
+      val program = if (c < 12) "gA" else "gB"
+      val own = (0 until 8).map(g => ("s2", f"c$c%02d", s"$program$g", 36L + (c % 4) * 2))
+      val shared = (0 until 4).map(g => ("s2", f"c$c%02d", s"gS$g", 7L + c % 3))
+      own ++ shared
+    }
+    val expr2 = expr.unionByName(rows2.toDF("sample", "barcode", "gene", "count"))
+    val cells2 = graft.operators.MergeSamples.withCellsId(
+      expr2.select("sample", "barcode").distinct())
+    val red = DataIntegration.runIntegrated(expr2, cells2, numHvg = 20, numPcs = 5)
+    assert(red.pca.count() == 48)
+    val pts = red.pca.join(cells2, "cells_id")
+      .select("sample", "barcode", "pc").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getSeq[Double](2)))
+    def centroid(sel: ((String, String, Seq[Double])) => Boolean) = {
+      val vs = pts.filter(sel).map(_._3)
+      vs.head.indices.map(d => vs.map(_(d)).sum / vs.size)
+    }
+    def dist(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val aS1 = centroid(p => p._1 == "s1" && p._2 < "c12")
+    val aS2 = centroid(p => p._1 == "s2" && p._2 < "c12")
+    val bS1 = centroid(p => p._1 == "s1" && p._2 >= "c12")
+    // same program across batches sits closer than the other program
+    // within the reference batch
+    assert(dist(aS1, aS2) < dist(aS1, bS1),
+      s"cross-batch ${dist(aS1, aS2)} vs cross-program ${dist(aS1, bS1)}")
+  }
+
   test("configureEmbedding: louvain + umap recover the two programs") {
     val red = DataIntegration.run(expr, cells, numHvg = 20, numPcs = 5)
     val emb = ConfigureEmbedding.run(red.pca, numPCs = 5, k = 8, umapEpochs = 50)
