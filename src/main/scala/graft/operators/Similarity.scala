@@ -65,8 +65,23 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
-  /** Number of sign bits in the random-hyperplane sketch. */
-  val SketchBits = 8
+  /** Number of sign bits in the random-hyperplane sketch (4 bands of
+    * 16 bits — see [[bandedCandidates]]). */
+  val SketchBits = 64
+
+  /** Band layout for LSH blocking: candidates must agree on at least
+    * one full 16-bit band, so every band key space has 2^16 buckets —
+    * a single hot bucket can hold at most ~n/65536 of a uniformly
+    * sketched corpus, vs n/256 with the previous single 8-bit sketch. */
+  val NumBands = 4
+  val BandBits: Int = SketchBits / NumBands
+
+  /** Gate-wiring verify threshold. The synthetic embeddings have no
+    * true near-dups, and the 4×16-bit blocking is (correctly) very
+    * selective — 12 candidate pairs out of 124,750 at sf0.01 — so the
+    * gate verifies at 0.15 to keep a non-trivial row count (6 rows).
+    * Shared by the Spark plan and the generated DuckDB oracle. */
+  val NearDupGateThreshold = 0.15
 
   /** Max embedding dimension covered by the precomputed hyperplanes. */
   val MaxDim = 256
@@ -85,47 +100,66 @@ object Similarity {
   private lazy val hyperplanes: IndexedSeq[Array[Double]] =
     (0 until SketchBits).map(j => Array.tabulate(MaxDim)(i => g(i, j)))
 
-  /** x09 near-duplicate vectors: all pairs with cosine above a high
-    * threshold, via random-hyperplane LSH blocking (8-bit sign sketch)
-    * + exact verification inside buckets — the scale path avoids the n²
-    * cross join: near-identical vectors agree on all sign bits w.h.p.
-    *
-    * The "hyperplanes" are deterministic pseudo-gaussians derived from
-    * the shared md5 hash primitive: g(i, j) = (h60(md5("i_j")) mod
-    * 1000) / 500 - 1 ∈ [-1, 1), so the sketch is reproducible
-    * bit-for-bit in the DuckDB oracle. At cluster scale the per-row md5
-    * cost would be folded away by materializing g as a broadcast
-    * literal array per bit (same values, one-time driver compute). */
-  def cosineNearDup(t: Tables, threshold: Double = 0.9): DataFrame = {
-    val sketchBit: Int => Column = j => {
-      val proj =
-        if (graft.functions.GraftExtensions.active)
-          // min-length semantics of graft_dot == the slice() below for
-          // any embedding dim <= MaxDim (all of them, by contract)
-          call_function("graft_dot", col("embedding"),
-            lit(hyperplanes(j)))
-        else {
-          val litSql = hyperplanes(j).map(v => s"${v}D").mkString("array(", ",", ")")
-          expr(
-            s"""aggregate(zip_with(embedding, slice($litSql, 1, size(embedding)),
-               |  (x, gv) -> CAST(x AS DOUBLE) * gv),
-               |  0D, (acc, v) -> acc + v)""".stripMargin)
-        }
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+  /** Signed projection of `embedding` onto deterministic hyperplane j.
+    * The "hyperplanes" are pseudo-gaussians derived from the shared md5
+    * hash primitive: g(i, j) = (h60(md5("i_j")) mod 1000) / 500 - 1 ∈
+    * [-1, 1), so the sketch is reproducible bit-for-bit in the DuckDB
+    * oracle. The per-row md5 cost is folded away by materializing g as
+    * a literal array per bit (one-time driver compute). */
+  private def proj(j: Int): Column =
+    if (graft.functions.GraftExtensions.active)
+      // min-length semantics of graft_dot == the slice() below for
+      // any embedding dim <= MaxDim (all of them, by contract)
+      call_function("graft_dot", col("embedding"), lit(hyperplanes(j)))
+    else {
+      val litSql = hyperplanes(j).map(v => s"${v}D").mkString("array(", ",", ")")
+      expr(
+        s"""aggregate(zip_with(embedding, slice($litSql, 1, size(embedding)),
+           |  (x, gv) -> CAST(x AS DOUBLE) * gv),
+           |  0D, (acc, v) -> acc + v)""".stripMargin)
     }
-    val sketched = t.embeddings.select(
-      col("vec_id"), col("embedding"),
-      (0 until SketchBits).map(sketchBit).reduce(_ + _).as("sketch"))
-    sketched.as("x")
-      .join(sketched.as("y"),
-        col("x.sketch") === col("y.sketch") &&
+
+  /** One 16-bit band key: sign bits j ∈ [b·BandBits, (b+1)·BandBits). */
+  private def bandKey(b: Int): Column =
+    (0 until BandBits).map { i =>
+      when(proj(b * BandBits + i) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Banded LSH candidate pairs: vectors agreeing on ≥1 full band.
+    * Each vector explodes into NumBands (band, key) rows; the self-join
+    * is per-band equi on (b, key) — never all-pairs — and a pair
+    * agreeing in several bands is deduped before the (expensive) exact
+    * cosine verify. Exposed for the scale spec, which asserts candidate
+    * count stays near-linear on a synthetic 10× blowup. */
+  private[operators] def bandedCandidates(emb: DataFrame): DataFrame = {
+    val banded = emb
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until NumBands).map(b =>
+          struct(lit(b).as("b"), bandKey(b).as("key"))): _*)).as("band"))
+      .select(col("vec_id"), col("embedding"),
+        col("band.b").as("b"), col("band.key").as("key"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
-        cosine("x.embedding", "y.embedding").as("cos_raw"))
+        col("x.embedding").as("e1"), col("y.embedding").as("e2"))
+      .distinct()
+  }
+
+  /** x09 near-duplicate vectors: all pairs with cosine above a high
+    * threshold, via random-hyperplane LSH blocking (64 sign bits in
+    * 4×16-bit bands, [[bandedCandidates]]) + exact verification of the
+    * deduped candidates — the scale path avoids the n² cross join:
+    * near-identical vectors agree on a full band w.h.p., while the
+    * 2^16-bucket key space per band keeps every bucket (and hence the
+    * Σ bucket² verify cost) bounded. */
+  def cosineNearDup(t: Tables, threshold: Double = 0.9): DataFrame =
+    bandedCandidates(t.embeddings)
+      .select(col("v1"), col("v2"), cosine("e1", "e2").as("cos_raw"))
       .filter(col("cos_raw") >= threshold)
       .select(col("v1"), col("v2"), round(col("cos_raw"), 6).as("cos"))
       .orderBy("v1", "v2")
-  }
 
   /** x14 IVF approximate top-k — the cluster-scale ANN path: a k-means
     * coarse quantizer (`nlist` centroids, seeded) partitions the
@@ -183,6 +217,16 @@ object Similarity {
     cs
   }
 
+  /** Trained-quantizer snapshot from the most recent [[ivfTopK]] call —
+    * the material the generated x14 DuckDB oracle is built from. The
+    * whole pipeline is deterministic (value-hashed sample, seeded
+    * k-means), so emitting the trained centroids as SQL literals lets
+    * the oracle reproduce assignment + probe + scoring exactly. */
+  private[operators] final case class IvfModel(
+      centroids: Array[Array[Double]], nQueries: Int, k: Int, nprobe: Int)
+
+  @volatile private[operators] var lastIvf: Option[IvfModel] = None
+
   def ivfTopK(t: Tables, nQueries: Int = 10, k: Int = 10, nlist: Int = 16,
               nprobe: Int = 4, seed: Long = 42L,
               maxTrain: Int = 20000): DataFrame = {
@@ -197,6 +241,7 @@ object Similarity {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val centroids = trainQuantizer(sample, nlist, iters = 5, seed = seed)
+    lastIvf = Some(IvfModel(centroids, nQueries, k, nprobe))
     // distributed assignment: argmax over centroids of 2·x·c − |c|²
     // (equivalent to nearest-centroid), each dot a codegen'd graft_dot
     // against a literal array — one narrow pass, no MLlib jobs
@@ -240,8 +285,8 @@ object Similarity {
     * that returns 0 rows proves nothing. */
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x08_cosine_topk" -> (t => bruteForceTopK(t)),
-    "x09_cosineneardup" -> (t => cosineNearDup(t, threshold = 0.3)),
-    "x14_ivf_topk" -> (t => ivfTopK(t)), // rows-only check: no SQL oracle for k-means
+    "x09_cosineneardup" -> (t => cosineNearDup(t, threshold = NearDupGateThreshold)),
+    "x14_ivf_topk" -> (t => ivfTopK(t)), // oracle generated post-run from the trained quantizer
   )
 
   /** DuckDB double cosine between two list columns — the exact probe
@@ -257,7 +302,53 @@ object Similarity {
   private def projSql(j: Int): String =
     s"list_sum(list_transform(range(0, len(embedding)), i -> CAST(embedding[i + 1] AS DOUBLE) * (CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || '$j'), 1, 15) AS BIGINT) % 1000 AS DOUBLE) / 500.0 - 1.0)))"
 
-  val oracles: Map[String, String] = Map(
+  /** DuckDB 16-bit band key b — same sign-bit layout as [[bandKey]]. */
+  private def bandSql(b: Int): String =
+    (0 until BandBits).map { i =>
+      s"(CASE WHEN ${projSql(b * BandBits + i)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Generated x14 oracle: the trained centroids are emitted as literal
+    * lists, then assignment (argmax of 2·x·c − |c|², first-index ties),
+    * query probes (nprobe nearest centroids, ties by index), candidate
+    * scoring, and per-query top-k are reproduced in SQL — the same
+    * computation the Spark plan distributes. */
+  private def ivfSql(m: IvfModel): String = {
+    val cvals = m.centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}])"
+    }.mkString(", ")
+    def dotSql(e: String, c: String) =
+      s"list_sum(list_transform(range(1, len($e) + 1), i -> CAST($e[i] AS DOUBLE) * $c[i]))"
+    def norm2Sql(c: String) =
+      s"list_sum(list_transform(range(1, len($c) + 1), i -> $c[i] * $c[i]))"
+    def d2Sql(c: String, e: String) =
+      s"list_sum(list_transform(range(1, len($e) + 1), i -> ($c[i] - CAST($e[i] AS DOUBLE)) * ($c[i] - CAST($e[i] AS DOUBLE))))"
+    s"""
+      WITH c AS (SELECT * FROM (VALUES $cvals) AS t(ci, cv)),
+      sc AS (SELECT e.vec_id, e.embedding, c.ci,
+               2 * ${dotSql("e.embedding", "c.cv")} - ${norm2Sql("c.cv")} AS s
+             FROM embeddings e CROSS JOIN c),
+      a AS (SELECT vec_id, embedding, ci AS cell FROM
+              (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn FROM sc)
+            WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < ${m.nQueries}),
+      qd AS (SELECT q.qid, c.ci, ${d2Sql("c.cv", "q.qe")} AS d2 FROM q CROSS JOIN c),
+      p AS (SELECT qid, ci AS cell FROM
+              (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, ci) AS pr FROM qd)
+            WHERE pr <= ${m.nprobe}),
+      s AS (SELECT q.qid, a.vec_id, ${cosSql("a.embedding", "q.qe")} AS cos_raw
+            FROM a JOIN p ON a.cell = p.cell JOIN q ON p.qid = q.qid
+            WHERE a.vec_id <> q.qid),
+      r AS (SELECT qid, vec_id, cos_raw,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS rk
+            FROM s)
+      SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos, rk FROM r WHERE rk <= ${m.k} ORDER BY qid, rk"""
+  }
+
+  /** A `def`: the x14 entry appears once a run has trained the
+    * quantizer (Verify runs every query before dumping oracle_sql.json,
+    * so the emitted SQL always reflects exactly that run's centroids). */
+  def oracles: Map[String, String] = Map(
     "x08_cosine_topk" -> s"""
       WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
       s AS (SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qe")} AS cos_raw
@@ -268,10 +359,11 @@ object Similarity {
       SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos, rk FROM r WHERE rk <= 10 ORDER BY qid, rk""",
     "x09_cosineneardup" -> s"""
       WITH sk AS (SELECT vec_id, embedding,
-            ${(0 until SketchBits).map(j => s"(CASE WHEN ${projSql(j)} >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS sketch
+            ${(0 until NumBands).map(b => s"${bandSql(b)} AS b$b").mkString(", ")}
           FROM embeddings),
       p AS (SELECT x.vec_id AS v1, y.vec_id AS v2, ${cosSql("x.embedding", "y.embedding")} AS cos_raw
-            FROM sk x JOIN sk y ON x.sketch = y.sketch AND x.vec_id < y.vec_id)
-      SELECT v1, v2, ROUND(cos_raw, 6) AS cos FROM p WHERE cos_raw >= 0.3 ORDER BY v1, v2""",
-  )
+            FROM sk x JOIN sk y ON x.vec_id < y.vec_id
+              AND (${(0 until NumBands).map(b => s"x.b$b = y.b$b").mkString(" OR ")}))
+      SELECT v1, v2, ROUND(cos_raw, 6) AS cos FROM p WHERE cos_raw >= $NearDupGateThreshold ORDER BY v1, v2""",
+  ) ++ lastIvf.map(m => "x14_ivf_topk" -> ivfSql(m)).toMap
 }

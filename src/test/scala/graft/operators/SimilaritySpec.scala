@@ -30,6 +30,30 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(two((0L, 3L)) - math.sqrt(0.5)) < 1e-12)
   }
 
+  test("banded near-dup blocking: full recall on planted pairs, near-linear candidate growth at 10x") {
+    // n/2 planted near-dup pairs (base gaussian + 1e-3 noise): every
+    // pair must collide in >=1 of the 4 16-bit bands, while unrelated
+    // pairs (cos ~ 0) collide with probability ~4/2^16 — so candidate
+    // count tracks the number of TRUE near-dups (linear), not n^2.
+    val rnd = new scala.util.Random(11)
+    def corpus(n: Int) = (0 until n / 2).flatMap { g =>
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val w = v.map(x => x + (rnd.nextGaussian() * 1e-3).toFloat)
+      Seq((2L * g, v), (2L * g + 1, w))
+    }.toDF("vec_id", "embedding")
+    val small = corpus(100).persist()
+    val big = corpus(1000).persist()
+    val cSmall = Similarity.bandedCandidates(small).count()
+    val cBig = Similarity.bandedCandidates(big).count()
+    assert(cSmall >= 45, s"recall lost: only $cSmall of 50 planted pairs collide")
+    assert(cBig >= 450, s"recall lost at 10x: $cBig of 500")
+    // quadratic blocking would grow 100x (the old single 8-bit sketch
+    // put every vector into one of 256 buckets); require ~linear
+    assert(cBig.toDouble / cSmall < 30,
+      s"candidate growth ${cBig.toDouble / cSmall}x for 10x data (small=$cSmall big=$cBig)")
+    small.unpersist(); big.unpersist()
+  }
+
   test("bruteForceTopK over sf0.001: 10 queries x k ranked results") {
     val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
     val rows = Similarity.bruteForceTopK(t, nQueries = 3, k = 5).collect()
