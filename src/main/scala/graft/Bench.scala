@@ -20,15 +20,25 @@ object Bench {
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case _: Throwable => () }
     }
+    // k=3 timed runs per query, report the MEDIAN: single-shot numbers
+    // are sub-second-noisy enough to fake 2x regressions on unchanged
+    // plans round-over-round; the per-query spread (max-min) is emitted
+    // alongside so a wide median is visibly unstable rather than wrong
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> (times(times.length / 2), times.last - times.head)
+    }
+    def json(kv: Seq[(String, Double)]) =
+      kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = json(results.map { case (k, (med, _)) => k -> med })
+    val spread = json(results.map { case (k, (_, sp)) => k -> sp })
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }
