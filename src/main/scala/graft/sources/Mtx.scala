@@ -69,24 +69,13 @@ object Mtx {
     spark.createDataFrame(rows, schema)
   }
 
-  /** Raw MatrixMarket triples `(gene_idx, cell_idx, count)`, 1-based.
-    * Comment lines dropped; the dims line is identified positionally
-    * (index 0 after comment filtering) since it is syntactically
-    * indistinguishable from a triple. */
-  def readMatrix(spark: SparkSession, path: String): DataFrame = {
-    val noComments = spark.read.textFile(resolveOne(spark, path)).rdd
-      .filter(l => !l.startsWith("%") && l.trim.nonEmpty)
-      .zipWithIndex()
-    val rows = noComments.filter(_._2 > 0).map { case (line, _) =>
-      val p = line.trim.split("\\s+")
-      org.apache.spark.sql.Row(p(0).toLong, p(1).toLong, p(2).toLong)
-    }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("gene_idx", org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("cell_idx", org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("count", org.apache.spark.sql.types.LongType, nullable = false)))
-    spark.createDataFrame(rows, schema)
-  }
+  /** Raw MatrixMarket triples `(gene_idx, cell_idx, count)`, 1-based,
+    * through the DSv2 `format("mtx")` source
+    * ([[graft.sources.mtx.MtxDataSource]]): per-file comment/dims-line
+    * handling, one partition per (gzip-unsplittable) file, and
+    * projection pushdown into the parser. */
+  def readMatrix(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("mtx").load(resolveOne(spark, path))
 
   /** Read one 10x sample directory → long table
     * `(sample, barcode, gene, count)` + feature annotations

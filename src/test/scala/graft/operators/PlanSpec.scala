@@ -79,6 +79,21 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 1, s"expected 1 parquet scan (got $scans)\n${p.take(3000)}")
   }
 
+  test("mtx DSv2 scan prunes the triple to the projected columns") {
+    val dir = java.nio.file.Files.createTempDirectory("mtxplan")
+    java.nio.file.Files.writeString(dir.resolve("matrix.mtx"),
+      "%%MatrixMarket matrix coordinate integer general\n2 2 2\n1 1 5\n2 2 7\n")
+    val df = spark.read.format("mtx").load(dir.resolve("matrix.mtx").toString)
+      .select("count")
+    val p = plan(df)
+    // the pushed projection reaches the custom Scan (its description
+    // echoes the pruned read schema), and the plan is a v2 BatchScan
+    assert(p.contains("BatchScan"), p.take(2000))
+    assert(p.contains("ReadSchema: struct<count:bigint>"), p.take(2000))
+    assert(!p.contains("gene_idx"), "unprojected triple columns survived pruning")
+    assert(df.collect().map(_.getLong(0)).toSet == Set(5L, 7L))
+  }
+
   test("per-sample stage filter prunes a sample-partitioned store to one partition") {
     // EmptyDrops.run / Doublets.scores split work with
     // filter(col("sample") === s) per sample; over an
