@@ -27,9 +27,14 @@ import org.apache.spark.sql.functions._
   * Samples with < `minAmbient` ambient barcodes are skipped and
   * reported in `flagged` (`2-1:42-51` → `flag_filtered`).
   *
-  * Simplification vs DropletUtils (documented choice): proportions are
-  * plain ambient-count fractions — no Good-Turing re-estimation; genes
-  * absent from the ambient pool get a half-count pseudo-probability.
+  * Ambient proportions are Simple Good-Turing estimates
+  * ([[GoodTuring]], the DropletUtils `.safe_good_turing` semantics):
+  * observed genes get SGT-shrunk probabilities, genes absent from the
+  * ambient pool share the unseen mass P0 = n₁/N (or a 1/N pseudo-pool
+  * when the profile has no singletons). The Monte-Carlo null samples
+  * the observed ambient genes with these probabilities renormalized;
+  * its statistic term uses the UN-normalized log p, identical to the
+  * observed side, so the two stats stay comparable.
   */
 object EmptyDrops {
 
@@ -67,15 +72,21 @@ object EmptyDrops {
     val ambientBarcodes = totals.filter(col("total") <= lower)
     if (ambientBarcodes.count() < minAmbient) { totals.unpersist(); return None }
 
-    // ambient profile: per-gene proportion over the pooled sub-lower pool
+    // ambient profile: Good-Turing proportions over the pooled
+    // sub-lower pool (per-gene counts reduced distributed, the G-sized
+    // vector fit on the driver)
     val ambientCounts = expr
       .join(ambientBarcodes.select("sample", "barcode"), Seq("sample", "barcode"), "left_semi")
       .groupBy("gene").agg(sum("count").as("acount"))
     val profileRows = ambientCounts.collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val ambientTotal = profileRows.map(_._2).sum.toDouble
-    val logP = profileRows.map { case (g, c) => (g, math.log(c / ambientTotal)) }.toMap
-    val logPseudo = math.log(0.5 / ambientTotal) // unseen-gene half count
+    val nUnseen = expr.select("gene").distinct().count() - profileRows.length
+    val (pByCount, pUnseen) =
+      GoodTuring.proportions(profileRows.map(_._2).toSeq, nUnseen)
+    val pObs = profileRows.map { case (g, c) => (g, pByCount(c)) }
+    val logP = pObs.map { case (g, p) => (g, math.log(p)) }.toMap
+    val logPseudo = math.log(if (pUnseen > 0) pUnseen else 0.5 / ambientTotal)
     val bLogP = spark.sparkContext.broadcast(logP)
     val bPseudo = spark.sparkContext.broadcast(logPseudo)
 
@@ -98,8 +109,13 @@ object EmptyDrops {
       .collect().map(_.getLong(0)).sorted
     if (neededTotals.isEmpty) { totals.unpersist(); obs.unpersist(); return None }
     val maxTotal = neededTotals.last
-    val probs = profileRows.map(_._2 / ambientTotal)
-    val logPArr = probs.map(math.log)
+    // sample from the GT profile renormalized over observed genes; the
+    // statistic term keeps the UN-normalized log p so sim and obs stats
+    // share the same per-gene constants
+    val pArr = pObs.map(_._2)
+    val pSum = pArr.sum
+    val probs = pArr.map(_ / pSum)
+    val logPArr = pArr.map(math.log)
     val cumProbs = probs.scanLeft(0.0)(_ + _).tail
     val bCum = spark.sparkContext.broadcast(cumProbs)
     val bLogPArr = spark.sparkContext.broadcast(logPArr)
