@@ -53,6 +53,62 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exact dedup recovers from a checkpoint: state round-trips, only the unseen suffix is emitted") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val root = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val (ckpt, sink) = (s"$root/checkpoint", s"$root/out")
+    def start() = DocStream.exactDedup(mem.toDF())
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", sink)
+      .outputMode("append").start()
+    // epoch 1: two distinct docs + one duplicate, then KILL the query
+    val q1 = start()
+    try {
+      mem.addData(
+        Doc(ts(0), 1L, base),
+        Doc(ts(1), 2L, "completely different text"),
+        Doc(ts(2), 3L, base)) // dup of doc 1
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // epoch 2: a dup of doc 1 (must hit RECOVERED state) + one new doc,
+    // resumed from the same checkpoint
+    mem.addData(Doc(ts(3), 4L, base), Doc(ts(4), 5L, "brand new text"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(sink).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    // exactly-once across the restart: 1 and 2 appear ONCE (no re-emit
+    // of the pre-kill epoch), 3 and 4 dropped as dups (4 only via the
+    // state-store round-trip), 5 is the one new emission
+    assert(out.sorted == Seq(1L, 2L, 5L), s"got $out")
+  }
+
+  test("near-dup cohort state survives a restart from checkpoint") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val root = java.nio.file.Files.createTempDirectory("ckpt_nd").toString
+    def start() = DocStream.nearDupFlags(mem.toDS(), maxHamming = 10)
+      .writeStream.format("parquet") // the memory sink cannot recover
+      .option("checkpointLocation", s"$root/checkpoint")
+      .option("path", s"$root/out")
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      mem.addData(Doc(ts(0), 1L, base))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the lightly-mutated copy arrives only AFTER the restart: flagging
+    // it requires doc 1's (doc_id, sim) to come back from the state store
+    mem.addData(Doc(ts(1), 2L, base.replace("tok7 ", "tok7x ")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val flags = spark.read.parquet(s"$root/out")
+      .select("doc_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flags.contains((2L, 1L)), s"got $flags")
+  }
+
   test("near-dup state is a bounded FIFO per bucket") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Doc]
