@@ -45,6 +45,26 @@ final class HadoopFsSink(root: String, conf: Configuration = new Configuration()
     write(new Path(s"$root/objects/$bucket/$key"), bytes)
 }
 
+/** The exact call surface a driver-side AWS SDK backend needs —
+  * DynamoDB `put_item(TableName, Item)` and S3 `put_object(Bucket,
+  * Key, Body)` argument shapes (`5_Upload-to-aws.py:267-302`). The SDK
+  * itself stays out-of-engine (SURVEY §2.1, zero-egress build): in
+  * production this is a thin DynamoDbClient/S3Client wrapper; in specs
+  * an in-memory fake — either way the stage-5 contract runs through
+  * the same [[Upload.uploadExperiment]] code path via [[ClientSink]]. */
+trait KeyValueClient {
+  def putItem(table: String, key: String, document: String): Unit
+  def putObject(bucket: String, key: String, body: Array[Byte]): Unit
+}
+
+/** [[UploadSink]] over any [[KeyValueClient]]. */
+final class ClientSink(client: KeyValueClient) extends UploadSink {
+  override def putRecord(table: String, key: String, json: String): Unit =
+    client.putItem(table, key, json)
+  override def putObject(bucket: String, key: String, bytes: Array[Byte]): Unit =
+    client.putObject(bucket, key, bytes)
+}
+
 object Upload {
 
   /** The four puts of `5_Upload-to-aws.py:267-302`, driven off an

@@ -69,6 +69,36 @@ class IngestSpec extends SparkSpec {
     assert(read("objects/biomage-source-test/abc123/r.rds") == "MTXBYTES")
   }
 
+  test("client-shaped upload backend receives the same four puts as the FS backend") {
+    // an in-memory KeyValueClient (the aws-sdk seam: DynamoDB put_item /
+    // S3 put_object argument shapes) driven through the SAME
+    // uploadExperiment path as HadoopFsSink
+    val items = scala.collection.mutable.Map.empty[(String, String), String]
+    val objects = scala.collection.mutable.Map.empty[(String, String), Array[Byte]]
+    val fake = new graft.export.KeyValueClient {
+      def putItem(table: String, key: String, document: String): Unit =
+        items((table, key)) = document
+      def putObject(bucket: String, key: String, body: Array[Byte]): Unit =
+        objects((bucket, key)) = body
+    }
+    graft.export.Upload.uploadExperiment(new graft.export.ClientSink(fake), result,
+      experimentId = "abc123", name = "fixture-exp", env = "test",
+      matrixObject = Some("MTXBYTES".getBytes("UTF-8")))
+    assert(items.keySet == Set(
+      ("experiments-test", "abc123"), ("samples-test", "abc123")))
+    assert(objects.keySet == Set(
+      ("cell-sets-test", "abc123"), ("biomage-source-test", "abc123/r.rds")))
+    // payloads identical to what the FS backend persists
+    val root = Files.createTempDirectory("upload-cmp").toString
+    graft.export.Upload.uploadExperiment(new graft.export.HadoopFsSink(s"file:$root"),
+      result, experimentId = "abc123", name = "fixture-exp", env = "test",
+      matrixObject = Some("MTXBYTES".getBytes("UTF-8")))
+    def read(p: String) = Files.readString(java.nio.file.Paths.get(root, p))
+    assert(items(("experiments-test", "abc123")) == read("records/experiments-test/abc123.json"))
+    assert(items(("samples-test", "abc123")) == read("records/samples-test/abc123.json"))
+    assert(new String(objects(("cell-sets-test", "abc123")), "UTF-8") == result.cellSetsJson)
+  }
+
   test("sample-partitioned checkpoint run matches the in-memory run") {
     val root = Files.createTempDirectory("ingest-ckpt")
     val d1 = Files.createDirectory(root.resolve("s1"))
