@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Generate a ~10x sf1 star schema under tmp/sf1 from /root/testdata/sf0.1
+by key-shifted replication (driver-side tooling, like check_oracle.py).
+
+- Fact/dim keys are offset per copy so FK joins keep their fan-out
+  (copy k of orders joins copy k of customer, etc.).
+- region/nation stay fixed (true dimension tables).
+- documents: per-copy deterministic token shuffle, so copies are NOT
+  near-duplicates of each other and pair-producing queries (x05/x07/
+  x13) scale ~linearly instead of inheriting 45 pairs per 10-dup group.
+- embeddings: per-copy cyclic rotation (random vectors decorrelate
+  under rotation) for the same reason on x09.
+
+Usage: gen_sf1.py [src_dir out_dir copies]
+"""
+import random
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/tmp/sf1"
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+
+def load(name):
+    return pq.read_table(f"{SRC}/{name}.parquet")
+
+
+def save(name, tbl):
+    pq.write_table(tbl, f"{OUT}/{name}.parquet")
+    print(f"{name}: {tbl.num_rows} rows")
+
+
+def shifted(tbl, offsets, i):
+    """Copy i of tbl with each key column shifted by i*span (span = max
+    key, so shifted ranges never collide)."""
+    cols = {}
+    for name in tbl.column_names:
+        col = tbl.column(name)
+        if name in offsets:
+            col = pc.add(col, pa.scalar(i * offsets[name], type=col.type))
+        cols[name] = col
+    return pa.table(cols, schema=tbl.schema)
+
+
+def replicate(name, key_cols):
+    tbl = load(name)
+    offsets = {c: pc.max(tbl.column(c)).as_py() for c in key_cols}
+    save(name, pa.concat_tables(
+        shifted(tbl, offsets, i) for i in range(COPIES)))
+
+
+import os
+os.makedirs(OUT, exist_ok=True)
+
+for name in ("region", "nation"):
+    save(name, load(name))
+
+max_cust = pc.max(load("customer").column("c_custkey")).as_py()
+max_order = pc.max(load("orders").column("o_orderkey")).as_py()
+max_part = pc.max(load("part").column("p_partkey")).as_py()
+max_supp = pc.max(load("supplier").column("s_suppkey")).as_py()
+
+replicate("customer", ["c_custkey"])
+replicate("supplier", ["s_suppkey"])
+replicate("part", ["p_partkey"])
+
+orders = load("orders")
+save("orders", pa.concat_tables(
+    shifted(orders, {"o_orderkey": max_order, "o_custkey": max_cust}, i)
+    for i in range(COPIES)))
+
+lineitem = load("lineitem")
+save("lineitem", pa.concat_tables(
+    shifted(lineitem,
+            {"l_orderkey": max_order, "l_partkey": max_part,
+             "l_suppkey": max_supp}, i)
+    for i in range(COPIES)))
+
+replicate("events", ["event_id", "user_id"])
+
+docs = load("documents")
+parts = []
+for i in range(COPIES):
+    t = shifted(docs, {"doc_id": pc.max(docs.column("doc_id")).as_py()}, i)
+    if i > 0:
+        rng = random.Random(1000 + i)
+        texts = []
+        for s in t.column("text").to_pylist():
+            toks = s.split(" ")
+            rng.shuffle(toks)
+            texts.append(" ".join(toks))
+        t = t.set_column(t.column_names.index("text"), "text",
+                         pa.array(texts, type=pa.string()))
+    parts.append(t)
+save("documents", pa.concat_tables(parts))
+
+emb = load("embeddings")
+parts = []
+dim = len(emb.column("embedding")[0])
+for i in range(COPIES):
+    t = shifted(emb, {"vec_id": pc.max(emb.column("vec_id")).as_py()}, i)
+    if i > 0:
+        rot = (7 * i) % dim
+        vecs = [v[rot:] + v[:rot] for v in t.column("embedding").to_pylist()]
+        t = t.set_column(t.column_names.index("embedding"), "embedding",
+                         pa.array(vecs, type=emb.schema.field("embedding").type))
+    parts.append(t)
+save("embeddings", pa.concat_tables(parts))

@@ -79,6 +79,26 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 1, s"expected 1 parquet scan (got $scans)\n${p.take(3000)}")
   }
 
+  test("broadcast dimension strategy survives a 10x fact blowup") {
+    // the sf1 soak finding as a regression guard (SOAK_sf1.md): blow
+    // the fact sides up 10x and assert the hinted dimension joins are
+    // still planned broadcast — a silent flip to sort-merge on nation/
+    // region is exactly the scale regression the soak watches for
+    val src = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("sf10x").toString
+    Seq("region", "nation").foreach(n => spark.read.parquet(s"$src/$n.parquet")
+      .write.mode("overwrite").parquet(s"$dir/$n.parquet"))
+    Seq("orders", "customer").foreach { n =>
+      val base = spark.read.parquet(s"$src/$n.parquet")
+      Seq.fill(10)(base).reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    val p = plan(StarQueries.q15(Tables(spark, dir)))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2,
+      s"hinted dimension joins lost broadcast at 10x, plan:\n${p.take(3000)}")
+  }
+
   test("mtx DSv2 scan prunes the triple to the projected columns") {
     val dir = java.nio.file.Files.createTempDirectory("mtxplan")
     java.nio.file.Files.writeString(dir.resolve("matrix.mtx"),
