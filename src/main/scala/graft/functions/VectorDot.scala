@@ -93,6 +93,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_dot expects exactly 2 arguments, got ${other.length}")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_band_keys"),
+      new ExpressionInfo(classOf[BandKeys].getName, "graft_band_keys"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a,
+            org.apache.spark.sql.catalyst.expressions.Literal(nb: Int, IntegerType),
+            org.apache.spark.sql.catalyst.expressions.Literal(bb: Int, IntegerType)) =>
+          BandKeys(a, nb, bb)
+        case _ => throw new IllegalArgumentException(
+          "graft_band_keys expects (array, numBands literal, bandBits literal)")
+      }))
   }
 }
 

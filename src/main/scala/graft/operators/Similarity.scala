@@ -84,21 +84,16 @@ object Similarity {
   val NearDupGateThreshold = 0.15
 
   /** Max embedding dimension covered by the precomputed hyperplanes. */
-  val MaxDim = 256
+  val MaxDim: Int = graft.functions.Hyperplanes.MaxDim
 
-  /** Hyperplane coefficient g(i, j) = (h60(md5("i_j")) mod 1000)/500 − 1
-    * — EXACTLY the oracle's SQL formula, precomputed on the driver so
-    * the Spark plan multiplies against a literal array instead of
-    * running dim × bits md5 calls per row. */
-  private def g(i: Int, j: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.substring(0, 15)
-    (java.lang.Long.parseLong(hex, 16) % 1000L).toDouble / 500.0 - 1.0
-  }
-
-  private lazy val hyperplanes: IndexedSeq[Array[Double]] =
-    (0 until SketchBits).map(j => Array.tabulate(MaxDim)(i => g(i, j)))
+  /** Hyperplane coefficients g(i, j) = (h60(md5("i_j")) mod 1000)/500 −
+    * 1 — EXACTLY the oracle's SQL formula ([[projSql]]), precomputed on
+    * the driver ([[graft.functions.Hyperplanes]], shared with the
+    * fused `graft_band_keys` expression) so the Spark plan multiplies
+    * against literal arrays instead of running dim × bits md5 calls
+    * per row. */
+  private def hyperplanes: IndexedSeq[Array[Double]] =
+    graft.functions.Hyperplanes.rows
 
   /** Signed projection of `embedding` onto deterministic hyperplane j.
     * The "hyperplanes" are pseudo-gaussians derived from the shared md5
@@ -129,15 +124,26 @@ object Similarity {
     * Each vector explodes into NumBands (band, key) rows; the self-join
     * is per-band equi on (b, key) — never all-pairs — and a pair
     * agreeing in several bands is deduped before the (expensive) exact
-    * cosine verify. Exposed for the scale spec, which asserts candidate
-    * count stays near-linear on a synthetic 10× blowup. */
-  private[operators] def bandedCandidates(emb: DataFrame): DataFrame = {
-    val banded = emb
-      .select(col("vec_id"), col("embedding"),
-        explode(array((0 until NumBands).map(b =>
-          struct(lit(b).as("b"), bandKey(b).as("key"))): _*)).as("band"))
-      .select(col("vec_id"), col("embedding"),
-        col("band.b").as("b"), col("band.key").as("key"))
+    * cosine verify. With the extensions injected, all 64 sign bits come
+    * from ONE fused `graft_band_keys` pass (the 64-separate-dots form
+    * was codegen-size bound, not arithmetic bound); the HOF fallback
+    * composes [[bandKey]] per band with bit-identical results. Exposed
+    * for the scale spec, which asserts candidate count stays
+    * near-linear on a synthetic 10× blowup. */
+  private[graft] def bandedCandidates(emb: DataFrame): DataFrame = {
+    val banded = (
+      if (graft.functions.GraftExtensions.active)
+        emb.select(col("vec_id"), col("embedding"),
+          posexplode(call_function("graft_band_keys",
+            col("embedding"), lit(NumBands), lit(BandBits)))
+            .as(Seq("b", "key")))
+      else
+        emb.select(col("vec_id"), col("embedding"),
+          explode(array((0 until NumBands).map(b =>
+            struct(lit(b).as("b"), bandKey(b).as("key"))): _*)).as("band"))
+          .select(col("vec_id"), col("embedding"),
+            col("band.b").as("b"), col("band.key").as("key"))
+      )
     banded.as("x")
       .join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
