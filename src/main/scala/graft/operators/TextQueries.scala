@@ -282,6 +282,40 @@ object TextQueries {
       .orderBy("d1", "d2")
   }
 
+  /** x16 repetition signals — the Gopher-family quality filters (Rae
+    * et al. 2021 §A1.1: "fraction of characters in the most common
+    * n-gram" / "fraction of characters in duplicate n-grams", here over
+    * token instances): per document, the share of n-gram instances
+    * claimed by the single most frequent n-gram and the share that are
+    * repeats, for n = 2, 3. Both gram sizes ride ONE tokens scan
+    * (tagged union before the explode); the two groupBys are map-side
+    * combinable, so the shape is the wordcount shuffle — linear at
+    * corpus scale. Docs too short for an n-gram get NULLs. */
+  def repetition(t: Tables): DataFrame = {
+    val grams = t.documents
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(concat(
+        transform(wordShingles(col("toks"), 2),
+          g => struct(lit(2).as("n"), g.as("g"))),
+        transform(wordShingles(col("toks"), 3),
+          g => struct(lit(3).as("n"), g.as("g"))))).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+    val perN = grams
+      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n").agg(
+        (max("c").cast("double") / sum("c").cast("double")).as("top_frac"),
+        (sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast("double")
+          / sum("c").cast("double")).as("dup_frac"))
+    t.documents.select("doc_id")
+      .join(perN, Seq("doc_id"), "left")
+      .groupBy("doc_id").agg(
+        round(max(when(col("n") === 2, col("top_frac"))), 6).as("top2gram_frac"),
+        round(max(when(col("n") === 2, col("dup_frac"))), 6).as("dup2gram_frac"),
+        round(max(when(col("n") === 3, col("top_frac"))), 6).as("top3gram_frac"),
+        round(max(when(col("n") === 3, col("dup_frac"))), 6).as("dup3gram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** name → query, in declared order. */
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x01_exactdedup" -> exactDedup _,
@@ -296,6 +330,7 @@ object TextQueries {
     "x12_simhash" -> simhashes _,
     "x13_simhashpairs" -> simhashPairs _,
     "x15_bpetokens" -> bpeTokens _,
+    "x16_repetition" -> repetition _,
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -423,5 +458,25 @@ object TextQueries {
         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_marks,
         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) + len(regexp_extract_all(text, '[0-9]+')) + len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_bpeish
       FROM documents ORDER BY doc_id""",
+    "x16_repetition" -> s"""
+      WITH tk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      g AS (
+        SELECT doc_id, 2 AS n,
+          unnest(CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]) ELSE [] END) AS g
+        FROM tk
+        UNION ALL
+        SELECT doc_id, 3 AS n, unnest($shinglesSql) AS g FROM tk),
+      c AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+      p AS (SELECT doc_id, n,
+              CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac,
+              CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_frac
+            FROM c GROUP BY 1, 2)
+      SELECT d.doc_id,
+        ROUND(MAX(CASE WHEN n = 2 THEN top_frac END), 6) AS top2gram_frac,
+        ROUND(MAX(CASE WHEN n = 2 THEN dup_frac END), 6) AS dup2gram_frac,
+        ROUND(MAX(CASE WHEN n = 3 THEN top_frac END), 6) AS top3gram_frac,
+        ROUND(MAX(CASE WHEN n = 3 THEN dup_frac END), 6) AS dup3gram_frac
+      FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
+      GROUP BY d.doc_id ORDER BY d.doc_id""",
   )
 }
