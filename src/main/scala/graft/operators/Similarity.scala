@@ -233,11 +233,14 @@ object Similarity {
 
   @volatile private[operators] var lastIvf: Option[IvfModel] = None
 
-  def ivfTopK(t: Tables, nQueries: Int = 10, k: Int = 10, nlist: Int = 16,
-              nprobe: Int = 4, seed: Long = 42L,
-              maxTrain: Int = 20000): DataFrame = {
-    val spark = t.spark
-    import spark.implicits._
+  /** Train the seeded quantizer on a bounded value-hashed sample and
+    * assign every corpus vector to its nearest centroid — the shared
+    * front half of [[ivfTopK]] and [[kmeansCells]]. Assignment is the
+    * argmax over centroids of 2·x·c − |c|² (equivalent to
+    * nearest-centroid), each dot a codegen'd graft_dot against a
+    * literal array — one narrow pass, no MLlib jobs. */
+  private def trainAndAssign(t: Tables, nlist: Int, seed: Long,
+                             maxTrain: Int): (DataFrame, Array[Array[Double]]) = {
     // quantizer trained on a bounded, deterministic (value-hashed)
     // sample — the corpus never iterates, so fit cost is O(maxTrain)
     // regardless of corpus size
@@ -247,10 +250,6 @@ object Similarity {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val centroids = trainQuantizer(sample, nlist, iters = 5, seed = seed)
-    lastIvf = Some(IvfModel(centroids, nQueries, k, nprobe))
-    // distributed assignment: argmax over centroids of 2·x·c − |c|²
-    // (equivalent to nearest-centroid), each dot a codegen'd graft_dot
-    // against a literal array — one narrow pass, no MLlib jobs
     val scoreArr = array(centroids.map { c =>
       dotCols(col("embedding"), lit(c)) * 2.0 - lit(c.map(x => x * x).sum)
     }: _*)
@@ -259,6 +258,16 @@ object Similarity {
       .withColumn("cell",
         (array_position(col("__s"), array_max(col("__s"))) - 1).cast("int"))
       .select(col("vec_id"), col("embedding"), col("cell"))
+    (assigned, centroids)
+  }
+
+  def ivfTopK(t: Tables, nQueries: Int = 10, k: Int = 10, nlist: Int = 16,
+              nprobe: Int = 4, seed: Long = 42L,
+              maxTrain: Int = 20000): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val (assigned, centroids) = trainAndAssign(t, nlist, seed, maxTrain)
+    lastIvf = Some(IvfModel(centroids, nQueries, k, nprobe))
     // nprobe nearest centroids per query vector (driver: nQueries × nlist)
     val queries = t.embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -285,14 +294,35 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  @volatile private[operators] var lastKmeans: Option[Array[Array[Double]]] = None
+
+  /** x17 corpus clustering: every vector assigned to its nearest
+    * trained centroid, summarized per cell — the cluster-balanced
+    * sampling / curriculum bucketing primitive of a training-data
+    * pipeline. Integer-only output columns (count + id range per cell)
+    * so the hash gate is immune to distributed float-sum ordering; the
+    * oracle reproduces assignment from the emitted centroid literals
+    * exactly like x14. */
+  def kmeansCells(t: Tables, nlist: Int = 16, seed: Long = 42L,
+                  maxTrain: Int = 20000): DataFrame = {
+    val (assigned, centroids) = trainAndAssign(t, nlist, seed, maxTrain)
+    lastKmeans = Some(centroids)
+    assigned
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n"),
+        min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))
+      .orderBy("cell")
+  }
+
   /** name → query, in declared order. The near-dup threshold is wired
-    * at 0.3 for the gate: the synthetic embeddings have no true
+    * at 0.15 for the gate: the synthetic embeddings have no true
     * near-dups (max pairwise cosine ≈ 0.51 at sf0.01), and a gate query
     * that returns 0 rows proves nothing. */
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x08_cosine_topk" -> (t => bruteForceTopK(t)),
     "x09_cosineneardup" -> (t => cosineNearDup(t, threshold = NearDupGateThreshold)),
     "x14_ivf_topk" -> (t => ivfTopK(t)), // oracle generated post-run from the trained quantizer
+    "x17_kmeans_cells" -> (t => kmeansCells(t)), // same generated-oracle pattern
   )
 
   /** DuckDB double cosine between two list columns — the exact probe
@@ -319,24 +349,32 @@ object Similarity {
     * query probes (nprobe nearest centroids, ties by index), candidate
     * scoring, and per-query top-k are reproduced in SQL — the same
     * computation the Spark plan distributes. */
-  private def ivfSql(m: IvfModel): String = {
-    val cvals = m.centroids.zipWithIndex.map { case (c, i) =>
+  private def dotSql(e: String, c: String) =
+    s"list_sum(list_transform(range(1, len($e) + 1), i -> CAST($e[i] AS DOUBLE) * $c[i]))"
+  private def norm2Sql(c: String) =
+    s"list_sum(list_transform(range(1, len($c) + 1), i -> $c[i] * $c[i]))"
+  private def d2Sql(c: String, e: String) =
+    s"list_sum(list_transform(range(1, len($e) + 1), i -> ($c[i] - CAST($e[i] AS DOUBLE)) * ($c[i] - CAST($e[i] AS DOUBLE))))"
+
+  /** Shared CTEs: trained centroids as literals + nearest-centroid
+    * assignment of the whole corpus (argmax of 2·x·c − |c|²,
+    * first-index ties — the Spark plan's exact rule). */
+  private def assignCtes(centroids: Array[Array[Double]]): String = {
+    val cvals = centroids.zipWithIndex.map { case (c, i) =>
       s"($i, [${c.mkString(", ")}])"
     }.mkString(", ")
-    def dotSql(e: String, c: String) =
-      s"list_sum(list_transform(range(1, len($e) + 1), i -> CAST($e[i] AS DOUBLE) * $c[i]))"
-    def norm2Sql(c: String) =
-      s"list_sum(list_transform(range(1, len($c) + 1), i -> $c[i] * $c[i]))"
-    def d2Sql(c: String, e: String) =
-      s"list_sum(list_transform(range(1, len($e) + 1), i -> ($c[i] - CAST($e[i] AS DOUBLE)) * ($c[i] - CAST($e[i] AS DOUBLE))))"
-    s"""
-      WITH c AS (SELECT * FROM (VALUES $cvals) AS t(ci, cv)),
+    s"""c AS (SELECT * FROM (VALUES $cvals) AS t(ci, cv)),
       sc AS (SELECT e.vec_id, e.embedding, c.ci,
                2 * ${dotSql("e.embedding", "c.cv")} - ${norm2Sql("c.cv")} AS s
              FROM embeddings e CROSS JOIN c),
       a AS (SELECT vec_id, embedding, ci AS cell FROM
               (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, ci) AS rn FROM sc)
-            WHERE rn = 1),
+            WHERE rn = 1)"""
+  }
+
+  private def ivfSql(m: IvfModel): String = {
+    s"""
+      WITH ${assignCtes(m.centroids)},
       q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < ${m.nQueries}),
       qd AS (SELECT q.qid, c.ci, ${d2Sql("c.cv", "q.qe")} AS d2 FROM q CROSS JOIN c),
       p AS (SELECT qid, ci AS cell FROM
@@ -371,5 +409,10 @@ object Similarity {
             FROM sk x JOIN sk y ON x.vec_id < y.vec_id
               AND (${(0 until NumBands).map(b => s"x.b$b = y.b$b").mkString(" OR ")}))
       SELECT v1, v2, ROUND(cos_raw, 6) AS cos FROM p WHERE cos_raw >= $NearDupGateThreshold ORDER BY v1, v2""",
-  ) ++ lastIvf.map(m => "x14_ivf_topk" -> ivfSql(m)).toMap
+  ) ++ lastIvf.map(m => "x14_ivf_topk" -> ivfSql(m)).toMap ++
+    lastKmeans.map(cs => "x17_kmeans_cells" -> s"""
+      WITH ${assignCtes(cs)}
+      SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n,
+        MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+      FROM a GROUP BY cell ORDER BY cell""").toMap
 }

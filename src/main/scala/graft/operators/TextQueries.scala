@@ -316,6 +316,22 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** x18 deterministic stratified sample: the `perSource` docs with
+    * the smallest md5(text) per source — the reproducible hash-ordered
+    * downsampling a training-data pipeline uses to build balanced
+    * subsets without a seed file (re-running over a grown corpus keeps
+    * previously chosen docs unless new text hashes below them). One
+    * window per source; a skewed giant source degrades to the standard
+    * two-stage per-partition-then-global top-k if ever needed. */
+  def stratifiedSample(t: Tables, perSource: Int = 20): DataFrame =
+    t.documents
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id")))
+        .cast("long"))
+      .filter(col("rk") <= perSource)
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy("source", "rk")
+
   /** name → query, in declared order. */
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x01_exactdedup" -> exactDedup _,
@@ -331,6 +347,7 @@ object TextQueries {
     "x13_simhashpairs" -> simhashPairs _,
     "x15_bpetokens" -> bpeTokens _,
     "x16_repetition" -> repetition _,
+    "x18_stratified" -> (t => stratifiedSample(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -478,5 +495,11 @@ object TextQueries {
         ROUND(MAX(CASE WHEN n = 3 THEN dup_frac END), 6) AS dup3gram_frac
       FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
       GROUP BY d.doc_id ORDER BY d.doc_id""",
+    "x18_stratified" -> """
+      SELECT source, doc_id, rk FROM (
+        SELECT source, doc_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+        FROM documents)
+      WHERE rk <= 20 ORDER BY source, rk""",
   )
 }

@@ -26,4 +26,17 @@ class IvfSpec extends SparkSpec {
     val b = Similarity.ivfTopK(t, nQueries = 3, k = 5).collect().toSeq
     assert(a == b)
   }
+
+  test("kmeans cells partition the corpus: counts sum to |corpus|, ids in range") {
+    val total = t.embeddings.count()
+    val cells = Similarity.kmeansCells(t, nlist = 8).collect()
+    assert(cells.map(_.getAs[Long]("n")).sum == total)
+    assert(cells.map(_.getAs[Int]("cell")).distinct.length == cells.length)
+    cells.foreach { r =>
+      assert(r.getAs[Long]("min_vec") <= r.getAs[Long]("max_vec"))
+    }
+    // deterministic across invocations (seeded sample + seeded k-means)
+    val again = Similarity.kmeansCells(t, nlist = 8).collect()
+    assert(cells.toSeq == again.toSeq)
+  }
 }
