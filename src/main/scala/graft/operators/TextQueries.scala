@@ -40,21 +40,29 @@ object TextQueries {
           .as("punct"))
       .orderBy("doc_id")
 
-  /** x03 heuristic language-ID: stopword-hit argmax (ties broken by
-    * language code order). A narrow projection — scales linearly. */
+  /** Stopword-argmax language prediction over a token-list column
+    * (ties broken by language code order — foldRight gives the FIRST
+    * language priority). Shared by [[langId]] and [[corpusFilter]]. */
+  private def predLang(toks: Column): Column = {
+    val scores = Stopwords.map { case (l, w) =>
+      l -> stopwordHits(toks, w).cast("long")
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best, lang).otherwise(acc)
+    }
+  }
+
+  /** x03 heuristic language-ID: stopword-hit argmax. A narrow
+    * projection — scales linearly. */
   def langId(t: Tables): DataFrame = {
     val withScores = Stopwords.foldLeft(
       t.documents.withColumn("toks", tokens(col("text")))) {
       case (df, (lang, words)) =>
         df.withColumn(s"s_$lang", stopwordHits(col("toks"), words).cast("long"))
     }
-    val best = greatest(Stopwords.map { case (l, _) => col(s"s_$l") }: _*)
-    val pred = Stopwords.foldRight(lit("und")) { case ((lang, _), acc) =>
-      when(col(s"s_$lang") === best, lang).otherwise(acc)
-    }
-    // foldRight gives priority to the FIRST language in code order on ties
     withScores
-      .select(col("doc_id") +: pred.as("pred_lang") +:
+      .select(col("doc_id") +: predLang(col("toks")).as("pred_lang") +:
         Stopwords.map { case (l, _) => col(s"s_$l") }: _*)
       .orderBy("doc_id")
   }
@@ -183,19 +191,26 @@ object TextQueries {
 
   /** x10 quality score: bounded composite of length, lexical diversity
     * and punctuation density (reference-free heuristic). */
+  /** The composite quality score of x10 (length, lexical diversity,
+    * punctuation density), rounded to 6; NULL for token-less docs.
+    * Shared by [[qualityScore]] and [[corpusFilter]]. */
+  private def qualityCol(text: Column, toks: Column): Column = {
+    val nTok = size(toks).cast("double")
+    when(nTok > 0,
+      round(
+        least(lit(1.0), nTok / 100) * 0.5 +
+          (size(array_distinct(toks)).cast("double") / nTok) * 0.3 +
+          (lit(1.0) - least(lit(1.0),
+            length(regexp_replace(text, "[^.,!?;:]", ""))
+              .cast("double") / nTok)) * 0.2,
+        6))
+  }
+
   def qualityScore(t: Tables): DataFrame =
     t.documents
       .withColumn("toks", tokens(col("text")))
-      .withColumn("n_tok", size(col("toks")).cast("double"))
-      .select(
-        col("doc_id"),
-        round(
-          least(lit(1.0), col("n_tok") / 100) * 0.5 +
-            (size(array_distinct(col("toks"))).cast("double") / col("n_tok")) * 0.3 +
-            (lit(1.0) - least(lit(1.0),
-              length(regexp_replace(col("text"), "[^.,!?;:]", ""))
-                .cast("double") / col("n_tok"))) * 0.2,
-          6).as("quality"))
+      .select(col("doc_id"),
+        qualityCol(col("text"), col("toks")).as("quality"))
       .orderBy("doc_id")
 
   /** x15 BPE-ish token counting: subword-proxy counts per document
@@ -332,6 +347,53 @@ object TextQueries {
       .select(col("source"), col("doc_id"), col("rk"))
       .orderBy("source", "rk")
 
+  /** x19 the end-to-end corpus filter — the composed training-data
+    * pipeline every operator above exists for: each document gets ONE
+    * deterministic status by precedence
+    * `exact_dup > too_short > lang > low_quality > repetitive >
+    * near_dup > kept`, with every signal the same oracle-gated
+    * computation as its standalone query (x01/x02/x03/x10/x16/x07).
+    *
+    * Scan economy: the narrow per-row signals (token count, language,
+    * quality) and the exact-dup rank fuse into ONE pass over documents
+    * (the dedup "join" is a window over md5(text), no second scan);
+    * the two genuinely shuffling signals — n-gram repetition and
+    * MinHash-LSH near-dup pairs — run as their own branches and join
+    * back by doc_id. Near-dup drops the HIGHER doc_id of every
+    * qualifying pair (survivorship of the lower is irrelevant, keeping
+    * the rule deterministic without union-find). */
+  def corpusFilter(t: Tables, minTokens: Long = 20,
+                   langs: Seq[String] = Seq("en"),
+                   minQuality: Double = 0.3, maxDupFrac: Double = 0.6,
+                   nearDupJaccard: Double = 0.8): DataFrame = {
+    val base = t.documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("pred_lang", predLang(col("toks")))
+      .withColumn("quality", qualityCol(col("text"), col("toks")))
+      .withColumn("hash_rank", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+    val rep = repetition(t).select(col("doc_id"), col("dup2gram_frac"))
+    val nearDups = lshPairs(t)
+      .filter(col("jac") >= nearDupJaccard)
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("is_near_dup", lit(true))
+    base
+      .join(rep, Seq("doc_id"), "left")
+      .join(nearDups, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("hash_rank") > 1, "exact_dup")
+          .when(col("n_tokens") < minTokens, "too_short")
+          .when(not(col("pred_lang").isInCollection(langs)), "lang")
+          .when(col("quality") < minQuality, "low_quality")
+          .when(col("dup2gram_frac") > maxDupFrac, "repetitive")
+          .when(col("is_near_dup"), "near_dup")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("status"), col("pred_lang"),
+        col("n_tokens"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   /** name → query, in declared order. */
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x01_exactdedup" -> exactDedup _,
@@ -348,6 +410,7 @@ object TextQueries {
     "x15_bpetokens" -> bpeTokens _,
     "x16_repetition" -> repetition _,
     "x18_stratified" -> (t => stratifiedSample(t)),
+    "x19_corpus_filter" -> (t => corpusFilter(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -383,6 +446,38 @@ object TextQueries {
       s"CAST(len(list_filter(tk, x -> list_contains($lst, x))) AS BIGINT) AS s_$lang"
     }.mkString(", ")
 
+  /** DuckDB: stopword-argmax language (same tie order as [[predLang]]). */
+  private val langCaseSql: String =
+    s"CASE ${Stopwords.map { case (l, _) =>
+      s"WHEN s_$l = greatest(${Stopwords.map("s_" + _._1).mkString(", ")}) THEN '$l'"
+    }.mkString(" ")} ELSE 'und' END"
+
+  /** DuckDB: the x10 quality formula over (`text`, token list `tk`). */
+  private def qualitySql(text: String, tk: String): String = {
+    val nTok = s"CAST(len($tk) AS DOUBLE)"
+    s"""CASE WHEN len($tk) > 0 THEN ROUND(
+          least(1.0, $nTok / 100) * 0.5 +
+          (CAST(len(list_distinct($tk)) AS DOUBLE) / $nTok) * 0.3 +
+          (1.0 - least(1.0, CAST(length(regexp_replace($text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / $nTok)) * 0.2, 6) END"""
+  }
+
+  /** DuckDB CTEs ending in `jacp(d1, d2, jac)` — every LSH candidate
+    * pair with its verified (rounded) Jaccard; shared by x07 and x19. */
+  private val lshCtes: String = s"""${shingleCtes("")}, $sigSql,
+      banded AS (SELECT doc_id, ${(0 until 4).map(b =>
+        s"concat_ws('_', ${(0 until 4).map(r => f"m${b * 4 + r}%02d").mkString(", ")}) AS band$b").mkString(", ")}
+        FROM sig),
+      cand AS (SELECT DISTINCT d1, d2 FROM (${(0 until 4).map(b =>
+        s"SELECT x.doc_id AS d1, y.doc_id AS d2 FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id").mkString(" UNION ALL ")})),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM h GROUP BY doc_id),
+      inter AS (SELECT c.d1, c.d2, COUNT(*) AS i FROM cand c
+                JOIN h a ON a.doc_id = c.d1 JOIN h b ON b.doc_id = c.d2 AND b.hm = a.hm
+                GROUP BY c.d1, c.d2),
+      jacp AS (SELECT c.d1, c.d2,
+        ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) / CAST(s1.sz + s2.sz - COALESCE(i.i, 0) AS DOUBLE), 6) AS jac
+      FROM cand c LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+      JOIN sz s1 ON s1.doc_id = c.d1 JOIN sz s2 ON s2.doc_id = c.d2)"""
+
   private val simhashSql: String = s"""
       tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
       hh AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS hv FROM tok),
@@ -406,10 +501,7 @@ object TextQueries {
     "x03_langid" -> s"""
       WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
       s AS (SELECT doc_id, $stopCountsSql FROM t)
-      SELECT doc_id,
-        CASE ${Stopwords.map { case (l, _) =>
-          s"WHEN s_$l = greatest(${Stopwords.map("s_" + _._1).mkString(", ")}) THEN '$l'"
-        }.mkString(" ")} ELSE 'und' END AS pred_lang,
+      SELECT doc_id, $langCaseSql AS pred_lang,
         ${Stopwords.map("s_" + _._1).mkString(", ")}
       FROM s ORDER BY doc_id""",
     "x04_tokenfreq" -> s"""
@@ -428,31 +520,12 @@ object TextQueries {
       WITH ${shingleCtes("")}, $sigSql
       SELECT * FROM sig ORDER BY doc_id""",
     "x07_lshpairs" -> s"""
-      WITH ${shingleCtes("")}, $sigSql,
-      banded AS (SELECT doc_id, ${(0 until 4).map(b =>
-        s"concat_ws('_', ${(0 until 4).map(r => f"m${b * 4 + r}%02d").mkString(", ")}) AS band$b").mkString(", ")}
-        FROM sig),
-      cand AS (SELECT DISTINCT d1, d2 FROM (${(0 until 4).map(b =>
-        s"SELECT x.doc_id AS d1, y.doc_id AS d2 FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id").mkString(" UNION ALL ")})),
-      sz AS (SELECT doc_id, COUNT(*) AS sz FROM h GROUP BY doc_id),
-      inter AS (SELECT c.d1, c.d2, COUNT(*) AS i FROM cand c
-                JOIN h a ON a.doc_id = c.d1 JOIN h b ON b.doc_id = c.d2 AND b.hm = a.hm
-                GROUP BY c.d1, c.d2)
-      SELECT c.d1, c.d2,
-        ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) / CAST(s1.sz + s2.sz - COALESCE(i.i, 0) AS DOUBLE), 6) AS jac
-      FROM cand c LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
-      JOIN sz s1 ON s1.doc_id = c.d1 JOIN sz s2 ON s2.doc_id = c.d2
-      ORDER BY c.d1, c.d2""",
+      WITH $lshCtes
+      SELECT d1, d2, jac FROM jacp ORDER BY d1, d2""",
     "x10_quality" -> s"""
-      WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
-      u AS (SELECT doc_id, text, tk, CAST(len(tk) AS DOUBLE) AS n_tok FROM t)
-      SELECT doc_id,
-        CASE WHEN n_tok > 0 THEN ROUND(
-          least(1.0, n_tok / 100) * 0.5 +
-          (CAST(len(list_distinct(tk)) AS DOUBLE) / n_tok) * 0.3 +
-          (1.0 - least(1.0, CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / n_tok)) * 0.2, 6)
-        END AS quality
-      FROM u ORDER BY doc_id""",
+      WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents)
+      SELECT doc_id, ${qualitySql("text", "tk")} AS quality
+      FROM t ORDER BY doc_id""",
     "x11_fingerprint" ->
       raw"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id",
     "x12_simhash" -> s"""
@@ -501,5 +574,35 @@ object TextQueries {
           CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS BIGINT) AS rk
         FROM documents)
       WHERE rk <= 20 ORDER BY source, rk""",
+    "x19_corpus_filter" -> s"""
+      WITH $lshCtes,
+      t2 AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+      sw AS (SELECT doc_id, text, tk, $stopCountsSql FROM t2),
+      base AS (SELECT doc_id,
+          CAST(len(tk) AS BIGINT) AS n_tokens,
+          $langCaseSql AS pred_lang,
+          ${qualitySql("text", "tk")} AS quality,
+          ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS hash_rank
+        FROM sw),
+      g2 AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+               SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]) ELSE [] END) AS g
+               FROM t2) GROUP BY 1, 2),
+      rep AS (SELECT doc_id,
+                ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS dup2
+              FROM g2 GROUP BY doc_id),
+      nd AS (SELECT DISTINCT d2 AS doc_id FROM jacp WHERE jac >= 0.8)
+      SELECT b.doc_id,
+        CASE WHEN b.hash_rank > 1 THEN 'exact_dup'
+             WHEN b.n_tokens < 20 THEN 'too_short'
+             WHEN b.pred_lang NOT IN ('en') THEN 'lang'
+             WHEN b.quality < 0.3 THEN 'low_quality'
+             WHEN r.dup2 > 0.6 THEN 'repetitive'
+             WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+             ELSE 'kept' END AS status,
+        b.pred_lang, b.n_tokens, b.quality
+      FROM base b
+      LEFT JOIN rep r ON r.doc_id = b.doc_id
+      LEFT JOIN nd ON nd.doc_id = b.doc_id
+      ORDER BY b.doc_id""",
   )
 }
