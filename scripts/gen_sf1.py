@@ -35,8 +35,9 @@ def save(name, tbl):
 
 
 def shifted(tbl, offsets, i):
-    """Copy i of tbl with each key column shifted by i*span (span = max
-    key, so shifted ranges never collide)."""
+    """Copy i of tbl with each key column shifted by i*span (span =
+    max key + 1: keys are 0-based, so max alone would make copy i's top
+    key collide with copy i+1's bottom key)."""
     cols = {}
     for name in tbl.column_names:
         col = tbl.column(name)
@@ -48,7 +49,7 @@ def shifted(tbl, offsets, i):
 
 def replicate(name, key_cols):
     tbl = load(name)
-    offsets = {c: pc.max(tbl.column(c)).as_py() for c in key_cols}
+    offsets = {c: pc.max(tbl.column(c)).as_py() + 1 for c in key_cols}
     save(name, pa.concat_tables(
         shifted(tbl, offsets, i) for i in range(COPIES)))
 
@@ -59,10 +60,10 @@ os.makedirs(OUT, exist_ok=True)
 for name in ("region", "nation"):
     save(name, load(name))
 
-max_cust = pc.max(load("customer").column("c_custkey")).as_py()
-max_order = pc.max(load("orders").column("o_orderkey")).as_py()
-max_part = pc.max(load("part").column("p_partkey")).as_py()
-max_supp = pc.max(load("supplier").column("s_suppkey")).as_py()
+span_cust = pc.max(load("customer").column("c_custkey")).as_py() + 1
+span_order = pc.max(load("orders").column("o_orderkey")).as_py() + 1
+span_part = pc.max(load("part").column("p_partkey")).as_py() + 1
+span_supp = pc.max(load("supplier").column("s_suppkey")).as_py() + 1
 
 replicate("customer", ["c_custkey"])
 replicate("supplier", ["s_suppkey"])
@@ -70,14 +71,14 @@ replicate("part", ["p_partkey"])
 
 orders = load("orders")
 save("orders", pa.concat_tables(
-    shifted(orders, {"o_orderkey": max_order, "o_custkey": max_cust}, i)
+    shifted(orders, {"o_orderkey": span_order, "o_custkey": span_cust}, i)
     for i in range(COPIES)))
 
 lineitem = load("lineitem")
 save("lineitem", pa.concat_tables(
     shifted(lineitem,
-            {"l_orderkey": max_order, "l_partkey": max_part,
-             "l_suppkey": max_supp}, i)
+            {"l_orderkey": span_order, "l_partkey": span_part,
+             "l_suppkey": span_supp}, i)
     for i in range(COPIES)))
 
 replicate("events", ["event_id", "user_id"])
@@ -85,7 +86,7 @@ replicate("events", ["event_id", "user_id"])
 docs = load("documents")
 parts = []
 for i in range(COPIES):
-    t = shifted(docs, {"doc_id": pc.max(docs.column("doc_id")).as_py()}, i)
+    t = shifted(docs, {"doc_id": pc.max(docs.column("doc_id")).as_py() + 1}, i)
     if i > 0:
         rng = random.Random(1000 + i)
         texts = []
@@ -102,7 +103,7 @@ emb = load("embeddings")
 parts = []
 dim = len(emb.column("embedding")[0])
 for i in range(COPIES):
-    t = shifted(emb, {"vec_id": pc.max(emb.column("vec_id")).as_py()}, i)
+    t = shifted(emb, {"vec_id": pc.max(emb.column("vec_id")).as_py() + 1}, i)
     if i > 0:
         rot = (7 * i) % dim
         vecs = [v[rot:] + v[:rot] for v in t.column("embedding").to_pylist()]

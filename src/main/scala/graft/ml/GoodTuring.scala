@@ -28,7 +28,11 @@ object GoodTuring {
     val nr = counts.groupBy(identity).map { case (r, g) => (r, g.size.toLong) }
     val rs = nr.keys.toArray.sorted
     val n = counts.map(_.toDouble).sum
-    val p0 = nr.getOrElse(1L, 0L) / n
+    // .safe_good_turing symmetry with the no-singletons branch below:
+    // an all-singletons profile gives P0 = n₁/N = 1, which would zero
+    // every observed probability (log(0) downstream in emptyDrops) —
+    // cap so the observed pool keeps at least 1/N total mass
+    val p0 = math.min(nr.getOrElse(1L, 0L) / n, 1.0 - 1.0 / n)
     // PROX smoothing: Z_r = n_r / (0.5·(t − q)) with q,t the
     // neighboring observed frequencies (q = 0 at the left edge,
     // t = 2r − q at the right), then a log-log least-squares fit

@@ -223,15 +223,32 @@ object Similarity {
     cs
   }
 
-  /** Trained-quantizer snapshot from the most recent [[ivfTopK]] call —
-    * the material the generated x14 DuckDB oracle is built from. The
-    * whole pipeline is deterministic (value-hashed sample, seeded
-    * k-means), so emitting the trained centroids as SQL literals lets
-    * the oracle reproduce assignment + probe + scoring exactly. */
+  /** Trained-quantizer snapshot — the material the generated x14
+    * DuckDB oracle is built from. The whole pipeline is deterministic
+    * (value-hashed sample, seeded k-means), so emitting the trained
+    * centroids as SQL literals lets the oracle reproduce assignment +
+    * probe + scoring exactly. */
   private[operators] final case class IvfModel(
       centroids: Array[Array[Double]], nQueries: Int, k: Int, nprobe: Int)
 
-  @volatile private[operators] var lastIvf: Option[IvfModel] = None
+  /** Gate parameters for x14/x17 (the defaults of [[ivfTopK]] /
+    * [[kmeansCells]]). The generated oracles look these up specifically
+    * rather than taking "whatever trained last", so a spec training
+    * with different settings between the gate run and the oracle dump
+    * cannot clobber the emitted SQL. */
+  private[operators] val GateNlist = 16
+  private[operators] val GateSeed = 42L
+  private[operators] val GateMaxTrain = 20000
+  private val GateNQueries = 10
+  private val GateK = 10
+  private val GateNprobe = 4
+
+  /** Centroids keyed by the parameters that determine them (for fixed
+    * input data — Verify trains and dumps within one run over one SF
+    * dir, so data identity is given). */
+  private[operators] final case class QuantKey(nlist: Int, seed: Long, maxTrain: Int)
+  private val trainedQuantizers =
+    new java.util.concurrent.ConcurrentHashMap[QuantKey, Array[Array[Double]]]()
 
   /** Train the seeded quantizer on a bounded value-hashed sample and
     * assign every corpus vector to its nearest centroid — the shared
@@ -250,6 +267,7 @@ object Similarity {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val centroids = trainQuantizer(sample, nlist, iters = 5, seed = seed)
+    trainedQuantizers.put(QuantKey(nlist, seed, maxTrain), centroids)
     val scoreArr = array(centroids.map { c =>
       dotCols(col("embedding"), lit(c)) * 2.0 - lit(c.map(x => x * x).sum)
     }: _*)
@@ -261,13 +279,13 @@ object Similarity {
     (assigned, centroids)
   }
 
-  def ivfTopK(t: Tables, nQueries: Int = 10, k: Int = 10, nlist: Int = 16,
-              nprobe: Int = 4, seed: Long = 42L,
-              maxTrain: Int = 20000): DataFrame = {
+  def ivfTopK(t: Tables, nQueries: Int = GateNQueries, k: Int = GateK,
+              nlist: Int = GateNlist, nprobe: Int = GateNprobe,
+              seed: Long = GateSeed,
+              maxTrain: Int = GateMaxTrain): DataFrame = {
     val spark = t.spark
     import spark.implicits._
     val (assigned, centroids) = trainAndAssign(t, nlist, seed, maxTrain)
-    lastIvf = Some(IvfModel(centroids, nQueries, k, nprobe))
     // nprobe nearest centroids per query vector (driver: nQueries × nlist)
     val queries = t.embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -294,8 +312,6 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
-  @volatile private[operators] var lastKmeans: Option[Array[Array[Double]]] = None
-
   /** x17 corpus clustering: every vector assigned to its nearest
     * trained centroid, summarized per cell — the cluster-balanced
     * sampling / curriculum bucketing primitive of a training-data
@@ -303,10 +319,9 @@ object Similarity {
     * so the hash gate is immune to distributed float-sum ordering; the
     * oracle reproduces assignment from the emitted centroid literals
     * exactly like x14. */
-  def kmeansCells(t: Tables, nlist: Int = 16, seed: Long = 42L,
-                  maxTrain: Int = 20000): DataFrame = {
-    val (assigned, centroids) = trainAndAssign(t, nlist, seed, maxTrain)
-    lastKmeans = Some(centroids)
+  def kmeansCells(t: Tables, nlist: Int = GateNlist, seed: Long = GateSeed,
+                  maxTrain: Int = GateMaxTrain): DataFrame = {
+    val (assigned, _) = trainAndAssign(t, nlist, seed, maxTrain)
     assigned
       .groupBy(col("cell").cast("int").as("cell"))
       .agg(count(lit(1)).as("n"),
@@ -389,9 +404,11 @@ object Similarity {
       SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos, rk FROM r WHERE rk <= ${m.k} ORDER BY qid, rk"""
   }
 
-  /** A `def`: the x14 entry appears once a run has trained the
-    * quantizer (Verify runs every query before dumping oracle_sql.json,
-    * so the emitted SQL always reflects exactly that run's centroids). */
+  /** A `def`: the x14/x17 entries appear once a run has trained the
+    * GATE-parameter quantizer (Verify runs every query before dumping
+    * oracle_sql.json, so the emitted SQL reflects exactly that run's
+    * centroids; training with other parameters lands under a different
+    * [[QuantKey]] and cannot affect the gate oracle). */
   def oracles: Map[String, String] = Map(
     "x08_cosine_topk" -> s"""
       WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
@@ -409,10 +426,15 @@ object Similarity {
             FROM sk x JOIN sk y ON x.vec_id < y.vec_id
               AND (${(0 until NumBands).map(b => s"x.b$b = y.b$b").mkString(" OR ")}))
       SELECT v1, v2, ROUND(cos_raw, 6) AS cos FROM p WHERE cos_raw >= $NearDupGateThreshold ORDER BY v1, v2""",
-  ) ++ lastIvf.map(m => "x14_ivf_topk" -> ivfSql(m)).toMap ++
-    lastKmeans.map(cs => "x17_kmeans_cells" -> s"""
+  ) ++ {
+    val gate = Option(trainedQuantizers.get(
+      QuantKey(GateNlist, GateSeed, GateMaxTrain)))
+    gate.map(cs => "x14_ivf_topk" ->
+      ivfSql(IvfModel(cs, GateNQueries, GateK, GateNprobe))).toMap ++
+      gate.map(cs => "x17_kmeans_cells" -> s"""
       WITH ${assignCtes(cs)}
       SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n,
         MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
       FROM a GROUP BY cell ORDER BY cell""").toMap
+  }
 }

@@ -4,7 +4,6 @@ import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
 import java.util
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.io.compress.CompressionCodecFactory
 import org.apache.spark.sql.SparkSession
@@ -16,6 +15,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 reader for the MatrixMarket coordinate body —
   * `spark.read.format("mtx").load(path)` → `(gene_idx, cell_idx,
@@ -87,25 +87,15 @@ class MtxScanBuilder(paths: Seq[String])
         else Seq(st)
       }.map(_.getPath.toString)
     }.distinct.sorted
-    // ship only filesystem/codec conf entries — enough to rebuild the
-    // FS client and codec factory executor-side without dragging the
-    // whole (non-serializable) Configuration through the closure
-    val confMap = {
-      val it = conf.iterator()
-      val b = Map.newBuilder[String, String]
-      while (it.hasNext) {
-        val e = it.next()
-        if (e.getKey.startsWith("fs.") || e.getKey.startsWith("io."))
-          b += e.getKey -> e.getValue
-      }
-      b.result()
-    }
-    new MtxScan(files, required, confMap)
+    // ship the FULL Hadoop conf via the standard serializable wrapper —
+    // a prefix-filtered subset would drop e.g. hadoop.security.* and
+    // credential-provider keys and break reads on secured clusters
+    new MtxScan(files, required, new SerializableConfiguration(conf))
   }
 }
 
 class MtxScan(files: Seq[String], required: StructType,
-              confMap: Map[String, String]) extends Scan with Batch {
+              conf: SerializableConfiguration) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -113,16 +103,16 @@ class MtxScan(files: Seq[String], required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     files.map(MtxInputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    MtxReaderFactory(required, confMap)
+    MtxReaderFactory(required, conf)
 }
 
 case class MtxInputPartition(path: String) extends InputPartition
 
-case class MtxReaderFactory(required: StructType, confMap: Map[String, String])
+case class MtxReaderFactory(required: StructType, conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new MtxPartitionReader(
-      partition.asInstanceOf[MtxInputPartition].path, required, confMap)
+      partition.asInstanceOf[MtxInputPartition].path, required, conf)
 }
 
 /** Streams one (possibly gzipped) MatrixMarket file: `%` comments and
@@ -131,10 +121,9 @@ case class MtxReaderFactory(required: StructType, confMap: Map[String, String])
   * positionally exactly like the reference's reader); every other line
   * parses to the projected subset of `(gene_idx, cell_idx, count)`. */
 class MtxPartitionReader(path: String, required: StructType,
-                         confMap: Map[String, String])
+                         sConf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
-  private val conf = new Configuration()
-  confMap.foreach { case (k, v) => conf.set(k, v) }
+  private val conf = sConf.value
   private val p = new Path(path)
   private val reader = {
     val fs = p.getFileSystem(conf)

@@ -48,6 +48,18 @@ class GoodTuringSpec extends AnyFunSuite {
     assert(math.abs(total - 1.0) < 1e-9)
   }
 
+  test("all singletons: P0 capped so observed probabilities stay positive") {
+    // P0 = n₁/N = 1 would zero every observed probability (and
+    // emptyDrops would log(0)); the cap reserves 1/N for the observed
+    // pool, mirroring the no-singletons fallback in the other direction
+    val (p, pUnseen) = GoodTuring.proportions(Seq(1L, 1L, 1L, 1L), nUnseen = 3)
+    assert(p(1L) > 0, s"observed singleton probability must be positive, got ${p(1L)}")
+    assert(pUnseen > 0)
+    val total = 4 * p(1L) + 3 * pUnseen
+    assert(math.abs(total - 1.0) < 1e-9, s"mass must sum to 1, got $total")
+    assert(math.abs(4 * p(1L) - 1.0 / 4) < 1e-9) // observed pool keeps 1/N
+  }
+
   test("all species seen: observed mass stays 1 - P0 (edgeR semantics)") {
     val (p, pUnseen) = GoodTuring.proportions(Seq(1L, 2L, 2L, 3L), nUnseen = 0)
     assert(pUnseen == 0.0)
