@@ -343,6 +343,76 @@ object StarQueries {
         col("n"), col("tot"))
       .orderBy("user_id", "s_start")
 
+  /** Q34 hierarchical rollup — the multi-level summary-table shape
+    * (per-flag / per-flag-status / grand total in ONE pass; the QC
+    * report's nested totals, SURVEY §2.4 family). Catalyst plans
+    * ROLLUP as a single Expand + one shuffled aggregation, vs three
+    * separate groupBys with three shuffles. `grouping_id` marks the
+    * level (leftmost column = most significant bit — the convention
+    * DuckDB's GROUPING() shares). */
+  def q34(t: Tables): DataFrame =
+    t.lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast(dec2)).cast("double"), 2).as("qty"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** Q35 pivot (long → wide) — the per-key status matrix shape (e.g.
+    * the cell-sets table pivoted sample × cluster). The pivot values
+    * are DECLARED, not discovered, so no extra distinct job runs and
+    * the plan is a single groupBy aggregation at any scale; absent
+    * combinations surface as 0, matching the oracle's conditional
+    * counts. */
+  def q35(t: Tables): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t.events
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy("user_id")
+  }
+
+  /** Q36 as-of join — every click matched to the LATEST error at or
+    * before it for the same user (the point-in-time lookup; DuckDB's
+    * native ASOF JOIN is the oracle). Spark has no asof operator, and
+    * the range-join formulation explodes quadratically per user — the
+    * scalable shape is the tagged union + running
+    * `last(_, ignoreNulls)` window: ONE shuffle on user_id, linear
+    * work, the plan that survives 100 TB of events. Semantics pinned:
+    * an error at the click's exact nanosecond counts as "before"
+    * (tag orders errors first at equal ts), and errors are deduped per
+    * (user, ts) keeping the max event_id so ties are deterministic on
+    * both engines. */
+  def q36(t: Tables): DataFrame = {
+    val ev = t.events
+    val err = ev.filter(col("event_type") === "error")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "ts_ns").orderBy(col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts_ns"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"),
+        col("ts_ns").as("err_ts_ns"), col("value").as("err_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ns"), lit(1).as("tag"), col("event_id"),
+        lit(null).cast("long").as("err_ts_ns"),
+        lit(null).cast("double").as("err_value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    err.unionByName(clicks)
+      .withColumn("le_ts", last(col("err_ts_ns"), ignoreNulls = true).over(w))
+      .withColumn("le_val", last(col("err_value"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"),
+        expr("le_ts div 1000").as("err_ts_us"),
+        col("le_val").as("err_value"))
+      .orderBy("event_id")
+  }
+
   /** name → query, in declared order. */
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "q01_project" -> q01 _, "q02_filter" -> q02 _, "q03_regex" -> q03 _,
@@ -356,6 +426,7 @@ object StarQueries {
     "q24_duprename" -> q24 _, "q25_topk" -> q25 _, "q26_idlist" -> q26 _,
     "q28_md5" -> q28 _, "q29_dateextract" -> q29 _, "q30_bhfdr" -> q30 _,
     "q31_window" -> q31 _, "q32_cumsum" -> q32 _, "q33_session" -> q33 _,
+    "q34_rollup" -> q34 _, "q35_pivot" -> q35 _, "q36_asof" -> q36 _,
   )
 
   /** DuckDB-dialect oracles, semantically identical to the Spark plans.
@@ -439,5 +510,26 @@ object StarQueries {
         COUNT(*) AS n,
         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS tot
       FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""",
+    "q34_rollup" ->
+      "SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, COUNT(*) AS n, ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "q35_pivot" -> """
+      SELECT user_id,
+        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      FROM events GROUP BY user_id ORDER BY user_id""",
+    "q36_asof" -> """
+      WITH err AS (SELECT user_id, ts, value FROM (
+          SELECT user_id, ts, value, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+          FROM events WHERE event_type = 'error') WHERE rn = 1),
+      c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      SELECT c.event_id, c.user_id,
+        epoch_us(CAST(c.ts AS TIMESTAMP)) AS ts_us,
+        epoch_us(CAST(e.ts AS TIMESTAMP)) AS err_ts_us,
+        e.value AS err_value
+      FROM c ASOF LEFT JOIN err e ON c.user_id = e.user_id AND c.ts >= e.ts
+      ORDER BY c.event_id""",
   )
 }

@@ -275,7 +275,12 @@ object TextQueries {
     * per-token simhash projection is computed once and its exchange
     * reused for both self-join sides (vs 3+ recomputations in the
     * naive bands-then-rejoin formulation). */
-  def simhashPairs(t: Tables): DataFrame = {
+  def simhashPairs(t: Tables): DataFrame =
+    simhashPairsRaw(t).orderBy("d1", "d2")
+
+  /** The x13 pair set without the gate's total sort — reused as the
+    * edge list of [[dupClusters]]. */
+  private def simhashPairsRaw(t: Tables): DataFrame = {
     val sims = simhashDf(t.documents)
     val banded = sims
       .select(col("doc_id"), col("sim"), explode(array((0 until 4).map(b =>
@@ -294,7 +299,6 @@ object TextQueries {
       .select(col("d1"), col("d2"),
         bit_count(col("sim1").bitwiseXOR(col("sim2"))).cast("long").as("ham"))
       .filter(col("ham") <= 6)
-      .orderBy("d1", "d2")
   }
 
   /** x16 repetition signals — the Gopher-family quality filters (Rae
@@ -394,6 +398,103 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** x20 KMV (k-minimum-values) approximate distinct count — the
+    * mergeable cardinality sketch of a 100 TB pipeline (Bar-Yossef et
+    * al. 2002): per group keep the k smallest values of a uniform hash
+    * of the keys; if fewer than k survive that IS the exact count,
+    * else estimate (k−1)/u_k with u_k the k-th smallest hash
+    * normalized to [0,1). Built on the engine's single shared hash
+    * primitive (md5 h60), so the DuckDB oracle reproduces the estimate
+    * BIT-FOR-BIT — unlike HLL, whose engine-private sketches can never
+    * cross-check. Scale shape: the k smallest are found in two stages
+    * (k per 64-way salt bucket, then k global), so no window partition
+    * ever holds more than 64·k rows per group at any corpus size. */
+  def kmvDistinct(t: Tables, k: Int = 32): DataFrame = {
+    val twoPow60 = 1152921504606846976.0 // 2^60, exactly representable
+    val hashed = t.events
+      .select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"), hash60(col("user_id").cast("string")).as("h"))
+    val stage1 = hashed
+      .withColumn("rk1", row_number().over(
+        Window.partitionBy(col("event_type"), pmod(col("h"), lit(64L)))
+          .orderBy(col("h"))))
+      .filter(col("rk1") <= k)
+    val stage2 = stage1
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")).cast("long"))
+    stage2.groupBy("event_type")
+      .agg(
+        max("rk").as("sketch_n"), // < k  ⟺  the group has < k distinct keys
+        max(when(col("rk") === k, col("h"))).as("hk"))
+      .select(col("event_type"),
+        round(
+          when(col("sketch_n") < k, col("sketch_n").cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (col("hk").cast("double") / lit(twoPow60))), 6).as("kmv_est"))
+      .orderBy("event_type")
+  }
+
+  /** x21 duplicate clusters — the union-find step every dedup pipeline
+    * needs between pair generation and survivorship: the SimHash
+    * near-dup pairs (the x13 edge list) grouped into connected
+    * components, cluster id = min doc_id of the component, keep flag
+    * on that representative. Distributed hash-min label propagation:
+    * each round every node adopts the minimum label in its closed
+    * neighborhood (one join + one min-groupBy), converging in
+    * O(component diameter) rounds — near-dup components are small
+    * dense clumps, so 2–3 rounds in practice, with a driver-side
+    * fixpoint check bounding the loop. The oracle reproduces the
+    * components with a recursive min-label-over-reachability CTE on
+    * the same edges. */
+  def dupClusters(t: Tables, maxRounds: Int = 25): DataFrame =
+    connectedComponents(
+      simhashPairsRaw(t).select(col("d1").as("s"), col("d2").as("d")),
+      maxRounds)
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("is_rep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+
+  /** Distributed connected components by hash-min label propagation
+    * with pointer jumping. Input: undirected edges as (s, d) rows (one
+    * direction suffices; symmetrized here). Output: (v, lbl) with
+    * lbl = min node id of v's component. */
+  private[operators] def connectedComponents(edges0: DataFrame,
+                                             maxRounds: Int = 25): DataFrame = {
+    val edges = edges0
+      .unionByName(edges0.select(col("d").as("s"), col("s").as("d")))
+      .persist()
+    // localCheckpoint (eager) each round: truncates the logical plan,
+    // which otherwise DOUBLES per iteration (the per-round join/agg
+    // re-embeds the previous round's whole tree) and OOMs the analyzer
+    // long before the data is big
+    var labels = edges.select(col("s").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl")).localCheckpoint(true)
+    var rounds = 0
+    var converged = labels.isEmpty
+    while (!converged && rounds < maxRounds) {
+      // (1) neighbor-min: adopt the smallest label in the closed
+      // neighborhood
+      val prop = edges.join(labels, edges("s") === labels("v"))
+        .select(col("d").as("v"), col("lbl"))
+      val nm = labels.unionByName(prop).groupBy("v").agg(min("lbl").as("lbl"))
+      // (2) pointer-jump (path doubling): follow the label's own label
+      // — lbl(v) := lbl(lbl(v)). Near-dup components can be CHAINS
+      // (a~b~c without a~c), where neighbor-min alone needs
+      // O(diameter) rounds; the jump makes it O(log diameter).
+      val hop = nm.select(col("v").as("pv"), col("lbl").as("plbl"))
+      val next = nm.join(hop, nm("lbl") === hop("pv"), "left")
+        .select(col("v"), coalesce(col("plbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "v")
+        .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** name → query, in declared order. */
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x01_exactdedup" -> exactDedup _,
@@ -411,6 +512,8 @@ object TextQueries {
     "x16_repetition" -> repetition _,
     "x18_stratified" -> (t => stratifiedSample(t)),
     "x19_corpus_filter" -> (t => corpusFilter(t)),
+    "x20_kmv_distinct" -> (t => kmvDistinct(t)),
+    "x21_dupclusters" -> (t => dupClusters(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -604,5 +707,35 @@ object TextQueries {
       LEFT JOIN rep r ON r.doc_id = b.doc_id
       LEFT JOIN nd ON nd.doc_id = b.doc_id
       ORDER BY b.doc_id""",
+    // KMV over the SAME md5 h60 primitive: the k-th-smallest hash (and
+    // hence the estimate) is reproduced bit-for-bit; the salt-bucketed
+    // two-stage top-k on the Spark side selects exactly the global k
+    // smallest, so a plain one-stage rank is an equivalent oracle.
+    "x20_kmv_distinct" -> """
+      WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+      h AS (SELECT event_type, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM d),
+      r AS (SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk FROM h),
+      g AS (SELECT event_type, MAX(rk) AS sketch_n, MAX(CASE WHEN rk = 32 THEN h END) AS hk
+            FROM r GROUP BY event_type)
+      SELECT event_type,
+        ROUND(CASE WHEN sketch_n < 32 THEN CAST(sketch_n AS DOUBLE)
+                   ELSE 31.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0) END, 6) AS kmv_est
+      FROM g ORDER BY event_type""",
+    "x21_dupclusters" -> s"""
+      WITH RECURSIVE $simhashSql,
+      banded AS (SELECT doc_id, sim, ${(0 until 4).map(b =>
+        s"((sim >> ${b * 15}) & 32767) AS band$b").mkString(", ")} FROM sims),
+      cand AS (SELECT DISTINCT d1, d2 FROM (${(0 until 4).map(b =>
+        s"SELECT x.doc_id AS d1, y.doc_id AS d2 FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id").mkString(" UNION ALL ")})),
+      p AS (SELECT c.d1, c.d2 FROM cand c JOIN sims x ON x.doc_id = c.d1 JOIN sims y ON y.doc_id = c.d2
+            WHERE bit_count(xor(x.sim, y.sim)) <= 6),
+      e AS (SELECT d1 AS s, d2 AS d FROM p UNION ALL SELECT d2 AS s, d1 AS d FROM p),
+      n AS (SELECT DISTINCT s AS v FROM e),
+      walk(v, lbl) AS (
+        SELECT v, v FROM n
+        UNION
+        SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.v)
+      SELECT v AS doc_id, MIN(lbl) AS cluster_id, (v = MIN(lbl)) AS is_rep
+      FROM walk GROUP BY v ORDER BY doc_id""",
   )
 }
