@@ -454,14 +454,53 @@ object TextQueries {
       .withColumn("is_rep", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
 
-  /** Distributed connected components by hash-min label propagation
-    * with pointer jumping. Input: undirected edges as (s, d) rows (one
-    * direction suffices; symmetrized here). Output: (v, lbl) with
-    * lbl = min node id of v's component. */
+  /** Connected components over undirected edges given as (s, d) rows
+    * (one direction suffices). Output: (v, lbl) with lbl = min node id
+    * of v's component.
+    *
+    * Size-routed like the repo's other graph kernels
+    * (ConfigureEmbedding): the dedup graph is orders of magnitude
+    * smaller than the corpus (only docs in near-dup PAIRS appear), so
+    * up to `driverLimit` edges a driver union-find answers in
+    * microseconds — each distributed round costs 3 scheduled jobs,
+    * pure overhead at that size. Past the limit, the iterative
+    * hash-min + pointer-jump propagation runs fully distributed. Both
+    * paths produce the identical min-label output (spec-asserted). */
   private[operators] def connectedComponents(edges0: DataFrame,
-                                             maxRounds: Int = 25): DataFrame = {
-    val edges = edges0
-      .unionByName(edges0.select(col("d").as("s"), col("s").as("d")))
+                                             maxRounds: Int = 25,
+                                             driverLimit: Long = 1000000): DataFrame = {
+    val sess = edges0.sparkSession
+    val input = edges0.persist()
+    val nEdges = input.count()
+    if (nEdges <= driverLimit) {
+      import sess.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      input.select(col("s").cast("long"), col("d").cast("long")).collect()
+        .foreach { row =>
+          val s = row.getLong(0); val d = row.getLong(1)
+          parent.getOrElseUpdate(s, s)
+          parent.getOrElseUpdate(d, d)
+          val rs = find(s); val rd = find(d)
+          if (rs != rd) parent(rs) = rd
+        }
+      val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+      parent.keysIterator.foreach { v =>
+        val r = find(v)
+        minOf(r) = math.min(minOf.getOrElse(r, v), v)
+      }
+      val out = parent.keysIterator.map(v => (v, minOf(find(v)))).toSeq
+      input.unpersist()
+      return out.toDF("v", "lbl")
+    }
+    val edges = input
+      .unionByName(input.select(col("d").as("s"), col("s").as("d")))
       .persist()
     // localCheckpoint (eager) each round: truncates the logical plan,
     // which otherwise DOUBLES per iteration (the per-round join/agg
@@ -492,6 +531,7 @@ object TextQueries {
       rounds += 1
     }
     edges.unpersist()
+    input.unpersist()
     labels
   }
 

@@ -110,28 +110,36 @@ class Round4Spec extends SparkSpec {
     assert(r.getString(0) == "rare" && r.getDouble(1) == 2.0)
   }
 
-  test("cc: chain and clique components resolve to their min ids") {
+  test("cc: chain and clique components resolve to their min ids (both routes)") {
     // component {1,2,3,4} as a pure chain (diameter 3), {10,11,12} as a
     // clique, {20} absent (isolated nodes don't appear in pair output)
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
       .toDF("s", "d")
-    val lbl = TextQueries.connectedComponents(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(lbl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L)
+    // driverLimit = 0 forces the distributed loop; default takes the
+    // driver union-find — the two routes must agree exactly
+    for (lim <- Seq(1000000L, 0L)) {
+      val lbl = TextQueries.connectedComponents(edges, driverLimit = lim)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lbl == expect, s"driverLimit=$lim")
+    }
   }
 
   test("cc: a 32-node path converges within the pointer-jump round budget") {
     // worst-case shape for plain neighbor-min (needs diameter rounds);
     // path doubling must finish it in O(log n) — well under 25
     val edges = (0L until 31L).map(i => (i, i + 1)).toDF("s", "d")
-    val lbl = TextQueries.connectedComponents(edges, maxRounds = 8).collect()
+    val lbl = TextQueries
+      .connectedComponents(edges, maxRounds = 8, driverLimit = 0).collect()
     assert(lbl.length == 32 && lbl.forall(_.getLong(1) == 0L))
   }
 
   test("cc: empty edge set yields an empty labeling without looping") {
-    val empty = Seq.empty[(Long, Long)].toDF("s", "d")
-    assert(TextQueries.connectedComponents(empty).count() == 0)
+    for (lim <- Seq(1000000L, 0L)) {
+      val empty = Seq.empty[(Long, Long)].toDF("s", "d")
+      assert(TextQueries.connectedComponents(empty, driverLimit = lim).count() == 0)
+    }
   }
 
   test("dupClusters: representatives are the component minima and cover all members") {
