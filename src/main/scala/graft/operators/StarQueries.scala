@@ -413,6 +413,21 @@ object StarQueries {
       .orderBy("event_id")
   }
 
+  /** Q37 JSON extraction (§2.8) — the semi-structured `props` column
+    * parsed in place: `get_json_object` path extraction feeding a
+    * grouped aggregate. Codegen'd path extraction per row, one shuffle
+    * for the aggregate — no UDF, no schema inference job. */
+  def q37(t: Tables): DataFrame =
+    t.events
+      .select(
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast(dec6)).cast("double"), 6).as("tot"))
+      .orderBy("k")
+
   /** name → query, in declared order. */
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "q01_project" -> q01 _, "q02_filter" -> q02 _, "q03_regex" -> q03 _,
@@ -427,6 +442,7 @@ object StarQueries {
     "q28_md5" -> q28 _, "q29_dateextract" -> q29 _, "q30_bhfdr" -> q30 _,
     "q31_window" -> q31 _, "q32_cumsum" -> q32 _, "q33_session" -> q33 _,
     "q34_rollup" -> q34 _, "q35_pivot" -> q35 _, "q36_asof" -> q36 _,
+    "q37_json" -> q37 _,
   )
 
   /** DuckDB-dialect oracles, semantically identical to the Spark plans.
@@ -531,5 +547,7 @@ object StarQueries {
         e.value AS err_value
       FROM c ASOF LEFT JOIN err e ON c.user_id = e.user_id AND c.ts >= e.ts
       ORDER BY c.event_id""",
+    "q37_json" ->
+      "SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS tot FROM events GROUP BY k ORDER BY k",
   )
 }

@@ -461,14 +461,16 @@ object TextQueries {
     * Size-routed like the repo's other graph kernels
     * (ConfigureEmbedding): the dedup graph is orders of magnitude
     * smaller than the corpus (only docs in near-dup PAIRS appear), so
-    * up to `driverLimit` edges a driver union-find answers in
-    * microseconds — each distributed round costs 3 scheduled jobs,
-    * pure overhead at that size. Past the limit, the iterative
-    * hash-min + pointer-jump propagation runs fully distributed. Both
-    * paths produce the identical min-label output (spec-asserted). */
+    * up to `driverLimit` edges a driver union-find answers in under a
+    * second (10M edges ≈ 160 MB collected — nothing on a driver sized
+    * for a 1000-executor cluster), while each distributed round costs
+    * ~3 scheduled jobs across the whole cluster. Past the limit, the
+    * iterative hash-min + pointer-jump propagation runs fully
+    * distributed. Both paths produce the identical min-label output
+    * (spec-asserted). */
   private[operators] def connectedComponents(edges0: DataFrame,
                                              maxRounds: Int = 25,
-                                             driverLimit: Long = 1000000): DataFrame = {
+                                             driverLimit: Long = 10000000): DataFrame = {
     val sess = edges0.sparkSession
     val input = edges0.persist()
     val nEdges = input.count()
