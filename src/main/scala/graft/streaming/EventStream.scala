@@ -43,6 +43,34 @@ object EventStream {
         col("session_window.end").as("s_end"),
         col("n"), col("tot"))
 
+  /** Q36's streaming form: a watermarked stream-stream INTERVAL join —
+    * each click joined to errors of the same user within the preceding
+    * `horizon`. Both sides carry watermarks and the join predicate
+    * time-bounds the match, so the state store retains only `horizon +
+    * watermark` of either stream (unbounded state would be the
+    * streaming scale-killer). Inner-join semantics: clicks with no
+    * error in the horizon don't emit (streaming outer interval joins
+    * emit on watermark expiry; kept inner for deterministic specs).
+    * Works on batch frames too, where it degrades to a plain range
+    * join. */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame,
+                     horizon: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", "1 hour")
+    val e = errors
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("value").as("e_value"))
+      .withWatermark("e_ts", "1 hour")
+    c.join(e,
+      col("c_user") === col("e_user") &&
+        col("e_ts") <= col("c_ts") &&
+        col("e_ts") >= col("c_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("c_user").as("user_id"), col("c_ts"), col("e_ts"),
+        col("e_value"))
+  }
+
   /** Q32's stateful form: running per-user totals via
     * `mapGroupsWithState` — the engine's `KeyValueGroupedDataset`
     * custom-state surface. Emits the updated running total for each

@@ -134,4 +134,31 @@ class PlanSpec extends SparkSpec {
     assert(scanLine.contains("sample"), p.take(3000))
     assert(perSample.collect().map(_.getString(0)).forall(_ == "s1"))
   }
+
+  test("q34: rollup produces every level from ONE Expand + one aggregation shuffle") {
+    val p = plan(StarQueries.q34(t))
+    assert("Expand".r.findAllIn(p).length == 1, p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(2000))
+  }
+
+  test("q35: declared pivot values avoid a distinct-discovery job") {
+    val p = plan(StarQueries.q35(t))
+    // a single grouped aggregation — no extra shuffle from collecting
+    // pivot values at plan time
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p.take(2000))
+  }
+
+  test("q36: as-of is window-based — no range-join blowup, user-keyed exchanges only") {
+    val p = plan(StarQueries.q36(t))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    // error dedup (user_id, ts_ns) + as-of window (user_id)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p.take(2000))
+  }
+
+  test("q37: JSON path extraction stays codegen'd, no UDF node") {
+    val p = plan(StarQueries.q37(t))
+    assert(p.contains("get_json_object") && !p.contains("BatchEvalPython"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000)) // partial agg
+  }
 }

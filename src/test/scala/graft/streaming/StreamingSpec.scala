@@ -81,4 +81,37 @@ class StreamingSpec extends SparkSpec {
     assert(agg == Set(("u1", "2026-01-01 09:00:00.0", 2L),
       ("u1", "2026-01-01 10:00:00.0", 1L)))
   }
+
+  test("stream-stream interval join matches errors within the horizon only") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val q = EventStream.clickErrorJoin(clicks.toDF(), errors.toDF())
+      .writeStream.format("memory").queryName("click_err")
+      .outputMode("append").start()
+    try {
+      errors.addData(
+        Event(ts(9, 0), "u1", 1.0),   // within 1h of the 9:30 click
+        Event(ts(7, 0), "u1", 2.0),   // outside the horizon
+        Event(ts(9, 10), "u2", 3.0))  // other user
+      clicks.addData(Event(ts(9, 30), "u1", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("click_err").collect()
+        .map(r => (r.getString(0), r.getTimestamp(2).toString, r.getDouble(3)))
+        .toSet
+      assert(rows == Set(("u1", "2026-01-01 09:00:00.0", 1.0)))
+      // a later error after the click never matches (e_ts <= c_ts)
+      errors.addData(Event(ts(9, 45), "u1", 9.0))
+      q.processAllAvailable()
+      assert(spark.table("click_err").count() == 1)
+    } finally q.stop()
+  }
+
+  test("interval join on batch frames degrades to the same range-join result") {
+    val clicks = Seq(Event(ts(9, 30), "u1", 0.0), Event(ts(12, 0), "u1", 0.0)).toDF()
+    val errors = Seq(Event(ts(9, 0), "u1", 1.0), Event(ts(7, 0), "u1", 2.0)).toDF()
+    val out = EventStream.clickErrorJoin(clicks, errors).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getDouble(3)))
+    assert(out.toSeq == Seq(("u1", "2026-01-01 09:30:00.0", 1.0)))
+  }
 }
