@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Learned byte-pair encoding over a document corpus — the real
+  * tokenizer-training step of a training-data pipeline (Sennrich et
+  * al. 2016), beyond the x15 regex approximation of token counts.
+  *
+  * Scale shape follows how BPE is actually trained on large corpora:
+  * the CORPUS-scale work is one distributed word-count (explode +
+  * map-side-combined groupBy — the wordcount shuffle); merge learning
+  * then iterates on the BOUNDED weighted vocabulary (top `maxWords`
+  * types by count, deterministic tie-break), which is orders of
+  * magnitude smaller than the corpus — the same driver-on-reduced-data
+  * routing as the repo's other kernels. Applying the merges streams
+  * over the corpus with the merges table broadcast: linear, no
+  * shuffle.
+  *
+  * Pinned semantics (spec'd): pair counts weight every overlapping
+  * adjacent occurrence by word frequency; the best pair is max count
+  * with lexicographic (left, right) tie-break; merges apply greedily
+  * left-to-right within a word.
+  */
+object Bpe {
+
+  /** Learn `numMerges` merges from the corpus' word counts. */
+  def learn(docs: DataFrame, numMerges: Int,
+            maxWords: Int = 50000): Seq[(String, String)] = {
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] =
+      vocab.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    for (_ <- 0 until numMerges if !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (syms, c) => (mergeOnce(syms, best), c) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One greedy left-to-right pass replacing adjacent (a, b) with a+b. */
+  private[operators] def mergeOnce(syms: Array[String],
+                                   pair: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1)
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Encode one word with the ordered merges table. */
+  private[operators] def encodeWord(word: String,
+                                    merges: Seq[(String, String)]): Array[String] = {
+    var syms = word.map(_.toString).toArray
+    merges.foreach { m =>
+      if (syms.length > 1) syms = mergeOnce(syms, m)
+    }
+    syms
+  }
+
+  /** Tokenize the corpus with a learned merges table: per document,
+    * the BPE token count and the count of distinct BPE types. The
+    * merges table rides the closure (broadcast by Spark); the pass is
+    * one narrow map over documents — no shuffle. A per-partition memo
+    * caches word encodings, so each distinct word in a partition is
+    * encoded once regardless of frequency. */
+  def tokenize(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val ms = merges.toArray
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        it.map { case (id, text) =>
+          val toks = text.split(" ").filter(_.nonEmpty)
+          val enc = toks.flatMap(w =>
+            memo.getOrElseUpdate(w, encodeWord(w, ms.toSeq)))
+          (id, enc.length.toLong, enc.distinct.length.toLong)
+        }
+      }
+      .toDF("doc_id", "n_bpe", "n_types")
+      .orderBy("doc_id")
+  }
+}
