@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.operators.{Similarity, StarQueries, TextQueries}
+import graft.operators.{Bpe, Similarity, StarQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator: the §2.10 gate set plus the
     * training-data-pipeline extensions (dedup / similarity / text). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (StarQueries.all ++ TextQueries.all ++ Similarity.all).map {
+    (StarQueries.all ++ TextQueries.all ++ Similarity.all ++ Bpe.all).map {
       case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => fn(Tables(s, dir)))
     }.toMap
@@ -28,5 +28,6 @@ object SparkEntry {
   /** DuckDB oracle per oracle-checkable query (SURVEY §2.10 dialect
     * adapter). Keys absent here get the driver's rows-only check. */
   def oracleSql: Map[String, String] =
-    StarQueries.oracles ++ TextQueries.oracles ++ Similarity.oracles
+    StarQueries.oracles ++ TextQueries.oracles ++ Similarity.oracles ++
+      Bpe.oracles
 }

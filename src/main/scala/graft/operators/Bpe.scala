@@ -25,9 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Gate parameters for x22 (the defaults of [[learn]]/[[counts]]). */
+  private val GateMerges = 20
+  private val GateMaxWords = 50000
+
+  /** Learned-state snapshot keyed by its parameters (the Similarity
+    * QuantKey pattern): the generated x22 oracle is built from the
+    * GATE key's snapshot specifically, so other trainings cannot
+    * clobber it. `truncated` records whether the vocab hit maxWords —
+    * if so the literal encoding table would not cover the corpus and
+    * no oracle is emitted (falls back to the rows-only check). */
+  private[operators] final case class LearnKey(numMerges: Int, maxWords: Int)
+  private[operators] final case class LearnSnap(
+      merges: Seq[(String, String)], vocab: Seq[String], truncated: Boolean)
+  private val snaps =
+    new java.util.concurrent.ConcurrentHashMap[LearnKey, LearnSnap]()
+
   /** Learn `numMerges` merges from the corpus' word counts. */
   def learn(docs: DataFrame, numMerges: Int,
-            maxWords: Int = 50000): Seq[(String, String)] = {
+            maxWords: Int = GateMaxWords): Seq[(String, String)] = {
     val vocab = docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
@@ -54,6 +70,9 @@ object Bpe {
         words = words.map { case (syms, c) => (mergeOnce(syms, best), c) }
       }
     }
+    snaps.put(LearnKey(numMerges, maxWords),
+      LearnSnap(merges.toSeq, vocab.map(_._1).toSeq,
+        truncated = vocab.length == maxWords))
     merges.toSeq
   }
 
@@ -106,5 +125,38 @@ object Bpe {
       }
       .toDF("doc_id", "n_bpe", "n_types")
       .orderBy("doc_id")
+  }
+
+  /** x22 gate: train on the corpus, tokenize the corpus. */
+  def counts(t: graft.core.Tables, numMerges: Int = GateMerges): DataFrame =
+    tokenize(t.documents, learn(t.documents, numMerges))
+
+  val all: Seq[(String, graft.core.Tables => DataFrame)] = Seq(
+    "x22_bpe_learned" -> (t => counts(t)))
+
+  /** Generated x22 oracle (a `def`, the x14 pattern): the learned
+    * per-word encodings are emitted as a literal (word, tokens) table,
+    * then per-document token and distinct-type counts are reproduced
+    * in SQL. Only emitted when the training vocab covered every corpus
+    * word (untruncated). */
+  def oracles: Map[String, String] = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    Option(snaps.get(LearnKey(GateMerges, GateMaxWords)))
+      .filterNot(_.truncated)
+      .map { s =>
+        val rows = s.vocab.map { w =>
+          val toks = encodeWord(w, s.merges).map(q).mkString("[", ", ", "]")
+          s"(${q(w)}, $toks)"
+        }.mkString(", ")
+        "x22_bpe_learned" -> s"""
+      WITH enc(w, toks) AS (SELECT * FROM (VALUES $rows) AS v(w, toks)),
+      words AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents),
+      bt AS (SELECT doc_id, unnest(e.toks) AS tok FROM words JOIN enc e ON e.w = words.w),
+      agg AS (SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT tok) AS t FROM bt GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bpe,
+        CAST(COALESCE(a.t, 0) AS BIGINT) AS n_types
+      FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
+      }.toMap
   }
 }
