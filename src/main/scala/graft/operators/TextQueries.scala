@@ -537,6 +537,27 @@ object TextQueries {
     labels
   }
 
+  /** x23 dedup survivorship — the end-to-end keep/drop decision every
+    * dedup pipeline terminates in: exact duplicates (md5 rank > 1,
+    * x01's rule) drop first, then non-representative members of
+    * near-dup clusters (x21's components; the min-doc_id rep
+    * survives), everything else is kept. One documents pass for the
+    * hash rank + the cluster labels joined back by doc_id. */
+  def dedupSurvivors(t: Tables): DataFrame = {
+    val ranked = t.documents
+      .withColumn("hr", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+    val members = dupClusters(t)
+      .filter(!col("is_rep"))
+      .select(col("doc_id"), lit(true).as("nd"))
+    ranked.join(members, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("hr") > 1, "exact_dup")
+          .when(col("nd"), "near_dup_member")
+          .otherwise("kept").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** name → query, in declared order. */
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x01_exactdedup" -> exactDedup _,
@@ -556,6 +577,7 @@ object TextQueries {
     "x19_corpus_filter" -> (t => corpusFilter(t)),
     "x20_kmv_distinct" -> (t => kmvDistinct(t)),
     "x21_dupclusters" -> (t => dupClusters(t)),
+    "x23_dedup_survivors" -> (t => dedupSurvivors(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -779,5 +801,27 @@ object TextQueries {
         SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.v)
       SELECT v AS doc_id, MIN(lbl) AS cluster_id, (v = MIN(lbl)) AS is_rep
       FROM walk GROUP BY v ORDER BY doc_id""",
+    "x23_dedup_survivors" -> s"""
+      WITH RECURSIVE $simhashSql,
+      banded AS (SELECT doc_id, sim, ${(0 until 4).map(b =>
+        s"((sim >> ${b * 15}) & 32767) AS band$b").mkString(", ")} FROM sims),
+      cand AS (SELECT DISTINCT d1, d2 FROM (${(0 until 4).map(b =>
+        s"SELECT x.doc_id AS d1, y.doc_id AS d2 FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id").mkString(" UNION ALL ")})),
+      p AS (SELECT c.d1, c.d2 FROM cand c JOIN sims x ON x.doc_id = c.d1 JOIN sims y ON y.doc_id = c.d2
+            WHERE bit_count(xor(x.sim, y.sim)) <= 6),
+      e AS (SELECT d1 AS s, d2 AS d FROM p UNION ALL SELECT d2 AS s, d1 AS d FROM p),
+      n AS (SELECT DISTINCT s AS v FROM e),
+      walk(v, lbl) AS (
+        SELECT v, v FROM n
+        UNION
+        SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.v),
+      cl AS (SELECT v AS doc_id, MIN(lbl) AS cid FROM walk GROUP BY v),
+      hr AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS hr FROM documents)
+      SELECT h.doc_id,
+        CASE WHEN h.hr > 1 THEN 'exact_dup'
+             WHEN cl.doc_id IS NOT NULL AND cl.cid <> cl.doc_id THEN 'near_dup_member'
+             ELSE 'kept' END AS status
+      FROM hr h LEFT JOIN cl ON cl.doc_id = h.doc_id
+      ORDER BY h.doc_id""",
   )
 }
