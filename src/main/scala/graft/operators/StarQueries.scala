@@ -428,6 +428,20 @@ object StarQueries {
         round(sum(col("value").cast(dec6)).cast("double"), 6).as("tot"))
       .orderBy("k")
 
+  /** Q38 multi-percentile — quartiles of extended price per return
+    * flag from ONE percentile aggregation (the array form computes all
+    * three cut points in a single pass over each group, vs three
+    * separate exact-percentile aggregations). */
+  def q38(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("p"))
+      .select(col("l_returnflag"),
+        round(element_at(col("p"), 1), 6).as("p25"),
+        round(element_at(col("p"), 2), 6).as("p50"),
+        round(element_at(col("p"), 3), 6).as("p75"))
+      .orderBy("l_returnflag")
+
   /** name → query, in declared order. */
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "q01_project" -> q01 _, "q02_filter" -> q02 _, "q03_regex" -> q03 _,
@@ -442,7 +456,7 @@ object StarQueries {
     "q28_md5" -> q28 _, "q29_dateextract" -> q29 _, "q30_bhfdr" -> q30 _,
     "q31_window" -> q31 _, "q32_cumsum" -> q32 _, "q33_session" -> q33 _,
     "q34_rollup" -> q34 _, "q35_pivot" -> q35 _, "q36_asof" -> q36 _,
-    "q37_json" -> q37 _,
+    "q37_json" -> q37 _, "q38_percentiles" -> q38 _,
   )
 
   /** DuckDB-dialect oracles, semantically identical to the Spark plans.
@@ -549,5 +563,7 @@ object StarQueries {
       ORDER BY c.event_id""",
     "q37_json" ->
       "SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS tot FROM events GROUP BY k ORDER BY k",
+    "q38_percentiles" ->
+      "SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25, ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50, ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
   )
 }
