@@ -42,9 +42,15 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Deterministic 60-bit hash: first 15 hex digits of md5. Positive,
-    * fits BIGINT; DuckDB equivalent `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`. */
+    * fits BIGINT; DuckDB equivalent `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`.
+    * With [[GraftExtensions]] injected, the native [[Hash60]] computes
+    * the same value straight from the digest bytes (no hex render /
+    * decimal re-parse per call — the MinHash/SimHash/KMV hot paths hash
+    * every token instance); the composed form is the wiring-free
+    * fallback, bit-identical by spec. */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    if (GraftExtensions.active) call_function("graft_h60", c)
+    else conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** hash60 folded into the MinHash modulus. */
   def hashP(c: Column): Column = hash60(c) % MinHashP

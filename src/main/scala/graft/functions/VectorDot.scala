@@ -94,6 +94,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_dot expects exactly 2 arguments, got ${other.length}")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_h60"),
+      new ExpressionInfo(classOf[Hash60].getName, "graft_h60"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => Hash60(c)
+        case other => throw new IllegalArgumentException(
+          s"graft_h60 expects exactly 1 argument, got ${other.length}")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_band_keys"),
       new ExpressionInfo(classOf[BandKeys].getName, "graft_band_keys"),
       (children: Seq[Expression]) => children match {
