@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# One-shot pre-round-end gate: everything the driver will check, from a
+# CLEAN CHECKOUT of HEAD — round 3 shipped a working tree that compiled
+# while HEAD did not, and the driver's bench/correctness came back
+# empty. Run this before considering a round done.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+if [[ -n "$(git status --porcelain)" ]]; then
+  echo "WARNING: working tree not clean — the driver runs HEAD, not your tree:" >&2
+  git status --short >&2
+fi
+
+work=$(mktemp -d)
+trap 'rm -rf "$work"' EXIT
+git archive HEAD | tar -x -C "$work"
+echo "== compiling HEAD in $work =="
+(cd "$work" && sbt -batch compile 2>&1 | tail -2 | grep -q success) \
+  || { echo "HEAD DOES NOT COMPILE"; exit 1; }
+echo "== HEAD compiles. Running tests + verify from the working repo =="
+
+sbt -batch test 2>&1 | tail -3
+rm -rf tmp/gate_verify
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 tmp/gate_verify" 2>&1 | tail -1
+python3 scripts/check_oracle.py /root/testdata/sf0.01 tmp/gate_verify | tail -3
+echo "== gate done =="

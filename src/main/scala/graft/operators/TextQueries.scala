@@ -558,6 +558,27 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** x24 quality-weighted deterministic sample — corpus curation's
+    * sampling step done reproducibly: document d is kept iff
+    * u(d) < quality(d), where u(d) = h60("ws_" ++ doc_id) / 2^60 is a
+    * per-document uniform deviate from the shared hash primitive. A
+    * high-quality doc is kept with probability ≈ its quality score,
+    * the decision is a pure per-row function (no RNG state, no
+    * sampling job — identical on any cluster layout and in the DuckDB
+    * oracle), and re-running with the same corpus yields the same
+    * sample — the property seed-based `df.sample` cannot give across
+    * repartitions. */
+  def weightedSample(t: Tables): DataFrame = {
+    val u = hash60(concat(lit("ws_"), col("doc_id").cast("string")))
+      .cast("double") / lit(1152921504606846976.0)
+    t.documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("quality", qualityCol(col("text"), col("toks")))
+      .filter(u < col("quality"))
+      .select(col("doc_id"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   /** name → query, in declared order. */
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x01_exactdedup" -> exactDedup _,
@@ -578,6 +599,7 @@ object TextQueries {
     "x20_kmv_distinct" -> (t => kmvDistinct(t)),
     "x21_dupclusters" -> (t => dupClusters(t)),
     "x23_dedup_survivors" -> (t => dedupSurvivors(t)),
+    "x24_weighted_sample" -> weightedSample _,
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -823,5 +845,11 @@ object TextQueries {
              ELSE 'kept' END AS status
       FROM hr h LEFT JOIN cl ON cl.doc_id = h.doc_id
       ORDER BY h.doc_id""",
+    "x24_weighted_sample" -> s"""
+      WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+      q AS (SELECT doc_id, ${qualitySql("text", "tk")} AS quality FROM t)
+      SELECT doc_id, quality FROM q
+      WHERE CAST(CAST('0x' || substr(md5('ws_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 < quality
+      ORDER BY doc_id""",
   )
 }
