@@ -5,6 +5,7 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Training-data-pipeline text operators over the `documents` table
   * (beyond-reference extension surface; BASELINE.md north star).
@@ -579,6 +580,34 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** x25 unigram log-probability score — the corpus-trained language-
+    * model quality signal (the perplexity-filter shape of CCNet/Gopher
+    * pipelines, reduced to the unigram model that stays SQL-exact):
+    * per document, the mean log10 probability of its tokens under the
+    * corpus' own unigram distribution. Rare-token-heavy (or
+    * out-of-domain) documents score low. Shapes: one wordcount shuffle
+    * to train, one token→count join to score (both map-side
+    * combinable); per-token terms are rounded then summed as
+    * DECIMAL(18,6) so the distributed sum is order-independent (the
+    * q31 convention). Token-less documents surface NULL. */
+  def unigramLogProb(t: Tables): DataFrame = {
+    val toks = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val totalDf = counts.agg(sum("c").as("n"))
+    val scored = toks
+      .join(counts, "tok")
+      .crossJoin(broadcast(totalDf))
+      .select(col("doc_id"),
+        round(log10(col("c").cast("double") / col("n").cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("lp"))
+      .groupBy("doc_id")
+      .agg(round((sum("lp").cast("double") / count(lit(1))), 6).as("mean_logp"))
+    t.documents.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .orderBy("doc_id")
+  }
+
   /** name → query, in declared order. */
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x01_exactdedup" -> exactDedup _,
@@ -600,6 +629,7 @@ object TextQueries {
     "x21_dupclusters" -> (t => dupClusters(t)),
     "x23_dedup_survivors" -> (t => dedupSurvivors(t)),
     "x24_weighted_sample" -> weightedSample _,
+    "x25_unigram_logprob" -> unigramLogProb _,
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -851,5 +881,17 @@ object TextQueries {
       SELECT doc_id, quality FROM q
       WHERE CAST(CAST('0x' || substr(md5('ws_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) / 1152921504606846976.0 < quality
       ORDER BY doc_id""",
+    "x25_unigram_logprob" -> s"""
+      WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+      c AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+      n AS (SELECT SUM(c) AS n FROM c),
+      s AS (SELECT t.doc_id,
+              CAST(ROUND(LOG10(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+            FROM tok t JOIN c ON c.tok = t.tok CROSS JOIN n),
+      m AS (SELECT doc_id, ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS mean_logp
+            FROM s GROUP BY doc_id)
+      SELECT d.doc_id, m.mean_logp
+      FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
   )
 }
