@@ -442,6 +442,27 @@ object StarQueries {
         round(element_at(col("p"), 3), 6).as("p75"))
       .orderBy("l_returnflag")
 
+  /** Q39 EXCEPT (set difference, distinct semantics) — §2.7: customers
+    * with an open order but no filled one. Catalyst plans except as a
+    * left-anti aggregate — one shuffle, no materialized intermediates. */
+  def q39(t: Tables): DataFrame =
+    t.orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("k"))
+      .except(
+        t.orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("k")))
+      .orderBy("k")
+
+  /** Q40 INTERSECT (distinct semantics) — §2.7: customers appearing on
+    * both sides. */
+  def q40(t: Tables): DataFrame =
+    t.orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("k"))
+      .intersect(
+        t.orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("k")))
+      .orderBy("k")
+
   /** name → query, in declared order. */
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "q01_project" -> q01 _, "q02_filter" -> q02 _, "q03_regex" -> q03 _,
@@ -457,6 +478,7 @@ object StarQueries {
     "q31_window" -> q31 _, "q32_cumsum" -> q32 _, "q33_session" -> q33 _,
     "q34_rollup" -> q34 _, "q35_pivot" -> q35 _, "q36_asof" -> q36 _,
     "q37_json" -> q37 _, "q38_percentiles" -> q38 _,
+    "q39_except" -> q39 _, "q40_intersect" -> q40 _,
   )
 
   /** DuckDB-dialect oracles, semantically identical to the Spark plans.
@@ -565,5 +587,9 @@ object StarQueries {
       "SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS tot FROM events GROUP BY k ORDER BY k",
     "q38_percentiles" ->
       "SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25, ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50, ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q39_except" ->
+      "SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O' EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F' ORDER BY k",
+    "q40_intersect" ->
+      "SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O' INTERSECT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F' ORDER BY k",
   )
 }
