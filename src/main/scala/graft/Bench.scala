@@ -39,6 +39,13 @@ object Bench {
     val spread = json(results.map { case (k, (_, sp)) => k -> sp })
     val total = results.map(_._2._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","reps":$reps}""")
+    // compact summary LAST: the per-query line above is long enough
+    // that a bounded tail capture can truncate its head (and with it
+    // the total) — this line restates the headline numbers in a few
+    // hundred bytes so they survive any tail window
+    val worst = json(results.sortBy(-_._2._1).take(5)
+      .map { case (k, (med, _)) => k -> med })
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.length},"worst5":$worst,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

@@ -65,6 +65,44 @@ final class ClientSink(client: KeyValueClient) extends UploadSink {
     client.putObject(bucket, key, bytes)
 }
 
+/** AWS-SDK-shaped request/client surface — the argument shapes of
+  * DynamoDB `PutItem` and S3 `PutObject` that the reference's boto3
+  * calls produce (`5_Upload-to-aws.py:273,280,289-291,301`:
+  * `Table(name).put_item(Item=document)`, `put_object(Body=, Bucket=,
+  * Key=)`). The real SDK stays off the classpath (zero-egress build,
+  * SURVEY §2.1 out-of-engine row); these traits mirror its call shapes
+  * so the production wiring is a one-line delegation per method, and a
+  * spec's in-memory fake exercises the identical code path. */
+object aws {
+  /** DynamoDB attribute value; the string (`S`) member is the only one
+    * the stage-5 documents need. */
+  final case class AttributeValue(s: String)
+  /** `PutItem`: table name plus the item's attribute map. */
+  final case class PutItemRequest(tableName: String,
+                                  item: Map[String, AttributeValue])
+  trait DynamoDbClient { def putItem(request: PutItemRequest): Unit }
+  /** `PutObject`: bucket/key addressing; the body rides alongside. */
+  final case class PutObjectRequest(bucket: String, key: String)
+  trait S3Client {
+    def putObject(request: PutObjectRequest, body: Array[Byte]): Unit
+  }
+}
+
+/** [[KeyValueClient]] over the SDK-shaped clients: records become
+  * DynamoDB items keyed by the table's `experimentId` partition key
+  * with the document under `document` (the low-level-client encoding
+  * of the reference's resource-API `put_item(Item=...)`), objects
+  * become S3 puts. */
+final class AwsSdkClient(dynamo: aws.DynamoDbClient, s3: aws.S3Client)
+    extends KeyValueClient {
+  override def putItem(table: String, key: String, document: String): Unit =
+    dynamo.putItem(aws.PutItemRequest(table, Map(
+      "experimentId" -> aws.AttributeValue(key),
+      "document" -> aws.AttributeValue(document))))
+  override def putObject(bucket: String, key: String, body: Array[Byte]): Unit =
+    s3.putObject(aws.PutObjectRequest(bucket, key), body)
+}
+
 object Upload {
 
   /** The four puts of `5_Upload-to-aws.py:267-302`, driven off an

@@ -139,16 +139,24 @@ object Bpe {
     * then per-document token and distinct-type counts are reproduced
     * in SQL. Only emitted when the training vocab covered every corpus
     * word (untruncated). */
-  def oracles: Map[String, String] = {
+  def oracles: Map[String, String] =
+    oracleFor(GateMerges, GateMaxWords).map("x22_bpe_learned" -> _).toMap
+
+  /** The oracle SQL for one training key, or None when that training
+    * never ran or hit the maxWords truncation (a truncated vocab's
+    * literal encoding table would not cover the corpus, so emitting an
+    * oracle would FAIL a correct engine — suppress it and let the
+    * driver's rows-only fallback gate the query instead). */
+  private[operators] def oracleFor(numMerges: Int, maxWords: Int): Option[String] = {
     def q(s: String) = "'" + s.replace("'", "''") + "'"
-    Option(snaps.get(LearnKey(GateMerges, GateMaxWords)))
+    Option(snaps.get(LearnKey(numMerges, maxWords)))
       .filterNot(_.truncated)
       .map { s =>
         val rows = s.vocab.map { w =>
           val toks = encodeWord(w, s.merges).map(q).mkString("[", ", ", "]")
           s"(${q(w)}, $toks)"
         }.mkString(", ")
-        "x22_bpe_learned" -> s"""
+        s"""
       WITH enc(w, toks) AS (SELECT * FROM (VALUES $rows) AS v(w, toks)),
       words AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents),
       bt AS (SELECT doc_id, unnest(e.toks) AS tok FROM words JOIN enc e ON e.w = words.w),
@@ -157,6 +165,6 @@ object Bpe {
         CAST(COALESCE(a.t, 0) AS BIGINT) AS n_types
       FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
       ORDER BY d.doc_id"""
-      }.toMap
+      }
   }
 }

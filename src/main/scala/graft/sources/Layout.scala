@@ -31,9 +31,15 @@ object Layout {
     * disjointness evidence (and the spec's assertion surface). */
   def fileRanges(spark: SparkSession, path: String,
                  key: String): Seq[(String, Long, Long)] = {
-    val files = new java.io.File(path).listFiles()
+    // Hadoop FileSystem, not java.io.File: the writer above works on
+    // any scheme on the classpath (file://, hdfs://, s3a://), so the
+    // evidence reader must too
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(p)
+      .map(_.getPath)
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath).sorted.toSeq
+      .map(_.toString).sorted.toSeq
     files.map { f =>
       val r = spark.read.parquet(f)
         .agg(org.apache.spark.sql.functions.min(col(key)),

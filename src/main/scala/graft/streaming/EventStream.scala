@@ -48,13 +48,18 @@ object EventStream {
     * `horizon`. Both sides carry watermarks and the join predicate
     * time-bounds the match, so the state store retains only `horizon +
     * watermark` of either stream (unbounded state would be the
-    * streaming scale-killer). Inner-join semantics: clicks with no
-    * error in the horizon don't emit (streaming outer interval joins
-    * emit on watermark expiry; kept inner for deterministic specs).
-    * Works on batch frames too, where it degrades to a plain range
-    * join. */
+    * streaming scale-killer).
+    *
+    * `joinType` "inner" (default): clicks with no error in the horizon
+    * don't emit. "left_outer": they DO emit — with null error columns —
+    * once the error-side watermark passes the point where a match has
+    * become impossible (Spark's watermark-expiry outer emission), the
+    * streaming answer to "clicks with no error" that q36's batch as-of
+    * covers with its left join. Works on batch frames too, where
+    * either form degrades to a plain (outer) range join. */
   def clickErrorJoin(clicks: DataFrame, errors: DataFrame,
-                     horizon: String = "1 hour"): DataFrame = {
+                     horizon: String = "1 hour",
+                     joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("value").as("c_value"))
@@ -66,7 +71,8 @@ object EventStream {
     c.join(e,
       col("c_user") === col("e_user") &&
         col("e_ts") <= col("c_ts") &&
-        col("e_ts") >= col("c_ts") - expr(s"INTERVAL $horizon"))
+        col("e_ts") >= col("c_ts") - expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("c_user").as("user_id"), col("c_ts"), col("e_ts"),
         col("e_value"))
   }
@@ -74,18 +80,43 @@ object EventStream {
   /** Q32's stateful form: running per-user totals via
     * `mapGroupsWithState` — the engine's `KeyValueGroupedDataset`
     * custom-state surface. Emits the updated running total for each
-    * user on every trigger. */
-  def runningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    * user on every trigger.
+    *
+    * State is TTL-bounded (the repo-wide streaming posture: every
+    * stateful op bounds its state — unbounded per-user state at 100 TB
+    * event scale with open-ended user cardinality grows the state
+    * store forever). A user idle past `ttl` of EVENT time — measured
+    * against the watermark, so it's deterministic and replay-safe, not
+    * wall-clock — has its state evicted after one final emission of
+    * the standing total; a later event restarts that user from zero. */
+  def runningTotals(events: Dataset[Event],
+                    ttlMs: Long = 3600L * 1000): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout()) {
         (user: String, batch: Iterator[Event], state: GroupState[(Long, Double)]) =>
-          val (n0, t0) = state.getOption.getOrElse((0L, 0.0))
-          var n = n0; var t = t0
-          batch.foreach { e => n += 1; t += e.value }
-          state.update((n, t))
-          UserTotal(user, n, t)
+          if (state.hasTimedOut) {
+            val (n, t) = state.get
+            state.remove()
+            UserTotal(user, n, t)
+          } else {
+            val (n0, t0) = state.getOption.getOrElse((0L, 0.0))
+            var n = n0; var t = t0; var maxTs = Long.MinValue
+            batch.foreach { e =>
+              n += 1; t += e.value
+              if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
+            }
+            state.update((n, t))
+            // timeout must sit above the current watermark; batch
+            // execution has no watermark (timeouts never fire there)
+            val wm =
+              try state.getCurrentWatermarkMs()
+              catch { case _: UnsupportedOperationException => Long.MinValue }
+            state.setTimeoutTimestamp(math.max(maxTs, wm) + ttlMs)
+            UserTotal(user, n, t)
+          }
       }
   }
 }

@@ -99,6 +99,40 @@ class IngestSpec extends SparkSpec {
     assert(new String(objects(("cell-sets-test", "abc123")), "UTF-8") == result.cellSetsJson)
   }
 
+  test("aws-sdk-shaped backend drives the same four puts through SDK request shapes") {
+    import graft.export.aws
+    // fakes at the SDK interface (not the KeyValueClient seam): what a
+    // production DynamoDbClient/S3Client wrapper would receive
+    val items = scala.collection.mutable.Map.empty[String, aws.PutItemRequest]
+    val objects = scala.collection.mutable.Map.empty[(String, String), Array[Byte]]
+    val dynamo = new aws.DynamoDbClient {
+      def putItem(req: aws.PutItemRequest): Unit = items(req.tableName) = req
+    }
+    val s3 = new aws.S3Client {
+      def putObject(req: aws.PutObjectRequest, body: Array[Byte]): Unit =
+        objects((req.bucket, req.key)) = body
+    }
+    graft.export.Upload.uploadExperiment(
+      new graft.export.ClientSink(new graft.export.AwsSdkClient(dynamo, s3)),
+      result, experimentId = "abc123", name = "fixture-exp", env = "test",
+      matrixObject = Some("MTXBYTES".getBytes("UTF-8")))
+    // two put_item calls with the partition key + document attributes
+    assert(items.keySet == Set("experiments-test", "samples-test"))
+    assert(items("experiments-test").item("experimentId") == aws.AttributeValue("abc123"))
+    val expDoc = items("experiments-test").item("document").s
+    assert(expDoc.contains("\"apiVersion\":\"2.0.0-data-ingest-seurat-rds-automated\""))
+    // two put_object calls, payloads identical to the FS backend's
+    assert(objects.keySet == Set(
+      ("cell-sets-test", "abc123"), ("biomage-source-test", "abc123/r.rds")))
+    assert(new String(objects(("cell-sets-test", "abc123")), "UTF-8") == result.cellSetsJson)
+    val root = Files.createTempDirectory("upload-sdk-cmp").toString
+    graft.export.Upload.uploadExperiment(new graft.export.HadoopFsSink(s"file:$root"),
+      result, experimentId = "abc123", name = "fixture-exp", env = "test")
+    def read(p: String) = Files.readString(java.nio.file.Paths.get(root, p))
+    assert(expDoc == read("records/experiments-test/abc123.json"))
+    assert(items("samples-test").item("document").s == read("records/samples-test/abc123.json"))
+  }
+
   test("sample-partitioned checkpoint run matches the in-memory run") {
     val root = Files.createTempDirectory("ingest-ckpt")
     val d1 = Files.createDirectory(root.resolve("s1"))

@@ -55,6 +55,31 @@ class BpeSpec extends SparkSpec {
     assert(out == Map(0L -> ((2L, 2L)), 1L -> ((2L, 1L))))
   }
 
+  test("maxWords truncation suppresses the oracle but keeps tokenize correct") {
+    // 4 distinct words, maxWords=2 → vocab truncated to the top 2
+    val dir = docsDir(Seq("aa aa bb cc", "aa bb dd"))
+    val docs = Tables(spark, dir).documents
+    val merges = Bpe.learn(docs, numMerges = 2, maxWords = 2)
+    // learning still works on the truncated vocab (aa→6... counts: aa=3,
+    // bb=2 survive; (a,a) from aa×3 wins round 1, then (b,b))
+    assert(merges == Seq(("a", "a"), ("b", "b")))
+    // the truncated training emits NO oracle: its literal encoding table
+    // misses cc/dd, so the SQL would undercount a correct engine's rows —
+    // the gate must fall back to the driver's rows-only check
+    assert(Bpe.oracleFor(numMerges = 2, maxWords = 2).isEmpty)
+    // an untruncated training at another key still emits one (the guard
+    // is per-key, not global)
+    Bpe.learn(docs, numMerges = 2, maxWords = 100)
+    assert(Bpe.oracleFor(numMerges = 2, maxWords = 100).isDefined)
+    // and the rows-only fallback is still CORRECT: tokenize with the
+    // truncated merges covers every word, including out-of-vocab ones
+    val out = Bpe.tokenize(docs, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc0 "aa aa bb cc": [aa][aa][bb][c,c] = 5 tokens, 3 types
+    // doc1 "aa bb dd":    [aa][bb][d,d]     = 4 tokens, 3 types
+    assert(out == Map(0L -> ((5L, 3L)), 1L -> ((4L, 3L))))
+  }
+
   test("more merges never increase the token count (compression monotonicity)") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val m20 = Bpe.learn(t.documents, numMerges = 20)

@@ -21,6 +21,19 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == src.count())
   }
 
+  test("fileRanges resolves scheme-qualified paths through the Hadoop FS API") {
+    val dir = Files.createTempDirectory("layout3").toString + "/lineitem"
+    val src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    Layout.writeSorted(src, dir, Seq("l_orderkey"), numFiles = 2)
+    // same layout read via an explicit file:// URI (the HDFS/S3A shape)
+    // and via the bare local path must agree
+    val bare = Layout.fileRanges(spark, dir, "l_orderkey")
+      .map { case (_, lo, hi) => (lo, hi) }
+    val uri = Layout.fileRanges(spark, "file://" + dir, "l_orderkey")
+      .map { case (_, lo, hi) => (lo, hi) }
+    assert(bare.nonEmpty && bare == uri, s"bare=$bare uri=$uri")
+  }
+
   test("a point lookup on the layout key prunes to a single file's range") {
     val dir = Files.createTempDirectory("layout2").toString + "/lineitem"
     val src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

@@ -50,6 +50,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("running-totals state is TTL-evicted on event time and restarts from zero") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.runningTotals(mem.toDS(), ttlMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("ttl_totals")
+      .outputMode("update").start()
+    try {
+      mem.addData(Event(ts(9, 0), "u1", 5.0))
+      q.processAllAvailable()
+      // before the TTL the state carries forward unchanged
+      mem.addData(Event(ts(9, 10), "u1", 2.0))
+      q.processAllAvailable()
+      // push the watermark (1h delay) far past u1's 9:40 timeout…
+      mem.addData(Event(ts(13, 0), "u2", 1.0))
+      q.processAllAvailable()
+      // …the timeout fires on the next trigger after the watermark update
+      mem.addData(Event(ts(13, 1), "u2", 1.0))
+      q.processAllAvailable()
+      // u1 returns after eviction: fresh state, not a 3-event total
+      mem.addData(Event(ts(13, 30), "u1", 9.0))
+      q.processAllAvailable()
+      val u1 = spark.table("ttl_totals").collect()
+        .filter(_.getString(0) == "u1")
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      // unchanged totals before the TTL, one final emission at eviction
+      assert(u1.count(_ == ((1L, 5.0))) == 1, u1)
+      assert(u1.count(_ == ((2L, 7.0))) == 2, u1) // live update + eviction flush
+      // restart from zero proves the state store no longer held u1
+      assert(u1.last == ((1L, 9.0)), u1)
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap and split across it") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Event]
@@ -105,6 +137,51 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("click_err").count() == 1)
     } finally q.stop()
+  }
+
+  test("left-outer interval join emits unmatched clicks on watermark expiry") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val q = EventStream.clickErrorJoin(clicks.toDF(), errors.toDF(),
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("click_err_outer")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Event(ts(9, 30), "u1", 0.0)) // never matched
+      errors.addData(Event(ts(9, 0), "u2", 1.0))  // other user only
+      q.processAllAvailable()
+      // the null-matched click may only emit once BOTH watermarks have
+      // passed its match window AND a later trigger runs the cleanup —
+      // feed watermark-advancing u3 events until it appears
+      def u1Rows() = spark.table("click_err_outer").collect()
+        .filter(_.getString(0) == "u1")
+        .map(r => (Option(r.getTimestamp(2)), Option(r.get(3))))
+      var tries = 0
+      while (u1Rows().isEmpty && tries < 6) {
+        clicks.addData(Event(ts(13 + tries, 0), "u3", 0.0))
+        errors.addData(Event(ts(13 + tries, 0), "u3", 1.0))
+        q.processAllAvailable()
+        tries += 1
+      }
+      // exactly one outer row, with null error columns
+      assert(u1Rows().toSeq == Seq((None, None)), u1Rows().toSeq)
+      // inner matches still flow (u3 click ↔ u3 error at the same ts)
+      assert(spark.table("click_err_outer").collect()
+        .exists(r => r.getString(0) == "u3" && r.getTimestamp(2) != null))
+    } finally q.stop()
+  }
+
+  test("left-outer interval join on batch frames keeps unmatched clicks") {
+    val clicks = Seq(Event(ts(9, 30), "u1", 0.0), Event(ts(12, 0), "u1", 0.0)).toDF()
+    val errors = Seq(Event(ts(9, 0), "u1", 1.0)).toDF()
+    val out = EventStream.clickErrorJoin(clicks, errors, joinType = "left_outer")
+      .collect()
+      .map(r => (r.getTimestamp(1).toString,
+        Option(r.getTimestamp(2)).map(_.toString))).toSet
+    assert(out == Set(
+      ("2026-01-01 09:30:00.0", Some("2026-01-01 09:00:00.0")),
+      ("2026-01-01 12:00:00.0", None))) // outside the 1h horizon → null
   }
 
   test("interval join on batch frames degrades to the same range-join result") {
