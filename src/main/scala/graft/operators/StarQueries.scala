@@ -24,18 +24,23 @@ object StarQueries {
   private val dec2 = DecimalType(18, 2)
   private val dec6 = DecimalType(18, 6)
 
-  /** Q01 scan+project — reference TSV scan+projection (1_Preproc.r:144-145). */
+  /** Q01 scan+project — reference TSV scan+projection (1_Preproc.r:144-145).
+    * ORDER BY covers every output column: the synthetic lineitem has
+    * duplicate (l_orderkey, l_linenumber) pairs from sf0.1 up, so the
+    * natural key alone leaves tie order engine-defined (caught by the
+    * sf1 oracle run; identical full tuples compare equal either way). */
   def q01(t: Tables): DataFrame =
     t.lineitem
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
 
-  /** Q02 threshold+equality filter (cellSizeDistribution.r:74). */
+  /** Q02 threshold+equality filter (cellSizeDistribution.r:74).
+    * Total ORDER BY — see [[q01]]. */
   def q02(t: Tables): DataFrame =
     t.lineitem
       .filter(col("l_quantity") >= 30 && col("l_returnflag") === "R")
       .select("l_orderkey", "l_linenumber", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
 
   /** Q03 prefix/regex predicate — mito-gene match (3_Seurat.r:69). */
   def q03(t: Tables): DataFrame =
@@ -61,14 +66,14 @@ object StarQueries {
         upper(col("c_mktsegment")).as("seg"))
       .orderBy("c_custkey")
 
-  /** Q06 math/log10 (numGenesVsNumUmis.r:73). */
+  /** Q06 math/log10 (numGenesVsNumUmis.r:73). Total ORDER BY — see [[q01]]. */
   def q06(t: Tables): DataFrame =
     t.lineitem
       .filter(col("l_extendedprice") > 0)
       .select(
         col("l_orderkey"), col("l_linenumber"),
         round(log10(col("l_extendedprice")), 6).as("lg"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "lg")
 
   /** Q07 groupBy sum = colSums → nCount_RNA (2-1_Compute-metrics_emptyDrops.r:42).
     * Decimal math stays internal (order-independent exact sum); the final
@@ -488,9 +493,9 @@ object StarQueries {
     * is INT (row_number, extract). */
   val oracles: Map[String, String] = Map(
     "q01_project" ->
-      "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey",
     "q02_filter" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 30 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 30 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber, l_quantity",
     "q03_regex" ->
       "SELECT p_partkey, p_name FROM part WHERE lower(p_name) LIKE 's%' ORDER BY p_partkey",
     "q04_case" ->
@@ -498,7 +503,7 @@ object StarQueries {
     "q05_concat" ->
       "SELECT c_custkey, concat('sample-', c_name) AS k, upper(c_mktsegment) AS seg FROM customer ORDER BY c_custkey",
     "q06_log10" ->
-      "SELECT l_orderkey, l_linenumber, ROUND(LOG10(l_extendedprice), 6) AS lg FROM lineitem WHERE l_extendedprice > 0 ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, ROUND(LOG10(l_extendedprice), 6) AS lg FROM lineitem WHERE l_extendedprice > 0 ORDER BY l_orderkey, l_linenumber, lg",
     "q07_groupsum" ->
       "SELECT l_orderkey, ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS ncount FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
     "q08_condcount" ->
