@@ -609,6 +609,100 @@ object TextQueries {
   }
 
   /** name → query, in declared order. */
+  /** x26 benchmark decontamination (the GPT-3 §5 / PaLM eval-overlap
+    * scrub): flag every training document sharing at least one 3-gram
+    * shingle with the held-out benchmark set. The benchmark stand-in
+    * is deterministic — docs with `doc_id % mod == 0` (real pipelines
+    * supply the eval suites here; the overlap machinery is identical).
+    *
+    * Scale shape: eval sets are BOUNDED (thousands of docs however big
+    * the corpus), so the benchmark's distinct shingle set is explicitly
+    * `broadcast()` — the corpus side is one shingle scan + broadcast
+    * hash join + per-doc count. No corpus-vs-corpus shuffle; the only
+    * wide op is the per-doc distinct/count, keyed on doc_id. */
+  /** Gate constants for x26/x27/x28 — interpolated into BOTH the Spark
+    * plans (as defaults) and the DuckDB oracle SQL, the no-drift rule. */
+  private val DecontamMod = 97
+  private val BoilerMaxDocs = 10L
+  private val BudgetTokens = 800L // binds from sf0.01 up (~1.3k tokens/source there)
+
+  def decontaminate(t: Tables, mod: Int = DecontamMod): DataFrame = {
+    val sh = t.documents
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(wordShingles(col("toks"), 3)).as("s"))
+      .distinct()
+    val bench = sh.filter(col("doc_id") % mod === 0).select("s").distinct()
+    val hits = sh.filter(col("doc_id") % mod =!= 0)
+      .join(broadcast(bench), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    t.documents.filter(col("doc_id") % mod =!= 0)
+      .select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** x27 cross-document boilerplate fraction — the CCNet/Gopher
+    * duplicated-line-fraction signal re-expressed for unstructured
+    * docs: per document, the fraction of its distinct 3-gram shingles
+    * whose corpus document-frequency exceeds `maxDocs` (x16 measures
+    * WITHIN-doc repetition; this measures ACROSS-doc boilerplate).
+    *
+    * Scale shape: two shuffles on the shingle key (per-doc distinct,
+    * then map-side-combined document-frequency count) + one shuffle
+    * join back — all linear in total shingle volume, no pairwise
+    * work at any corpus size. */
+  def boilerplate(t: Tables, maxDocs: Long = BoilerMaxDocs): DataFrame = {
+    val sh = t.documents
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode(wordShingles(col("toks"), 3)).as("s"))
+      .distinct()
+    val docFreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(docFreq, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > maxDocs, 1L).otherwise(0L)).as("n_common"))
+    t.documents.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        when(col("n_shingles") > 0,
+          round(col("n_common").cast("double") /
+            col("n_shingles").cast("double"), 6)).as("boiler_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** x28 per-source token-budget fill — how a training mixture is
+    * actually materialized: each source (domain) gets a token budget,
+    * filled best-quality-first. Within every source, docs are taken in
+    * (quality desc, doc_id) order while the running token count stays
+    * within `budget`.
+    *
+    * Scale shape: the window is PARTITIONED BY source with a per-group
+    * sort — one shuffle on the source key, no global ordering anywhere
+    * (the global-window caveat of q21/q30 does not apply). Sources are
+    * the unit of parallelism, matching how mixture building shards in
+    * practice. */
+  def budgetFill(t: Tables, budget: Long = BudgetTokens): DataFrame = {
+    val base = t.documents
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        qualityCol(col("text"), col("toks")).as("quality"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
+      .orderBy("source", "cum_tokens", "doc_id")
+  }
+
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x01_exactdedup" -> exactDedup _,
     "x02_textstats" -> textStats _,
@@ -630,6 +724,9 @@ object TextQueries {
     "x23_dedup_survivors" -> (t => dedupSurvivors(t)),
     "x24_weighted_sample" -> weightedSample _,
     "x25_unigram_logprob" -> unigramLogProb _,
+    "x26_decontaminate" -> (t => decontaminate(t)),
+    "x27_boilerplate" -> (t => boilerplate(t)),
+    "x28_budget_fill" -> (t => budgetFill(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -893,5 +990,39 @@ object TextQueries {
       SELECT d.doc_id, m.mean_logp
       FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
       ORDER BY d.doc_id""",
+    "x26_decontaminate" -> s"""
+      WITH ${shingleCtes("")},
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % $DecontamMod = 0),
+      hits AS (SELECT sh.doc_id, COUNT(*) AS n_hits
+               FROM sh JOIN bench b ON b.s = sh.s
+               WHERE sh.doc_id % $DecontamMod <> 0 GROUP BY sh.doc_id)
+      SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        COALESCE(h.n_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      WHERE d.doc_id % $DecontamMod <> 0
+      ORDER BY d.doc_id""",
+    "x27_boilerplate" -> s"""
+      WITH ${shingleCtes("")},
+      df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+      per AS (SELECT sh.doc_id, COUNT(*) AS n_shingles,
+                SUM(CASE WHEN df.df > $BoilerMaxDocs THEN 1 ELSE 0 END) AS n_common
+              FROM sh JOIN df ON df.s = sh.s GROUP BY sh.doc_id)
+      SELECT d.doc_id, CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+        CAST(COALESCE(p.n_common, 0) AS BIGINT) AS n_common,
+        CASE WHEN p.n_shingles > 0
+             THEN ROUND(CAST(p.n_common AS DOUBLE) / CAST(p.n_shingles AS DOUBLE), 6) END AS boiler_frac
+      FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
+    "x28_budget_fill" -> s"""
+      WITH t AS (SELECT doc_id, source, text, $toksSql AS tk FROM documents),
+      b AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
+              ${qualitySql("text", "tk")} AS quality
+            FROM t WHERE len(tk) > 0),
+      c AS (SELECT doc_id, source, n_tokens, quality,
+              SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM b)
+      SELECT doc_id, source, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      FROM c WHERE cum_tokens <= $BudgetTokens
+      ORDER BY source, cum_tokens, doc_id""",
   )
 }
