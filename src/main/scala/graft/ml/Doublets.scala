@@ -17,15 +17,17 @@ import org.apache.spark.sql.functions._
   *
   * Classification follows scDblFinder's trained-classifier design
   * (`2-2:34-36` semantics): the artificial doublets are a LABELED
-  * positive class, so a logistic model is fit on ALL cells (real +
-  * artificial) over per-cell features — artificial-neighbor fraction,
-  * log library size, log feature count — and each real cell's
-  * `doublet_scores` is the model's predicted doublet probability
-  * (scDblFinder trains xgboost on the same artificial-vs-real task; a
-  * distributed seeded logistic fit is the Spark-honest analog).
-  * `doublet` when the probability passes `probabilityThreshold` —
-  * the 0.5 default the reference configures
-  * (`4_Prepare_experiment.r: config.doubletScores`).
+  * positive class, so a gradient-boosted-tree model (Spark ML
+  * `GBTClassifier` — the in-engine analog of scDblFinder's xgboost,
+  * same boosted-trees family, seeded) is fit on ALL cells (real +
+  * artificial) over per-cell features mirroring scDblFinder's
+  * kNN-derived set: artificial-neighbor fraction at two neighborhood
+  * scales, distance-weighted artificial fraction, rank of the first
+  * artificial neighbor, mean neighbor distance (local density), log
+  * library size, log feature count. Each real cell's `doublet_scores`
+  * is the model's predicted doublet probability; `doublet` when it
+  * passes `probabilityThreshold` — the 0.5 default the reference
+  * configures (`4_Prepare_experiment.r: config.doubletScores`).
   */
 object Doublets {
 
@@ -49,7 +51,25 @@ object Doublets {
 
   private def scoreSample(expr: DataFrame, sample: String, k: Int,
                           numHvg: Int, numPcs: Int, seed: Long,
-                          probabilityThreshold: Double): DataFrame = {
+                          probabilityThreshold: Double): DataFrame =
+    featurize(expr, sample, k, numHvg, numPcs, seed) match {
+      case None =>
+        // a 1-cell sample cannot host a doublet: pass through as singlet
+        // (no artificial class exists, so there is nothing to train on)
+        expr.select("sample", "barcode").distinct()
+          .withColumn("doublet_scores", lit(0.0))
+          .withColumn("doublet_class", lit("singlet"))
+      case Some(feats) =>
+        classify(feats, sample, k, seed, probabilityThreshold)
+    }
+
+  /** The featurization stage, exposed package-private for spec-level
+    * inspection: per-cell classifier features over real + artificial
+    * cells, persisted and materialized (internal caches released).
+    * None when the sample cannot host an artificial class. */
+  private[ml] def featurize(expr: DataFrame, sample: String, k: Int,
+                            numHvg: Int, numPcs: Int,
+                            seed: Long): Option[DataFrame] = {
     val spark = expr.sparkSession
     import spark.implicits._
 
@@ -58,12 +78,8 @@ object Doublets {
     val nReal = bc.count()
     val nArt = nReal / 2
     if (nArt == 0) {
-      // a 1-cell sample cannot host a doublet: pass through as singlet
-      // (no artificial class exists, so there is nothing to train on)
       bc.unpersist()
-      return expr.select("sample", "barcode").distinct()
-        .withColumn("doublet_scores", lit(0.0))
-        .withColumn("doublet_class", lit("singlet"))
+      return None
     }
     // deterministic DISTRIBUTED pairing: a seeded hash gives every
     // barcode a pseudo-random rank, a two-pass dense id turns the rank
@@ -119,11 +135,23 @@ object Doublets {
         col("is_art").as("n_art")), "nid")
     // LEFT join from the full cell set: an isolated cell whose kth-NN
     // lies beyond the bounded radius has NO ranked rows — it must still
-    // emerge, with artificial-neighbor fraction 0
+    // emerge, with artificial-neighbor fraction 0. All neighborhood
+    // features come from the ONE ranked table — no extra shuffles.
+    val kInner = math.max(1, k / 2)
     val artFrac = ranked
       .groupBy(col("cid").as("cells_id"))
-      .agg((count(when(col("n_art"), 1)).cast("double") / count(lit(1)))
-        .as("art_frac"))
+      .agg(
+        (count(when(col("n_art"), 1)).cast("double") / count(lit(1)))
+          .as("art_frac"),
+        (count(when(col("n_art") && col("rk") <= kInner, 1)).cast("double") /
+          greatest(count(when(col("rk") <= kInner, 1)), lit(1L)).cast("double"))
+          .as("art_frac_inner"),
+        (sum(when(col("n_art"), lit(1.0) / (lit(1.0) + col("dist"))))
+          .cast("double") /
+          sum(lit(1.0) / (lit(1.0) + col("dist"))))
+          .as("w_art_frac"),
+        min(when(col("n_art"), col("rk"))).as("first_art_rk"),
+        avg(col("dist")).as("mean_dist"))
     // per-cell library features from the combined matrix
     val libs = combined
       .groupBy("sample", "barcode")
@@ -134,19 +162,85 @@ object Doublets {
     val feats = tagged
       .join(artFrac, Seq("cells_id"), "left")
       .withColumn("art_frac", coalesce(col("art_frac"), lit(0.0)))
+      .withColumn("art_frac_inner", coalesce(col("art_frac_inner"), lit(0.0)))
+      .withColumn("w_art_frac", coalesce(col("w_art_frac"), lit(0.0)))
+      // no artificial neighbor within k (or no neighbors at all) →
+      // sentinel rank one past the last slot, the bounded null-free form
+      .withColumn("first_art_rk",
+        coalesce(col("first_art_rk"), lit(k + 1)).cast("double"))
+      .withColumn("mean_dist", coalesce(col("mean_dist"), lit(0.0)))
       .join(libs, "cells_id")
       .withColumn("features", org.apache.spark.ml.functions.array_to_vector(
-        array(col("art_frac"), col("log_lib"), col("log_nfeat"))))
+        array(col("art_frac"), col("art_frac_inner"), col("w_art_frac"),
+          col("first_art_rk"), col("mean_dist"),
+          col("log_lib"), col("log_nfeat"))))
       .withColumn("label", col("is_art").cast("double"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    feats.count()
+    bc.unpersist(); combined.unpersist(); normHvg.unpersist()
+    tagged.unpersist()
+    Some(feats)
+  }
+
+  /** Train + score from a materialized feature table; releases it. */
+  private def classify(feats: DataFrame, sample: String, k: Int, seed: Long,
+                       probabilityThreshold: Double): DataFrame = {
     // scDblFinder-style classifier: artificial doublets are the labeled
-    // positive class; predict each real cell's doublet probability
-    val lr = new org.apache.spark.ml.classification.LogisticRegression()
-      .setMaxIter(50).setRegParam(1e-3)
+    // positive class; boosted trees (the reference's xgboost family),
+    // seeded for determinism
+    val gbt = new org.apache.spark.ml.classification.GBTClassifier()
+      .setMaxIter(20).setMaxDepth(3).setStepSize(0.1)
+      .setMinInstancesPerNode(5)
+      .setSeed(seed ^ sample.hashCode.toLong)
       .setFeaturesCol("features").setLabelCol("label")
       .setProbabilityCol("__prob")
-    val model = lr.fit(feats)
-    val out = model.transform(feats.filter(!col("is_art")))
+    // Two defenses scDblFinder itself uses against the trap inherent
+    // to this training scheme — every real doublet is LABELED real, so
+    // a flexible model fit naively memorizes the very cells the score
+    // must flag:
+    //  1. OUT-OF-FOLD round 1: real cells are hash-split into folds
+    //     (artificial cells train every model) and each fold is scored
+    //     by the model that never saw it.
+    //  2. ITERATIVE EXCLUSION round 2: real cells in the top decile of
+    //     round-1 scores are presumed doublets and EXCLUDED from the
+    //     real training class, then everything is rescored — without
+    //     this, co-located real doublets still vouch for each other
+    //     across folds (each one's held-out model trains on the
+    //     others, labeled real, at the same feature point).
+    // Deterministic: fold assignment is a seeded hash, the learner is
+    // seeded, the exclusion cut is an exact distributed top-k.
+    val numFolds = 3
+    val withFold = feats.withColumn("__fold",
+      when(col("is_art"), lit(-1)).otherwise(
+        pmod(xxhash64(col("barcode"), lit(seed)), lit(numFolds)).cast("int")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val realFolds = withFold.filter(!col("is_art"))
+      .select("__fold").distinct().collect().map(_.getInt(0)).sorted
+    val round1 =
+      if (realFolds.length < 2) {
+        // all real cells hashed into one fold: holding it out would
+        // leave a single-class training set — score in-sample instead
+        gbt.fit(withFold).transform(withFold.filter(!col("is_art")))
+      } else realFolds.map { f =>
+        gbt.fit(withFold.filter(col("__fold") =!= f))
+          .transform(withFold.filter(!col("is_art") && col("__fold") === f))
+      }.reduce(_ unionByName _)
+    val p1 = round1.select(col("cells_id"),
+      org.apache.spark.ml.functions.vector_to_array(col("__prob"))
+        .getItem(1).as("__p1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nReal = p1.count()
+    val nExcl = math.max(1L, math.ceil(nReal * 0.1).toLong)
+    val thr = p1.orderBy(col("__p1").desc).limit(nExcl.toInt)
+      .agg(min(col("__p1"))).collect()(0).getDouble(0)
+    val train2 = withFold.join(p1, Seq("cells_id"), "left")
+      .filter(col("is_art") || col("__p1") < thr).drop("__p1")
+    val out0 =
+      if (train2.filter(!col("is_art")).isEmpty)
+        round1 // degenerate flat scores: round 2 would be single-class
+      else
+        gbt.fit(train2).transform(withFold.filter(!col("is_art")))
+    val out = out0
       .withColumn("doublet_scores",
         org.apache.spark.ml.functions.vector_to_array(col("__prob"))
           .getItem(1))
@@ -156,8 +250,7 @@ object Doublets {
       .select("sample", "barcode", "doublet_scores", "doublet_class")
     val result = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
-    bc.unpersist(); combined.unpersist(); normHvg.unpersist()
-    tagged.unpersist(); feats.unpersist()
+    feats.unpersist(); withFold.unpersist(); p1.unpersist()
     result
   }
 }
