@@ -15,9 +15,16 @@ object Bench {
     // reads priced outside the timings — one cheap query per table
     // family (star joins, part regex, lineitem scan, documents text,
     // embeddings vectors, events timestamps)
+    // full evaluation via the no-op sink: count() lets Catalyst drop
+    // the final sort AND prune aggregate-backed left joins (the right
+    // side is provably unique on the join key and contributes no
+    // columns to a count), so count-based timings skip real work —
+    // measured at sf1: x27 11.2s noop-write vs 0.16s count()
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     Seq("q15_multijoin", "q03_regex", "q01_project", "x02_textstats",
         "x08_cosine_topk", "q31_window").foreach { q =>
-      try { SparkEntry.queries(q)(spark, sfDir).count() }
+      try { run(SparkEntry.queries(q)(spark, sfDir)) }
       catch { case _: Throwable => () }
     }
     // k=3 timed runs per query, report the MEDIAN: single-shot numbers
@@ -28,7 +35,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       name -> (times(times.length / 2), times.last - times.head)
@@ -38,7 +45,7 @@ object Bench {
     val qs = json(results.map { case (k, (med, _)) => k -> med })
     val spread = json(results.map { case (k, (_, sp)) => k -> sp })
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop_write","queries":$qs,"spread":$spread,"sf":"$sfDir","reps":$reps}""")
     // compact summary LAST: the per-query line above is long enough
     // that a bounded tail capture can truncate its head (and with it
     // the total) — this line restates the headline numbers in a few

@@ -626,14 +626,24 @@ object TextQueries {
   private val BoilerMaxDocs = 10L
   private val BudgetTokens = 800L // binds from sf0.01 up (~1.3k tokens/source there)
 
-  def decontaminate(t: Tables, mod: Int = DecontamMod): DataFrame = {
-    val sh = t.documents
+  /** Distinct (doc_id, 60-bit-hashed shingle) pairs for x26/x27: the
+    * hash is applied BEFORE the distinct, so every downstream shuffle
+    * moves 8-byte longs instead of multi-word strings (CCNet hashes
+    * lines for exactly this reason). The same md5-fold runs in the
+    * DuckDB oracle, so the ~n²/2⁶¹ collision mass is identical on both
+    * engines and cancels in the compare. */
+  private def hashedShingles(t: Tables): DataFrame =
+    t.documents
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), explode(wordShingles(col("toks"), 3)).as("s"))
+      .select(col("doc_id"), hash60(col("s")).as("hs"))
       .distinct()
-    val bench = sh.filter(col("doc_id") % mod === 0).select("s").distinct()
+
+  def decontaminate(t: Tables, mod: Int = DecontamMod): DataFrame = {
+    val sh = hashedShingles(t)
+    val bench = sh.filter(col("doc_id") % mod === 0).select("hs").distinct()
     val hits = sh.filter(col("doc_id") % mod =!= 0)
-      .join(broadcast(bench), "s")
+      .join(broadcast(bench), "hs")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     t.documents.filter(col("doc_id") % mod =!= 0)
       .select("doc_id")
@@ -655,12 +665,9 @@ object TextQueries {
     * join back — all linear in total shingle volume, no pairwise
     * work at any corpus size. */
   def boilerplate(t: Tables, maxDocs: Long = BoilerMaxDocs): DataFrame = {
-    val sh = t.documents
-      .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), explode(wordShingles(col("toks"), 3)).as("s"))
-      .distinct()
-    val docFreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val perDoc = sh.join(docFreq, "s")
+    val sh = hashedShingles(t)
+    val docFreq = sh.groupBy("hs").agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(docFreq, "hs")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") > maxDocs, 1L).otherwise(0L)).as("n_common"))
@@ -745,6 +752,13 @@ object TextQueries {
   private def shingleCtes(where: String): String = s"""
       toks AS (SELECT doc_id, $toksSql AS tk FROM documents $where),
       sh AS (SELECT DISTINCT doc_id, s
+             FROM (SELECT doc_id, unnest($shinglesSql) AS s FROM toks))"""
+
+  /** DuckDB CTEs: distinct (doc_id, 60-bit hashed shingle) — the
+    * x26/x27 form, same md5 fold as the Spark side's `hash60`. */
+  private val hashedShingleCtes: String = s"""
+      toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS hs
              FROM (SELECT doc_id, unnest($shinglesSql) AS s FROM toks))"""
 
   private val minhashAggSql: String =
@@ -991,10 +1005,10 @@ object TextQueries {
       FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
       ORDER BY d.doc_id""",
     "x26_decontaminate" -> s"""
-      WITH ${shingleCtes("")},
-      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % $DecontamMod = 0),
+      WITH $hashedShingleCtes,
+      bench AS (SELECT DISTINCT hs FROM sh WHERE doc_id % $DecontamMod = 0),
       hits AS (SELECT sh.doc_id, COUNT(*) AS n_hits
-               FROM sh JOIN bench b ON b.s = sh.s
+               FROM sh JOIN bench b ON b.hs = sh.hs
                WHERE sh.doc_id % $DecontamMod <> 0 GROUP BY sh.doc_id)
       SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
         COALESCE(h.n_hits, 0) > 0 AS contaminated
@@ -1002,11 +1016,11 @@ object TextQueries {
       WHERE d.doc_id % $DecontamMod <> 0
       ORDER BY d.doc_id""",
     "x27_boilerplate" -> s"""
-      WITH ${shingleCtes("")},
-      df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+      WITH $hashedShingleCtes,
+      df AS (SELECT hs, COUNT(*) AS df FROM sh GROUP BY hs),
       per AS (SELECT sh.doc_id, COUNT(*) AS n_shingles,
                 SUM(CASE WHEN df.df > $BoilerMaxDocs THEN 1 ELSE 0 END) AS n_common
-              FROM sh JOIN df ON df.s = sh.s GROUP BY sh.doc_id)
+              FROM sh JOIN df ON df.hs = sh.hs GROUP BY sh.doc_id)
       SELECT d.doc_id, CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
         CAST(COALESCE(p.n_common, 0) AS BIGINT) AS n_common,
         CASE WHEN p.n_shingles > 0
