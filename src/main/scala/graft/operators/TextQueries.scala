@@ -319,7 +319,12 @@ object TextQueries {
           g => struct(lit(2).as("n"), g.as("g"))),
         transform(wordShingles(col("toks"), 3),
           g => struct(lit(3).as("n"), g.as("g"))))).as("x"))
-      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+      // hash the gram to a 60-bit long BEFORE the count shuffle (the
+      // x26/x27 move): the keys the wordcount exchange carries shrink
+      // from multi-word strings to 8 bytes, and the identical md5 fold
+      // in the oracle makes any collision merge the same counts on
+      // both engines
+      .select(col("doc_id"), col("x.n").as("n"), hash60(col("x.g")).as("g"))
     val perN = grams
       .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id", "n").agg(
@@ -886,7 +891,7 @@ object TextQueries {
         FROM tk
         UNION ALL
         SELECT doc_id, 3 AS n, unnest($shinglesSql) AS g FROM tk),
-      c AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+      c AS (SELECT doc_id, n, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hg, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
       p AS (SELECT doc_id, n,
               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac,
               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_frac
@@ -914,7 +919,7 @@ object TextQueries {
           ${qualitySql("text", "tk")} AS quality,
           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS hash_rank
         FROM sw),
-      g2 AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+      g2 AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hg, COUNT(*) AS c FROM (
                SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]) ELSE [] END) AS g
                FROM t2) GROUP BY 1, 2),
       rep AS (SELECT doc_id,
