@@ -630,6 +630,7 @@ object TextQueries {
   private val DecontamMod = 97
   private val BoilerMaxDocs = 10L
   private val BudgetTokens = 800L // binds from sf0.01 up (~1.3k tokens/source there)
+  private val PackSeqLen = 512L
 
   /** Distinct (doc_id, 60-bit-hashed shingle) pairs for x26/x27: the
     * hash is applied BEFORE the distinct, so every downstream shuffle
@@ -715,6 +716,37 @@ object TextQueries {
       .orderBy("source", "cum_tokens", "doc_id")
   }
 
+  /** x29 sequence packing — the concat-then-chunk layout LM
+    * pretraining actually trains on: within each source, documents
+    * concatenate in doc_id order into one token stream that is cut
+    * into fixed `seqLen`-token training sequences. Per document: its
+    * global token offset in the stream and the first/last sequence
+    * index it occupies (a document crossing a boundary is split across
+    * those sequences — the standard packing, no padding waste).
+    *
+    * Scale shape: one running-sum window PARTITIONED BY source in
+    * doc_id order — per-group and distributed, no global ordering; the
+    * chunk indices are pure per-row arithmetic on the running offset.
+    * Sources are the packing shards, exactly how the layout step
+    * parallelizes in practice. */
+  def packSequences(t: Tables, seqLen: Long = PackSeqLen): DataFrame = {
+    val base = t.documents
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("end_tok", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("end_tok") - col("n_tokens")).as("start_tok"),
+        floor((col("end_tok") - col("n_tokens")) / seqLen).cast("long")
+          .as("first_seq"),
+        floor((col("end_tok") - 1) / seqLen).cast("long").as("last_seq"))
+      .orderBy("source", "doc_id")
+  }
+
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x01_exactdedup" -> exactDedup _,
     "x02_textstats" -> textStats _,
@@ -739,6 +771,7 @@ object TextQueries {
     "x26_decontaminate" -> (t => decontaminate(t)),
     "x27_boilerplate" -> (t => boilerplate(t)),
     "x28_budget_fill" -> (t => budgetFill(t)),
+    "x29_pack_sequences" -> (t => packSequences(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -1043,5 +1076,17 @@ object TextQueries {
       SELECT doc_id, source, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
       FROM c WHERE cum_tokens <= $BudgetTokens
       ORDER BY source, cum_tokens, doc_id""",
+    "x29_pack_sequences" -> s"""
+      WITH t AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+      b AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens
+            FROM t WHERE len(tk) > 0),
+      c AS (SELECT doc_id, source, n_tokens,
+              SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS end_tok FROM b)
+      SELECT doc_id, source, n_tokens,
+        CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+        CAST((end_tok - n_tokens) // $PackSeqLen AS BIGINT) AS first_seq,
+        CAST((end_tok - 1) // $PackSeqLen AS BIGINT) AS last_seq
+      FROM c ORDER BY source, doc_id""",
   )
 }

@@ -77,6 +77,28 @@ class Round5Spec extends SparkSpec {
     assert(out.forall(_._3 <= 80L))
   }
 
+  test("sequence packing chunks the per-source token stream at fixed boundaries") {
+    // s0 stream (doc_id order): 300 + 300 + 500 tokens; seqLen 512 →
+    //   doc 0: [0, 300)   → seq 0 only
+    //   doc 1: [300, 600) → spans the 512 boundary: seqs 0..1
+    //   doc 2: [600,1100) → spans 1024: seqs 1..2
+    def words(n: Int, tag: String) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, words(300, "a"), "s0"),
+      (1L, words(300, "b"), "s0"),
+      (2L, words(500, "c"), "s0"),
+      (3L, words(600, "d"), "s1"),  // other source packs independently
+      (4L, "", "s1")))              // empty doc excluded
+    val out = TextQueries.packSequences(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out == Map(
+      0L -> ((0L, 0L, 0L)),
+      1L -> ((300L, 0L, 1L)),
+      2L -> ((600L, 1L, 2L)),
+      3L -> ((0L, 0L, 1L))))  // 600 tokens in s1: seqs 0..1 from offset 0
+  }
+
   test("budget fill breaks quality ties by doc_id and excludes empty docs") {
     val dir = docsDir(Seq(
       (5L, "t t t", "s0"), (6L, "t t t", "s0"), // identical quality
