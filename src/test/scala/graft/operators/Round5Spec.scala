@@ -99,6 +99,20 @@ class Round5Spec extends SparkSpec {
       3L -> ((0L, 0L, 1L))))  // 600 tokens in s1: seqs 0..1 from offset 0
   }
 
+  test("budget fill and packing shuffle once, on the source key") {
+    val dir = docsDir(Seq((0L, "a b c", "s0"), (1L, "d e f", "s1")))
+    for (df <- Seq(TextQueries.budgetFill(Tables(spark, dir)),
+        TextQueries.packSequences(Tables(spark, dir)))) {
+      val plan = df.queryExecution.executedPlan.toString
+      // the window's one hash exchange on source; the only other
+      // exchange is the final orderBy's range partitioning
+      assert(plan.contains("hashpartitioning(source"), plan.take(1500))
+      val hashExchanges = "Exchange hashpartitioning".r
+        .findAllIn(plan).length
+      assert(hashExchanges == 1, s"$hashExchanges hash exchanges:\n" + plan.take(2000))
+    }
+  }
+
   test("budget fill breaks quality ties by doc_id and excludes empty docs") {
     val dir = docsDir(Seq(
       (5L, "t t t", "s0"), (6L, "t t t", "s0"), // identical quality
