@@ -747,6 +747,59 @@ object TextQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** x30 the COMPLETE curation pipeline — x19's filter chain extended
+    * with the round-5 signals, one deterministic status per document by
+    * precedence: `exact_dup > benchmark > contaminated > too_short >
+    * lang > low_quality > repetitive > boilerplate > near_dup > kept`.
+    * Every signal is the same oracle-gated computation as its
+    * standalone query (x01/x02/x03/x10/x16/x07/x26/x27); a user runs
+    * the entire corpus-curation stage as ONE declarative query and
+    * Catalyst schedules the branches.
+    *
+    * Scale shape = the union of its parts: one fused per-row pass
+    * (tokens, language, quality, exact-dup window), plus the four
+    * shuffling branches (2-gram repetition, LSH near-dup pairs,
+    * benchmark decontamination, boilerplate doc-frequency) joined back
+    * by doc_id — each branch individually verified linear at sf1. */
+  def curationPipeline(t: Tables, minTokens: Long = 20,
+                       langs: Seq[String] = Seq("en"),
+                       minQuality: Double = 0.3, maxDupFrac: Double = 0.6,
+                       nearDupJaccard: Double = 0.8,
+                       maxBoilerFrac: Double = 0.5): DataFrame = {
+    val base = t.documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("pred_lang", predLang(col("toks")))
+      .withColumn("quality", qualityCol(col("text"), col("toks")))
+      .withColumn("hash_rank", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+    val rep = repetition(t).select(col("doc_id"), col("dup2gram_frac"))
+    val nearDups = lshPairs(t)
+      .filter(col("jac") >= nearDupJaccard)
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("is_near_dup", lit(true))
+    val cont = decontaminate(t).select(col("doc_id"), col("n_hits"))
+    val boiler = boilerplate(t).select(col("doc_id"), col("boiler_frac"))
+    base
+      .join(rep, Seq("doc_id"), "left")
+      .join(nearDups, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .join(boiler, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("hash_rank") > 1, "exact_dup")
+          .when(col("doc_id") % DecontamMod === 0, "benchmark")
+          .when(col("n_hits") > 0, "contaminated")
+          .when(col("n_tokens") < minTokens, "too_short")
+          .when(not(col("pred_lang").isInCollection(langs)), "lang")
+          .when(col("quality") < minQuality, "low_quality")
+          .when(col("dup2gram_frac") > maxDupFrac, "repetitive")
+          .when(col("boiler_frac") > maxBoilerFrac, "boilerplate")
+          .when(col("is_near_dup"), "near_dup")
+          .otherwise("kept"))
+      .select("doc_id", "status")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x01_exactdedup" -> exactDedup _,
     "x02_textstats" -> textStats _,
@@ -772,6 +825,7 @@ object TextQueries {
     "x27_boilerplate" -> (t => boilerplate(t)),
     "x28_budget_fill" -> (t => budgetFill(t)),
     "x29_pack_sequences" -> (t => packSequences(t)),
+    "x30_curation_pipeline" -> (t => curationPipeline(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -1088,5 +1142,54 @@ object TextQueries {
         CAST((end_tok - n_tokens) // $PackSeqLen AS BIGINT) AS first_seq,
         CAST((end_tok - 1) // $PackSeqLen AS BIGINT) AS last_seq
       FROM c ORDER BY source, doc_id""",
+    // x30: every branch is its standalone query's oracle fragment,
+    // composed; `toks` from lshCtes is reused by the hashed-shingle
+    // branches (same definition).
+    "x30_curation_pipeline" -> s"""
+      WITH $lshCtes,
+      sw AS (SELECT doc_id, text, tk, $stopCountsSql FROM toks
+             JOIN (SELECT doc_id AS did, text FROM documents) d ON d.did = toks.doc_id),
+      base AS (SELECT doc_id,
+          CAST(len(tk) AS BIGINT) AS n_tokens,
+          $langCaseSql AS pred_lang,
+          ${qualitySql("text", "tk")} AS quality,
+          ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS hash_rank
+        FROM sw),
+      g2 AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hg, COUNT(*) AS c FROM (
+               SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]) ELSE [] END) AS g
+               FROM toks) GROUP BY 1, 2),
+      rep AS (SELECT doc_id,
+                ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS dup2
+              FROM g2 GROUP BY doc_id),
+      nd AS (SELECT DISTINCT d2 AS doc_id FROM jacp WHERE jac >= 0.8),
+      hsh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS hs
+              FROM (SELECT doc_id, unnest($shinglesSql) AS s FROM toks)),
+      bench AS (SELECT DISTINCT hs FROM hsh WHERE doc_id % $DecontamMod = 0),
+      hits AS (SELECT hsh.doc_id, COUNT(*) AS n_hits FROM hsh JOIN bench b ON b.hs = hsh.hs
+               WHERE hsh.doc_id % $DecontamMod <> 0 GROUP BY 1),
+      bdf AS (SELECT hs, COUNT(*) AS df FROM hsh GROUP BY hs),
+      bper AS (SELECT hsh.doc_id, COUNT(*) AS n_sh,
+                 SUM(CASE WHEN bdf.df > $BoilerMaxDocs THEN 1 ELSE 0 END) AS n_common
+               FROM hsh JOIN bdf ON bdf.hs = hsh.hs GROUP BY 1),
+      boiler AS (SELECT doc_id, CASE WHEN n_sh > 0
+                   THEN ROUND(CAST(n_common AS DOUBLE) / CAST(n_sh AS DOUBLE), 6) END AS bf
+                 FROM bper)
+      SELECT b.doc_id,
+        CASE WHEN b.hash_rank > 1 THEN 'exact_dup'
+             WHEN b.doc_id % $DecontamMod = 0 THEN 'benchmark'
+             WHEN h.n_hits > 0 THEN 'contaminated'
+             WHEN b.n_tokens < 20 THEN 'too_short'
+             WHEN b.pred_lang NOT IN ('en') THEN 'lang'
+             WHEN b.quality < 0.3 THEN 'low_quality'
+             WHEN r.dup2 > 0.6 THEN 'repetitive'
+             WHEN bo.bf > 0.5 THEN 'boilerplate'
+             WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+             ELSE 'kept' END AS status
+      FROM base b
+      LEFT JOIN rep r ON r.doc_id = b.doc_id
+      LEFT JOIN nd ON nd.doc_id = b.doc_id
+      LEFT JOIN hits h ON h.doc_id = b.doc_id
+      LEFT JOIN boiler bo ON bo.doc_id = b.doc_id
+      ORDER BY b.doc_id""",
   )
 }

@@ -113,6 +113,23 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("curation pipeline assigns one status per doc by precedence") {
+    def words(n: Int, tag: String) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    // 20+ tokens clears too_short; en stopwords make pred_lang = en
+    val en = "the a of and to in is " + words(13, "w")
+    val dir = docsDir(Seq(
+      (0L, words(22, "b"), "s0"),               // 0 % 97 == 0 → benchmark
+      (1L, "b0 b1 b2 " + words(20, "u"), "s0"), // shares "b0 b1 b2" → contaminated
+      (2L, words(25, "x"), "s0"),               // no stopwords → lang
+      (3L, words(25, "x"), "s0"),               // same text, higher id → exact_dup
+      (4L, "t0 t1 t2", "s0"),                   // 3 tokens → too_short
+      (5L, en, "s0")))                          // English, distinct, clean → kept
+    val out = TextQueries.curationPipeline(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(0L -> "benchmark", 1L -> "contaminated", 2L -> "lang",
+      3L -> "exact_dup", 4L -> "too_short", 5L -> "kept"), out)
+  }
+
   test("budget fill breaks quality ties by doc_id and excludes empty docs") {
     val dir = docsDir(Seq(
       (5L, "t t t", "s0"), (6L, "t t t", "s0"), // identical quality
