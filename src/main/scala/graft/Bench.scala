@@ -32,8 +32,18 @@ object Bench {
     // plans round-over-round; the per-query spread (max-min) is emitted
     // alongside so a wide median is visibly unstable rather than wrong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for targeted measurement
+    // while iterating (the driver never sets it → full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
+        // x19/x30 persist their shared tokenization internally; drop it
+        // between reps so every rep pays the full build (cached repeats
+        // would fake a ~3x speedup on exactly the slowest queries)
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
@@ -45,14 +55,23 @@ object Bench {
     val qs = json(results.map { case (k, (med, _)) => k -> med })
     val spread = json(results.map { case (k, (_, sp)) => k -> sp })
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop_write","queries":$qs,"spread":$spread,"sf":"$sfDir","reps":$reps}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop_write","queries":$qs,"spread":$spread,"sf":"$sfDir","reps":$reps}"""
+    println(full)
+    // the full per-query JSON also lands on disk: stdout goes through
+    // sbt's logger, whose "[info] " prefix keeps any line from parsing
+    // as bare JSON (BENCH_r05 recorded parsed:null for this reason) —
+    // the file is the machine-readable artifact of record
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_summary.json"), full + "\n")
     // compact summary LAST: the per-query line above is long enough
     // that a bounded tail capture can truncate its head (and with it
     // the total) — this line restates the headline numbers in a few
-    // hundred bytes so they survive any tail window
+    // hundred bytes so they survive any tail window. Distinct metric
+    // name so a consumer aggregating by metric can't double-count the
+    // two "total" lines.
     val worst = json(results.sortBy(-_._2._1).take(5)
       .map { case (k, (med, _)) => k -> med })
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.length},"worst5":$worst,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${results.length},"worst5":$worst,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

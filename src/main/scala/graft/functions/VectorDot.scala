@@ -102,6 +102,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_h60 expects exactly 1 argument, got ${other.length}")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_gram_stats"),
+      new ExpressionInfo(classOf[GramRepetition].getName, "graft_gram_stats"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a,
+            org.apache.spark.sql.catalyst.expressions.Literal(nn: Int, IntegerType)) =>
+          GramRepetition(a, nn)
+        case _ => throw new IllegalArgumentException(
+          "graft_gram_stats expects (array<string>, n literal)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_band_keys"),
       new ExpressionInfo(classOf[BandKeys].getName, "graft_band_keys"),
       (children: Seq[Expression]) => children match {

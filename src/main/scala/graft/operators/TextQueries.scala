@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
 
 /** Training-data-pipeline text operators over the `documents` table
   * (beyond-reference extension surface; BASELINE.md north star).
@@ -107,11 +108,22 @@ object TextQueries {
       .limit(20)
   }
 
+  /** `documents` plus a `toks` column — the single tokenization every
+    * text query hangs off. Standalone queries call this inline (and
+    * Catalyst prunes `toks` away wherever only `doc_id` is read); the
+    * composed pipelines x19/x30 `persist` the result so the regex
+    * tokenization scan runs ONCE for all their branches instead of
+    * once per branch. */
+  private def withToks(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", tokens(col("text")))
+
   /** Distinct (doc_id, folded shingle hash) pairs — shared by the
     * MinHash signature and LSH pair queries. */
   private def shingleHashes(t: Tables): DataFrame =
-    t.documents
-      .withColumn("toks", tokens(col("text")))
+    shingleHashesFrom(withToks(t.documents))
+
+  private def shingleHashesFrom(td: DataFrame): DataFrame =
+    td
       .select(col("doc_id"), explode(wordShingles(col("toks"), 3)).as("s"))
       .distinct()
       // coalesce is a no-op (s is never null) but marks hm non-nullable,
@@ -144,14 +156,16 @@ object TextQueries {
     * both join sides (ReusedExchange in the plan). At cluster scale
     * the join shuffles on a short string key; skewed mega-buckets are
     * handled by AQE skew splitting. */
-  def lshPairs(t: Tables): DataFrame = {
+  def lshPairs(t: Tables): DataFrame = lshPairsFrom(withToks(t.documents))
+
+  private def lshPairsFrom(td: DataFrame): DataFrame = {
     // ONE distinct hashed-shingle table feeds the signature aggregation
     // AND both verification join sides: the (doc_id, s)-distinct
     // exchange is identical in all three consumers, so Spark plans it
     // once and ReusedExchange serves the rest — no re-tokenize/explode.
     // Verification Jaccard runs over hashed shingles (the oracle hashes
     // identically, so the two engines see the same set algebra).
-    val sh = shingleHashes(t)
+    val sh = shingleHashesFrom(td)
     val aggs = MinHashCoeffs.indices.map(j =>
       min(minHashJ(col("hm"), j)).as(f"m$j%02d"))
     val sigSz = sh.groupBy("doc_id")
@@ -311,9 +325,36 @@ object TextQueries {
     * (tagged union before the explode); the two groupBys are map-side
     * combinable, so the shape is the wordcount shuffle — linear at
     * corpus scale. Docs too short for an n-gram get NULLs. */
-  def repetition(t: Tables): DataFrame = {
-    val grams = t.documents
-      .withColumn("toks", tokens(col("text")))
+  def repetition(t: Tables): DataFrame = repetitionFrom(withToks(t.documents))
+
+  private def repetitionFrom(td: DataFrame): DataFrame =
+    if (graft.functions.GraftExtensions.active) {
+      // SHUFFLE-FREE form (round 6): n-grams never leave their
+      // document, so the native GramRepetition expression computes both
+      // signals row-locally — one count map per row, zero exchanges at
+      // any corpus size. The exploded + grouped form below (the
+      // no-extensions fallback) shuffles ~2x the corpus token volume;
+      // at 100 TB that exchange simply disappears. Bit-identical: same
+      // Hash60 gram fold (oracle collisions cancel), same long→double
+      // casts and division, NULL for docs with no grams either way.
+      td.select(col("doc_id"),
+          call_function("graft_gram_stats", col("toks"), lit(2)).as("g2"),
+          call_function("graft_gram_stats", col("toks"), lit(3)).as("g3"))
+        .select(col("doc_id"),
+          round(col("g2.top_frac"), 6).as("top2gram_frac"),
+          round(col("g2.dup_frac"), 6).as("dup2gram_frac"),
+          round(col("g3.top_frac"), 6).as("top3gram_frac"),
+          round(col("g3.dup_frac"), 6).as("dup3gram_frac"))
+        .orderBy("doc_id")
+    } else repetitionShuffled(td)
+
+  /** Test hook: the fallback form regardless of extension presence
+    * (RepetitionSpec pins native == shuffled bit-equality). */
+  private[operators] def repetitionShuffledForTest(t: Tables): DataFrame =
+    repetitionShuffled(withToks(t.documents))
+
+  private def repetitionShuffled(td: DataFrame): DataFrame = {
+    val grams = td
       .select(col("doc_id"), explode(concat(
         transform(wordShingles(col("toks"), 2),
           g => struct(lit(2).as("n"), g.as("g"))),
@@ -331,7 +372,7 @@ object TextQueries {
         (max("c").cast("double") / sum("c").cast("double")).as("top_frac"),
         (sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast("double")
           / sum("c").cast("double")).as("dup_frac"))
-    t.documents.select("doc_id")
+    td.select("doc_id")
       .join(perN, Seq("doc_id"), "left")
       .groupBy("doc_id").agg(
         round(max(when(col("n") === 2, col("top_frac"))), 6).as("top2gram_frac"),
@@ -376,15 +417,22 @@ object TextQueries {
                    langs: Seq[String] = Seq("en"),
                    minQuality: Double = 0.3, maxDupFrac: Double = 0.6,
                    nearDupJaccard: Double = 0.8): DataFrame = {
-    val base = t.documents
-      .withColumn("toks", tokens(col("text")))
+    // ONE tokenization for the whole pipeline: the fused per-row pass
+    // and both shuffling branches read the persisted (docs + toks)
+    // table instead of re-running the regex scan per branch. Pruned to
+    // the columns the pipeline touches; disk-spillable cache — at
+    // cluster scale this is one materialization (~2x corpus) vs three
+    // full tokenize scans.
+    val td = withToks(t.documents.select("doc_id", "text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = td
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("pred_lang", predLang(col("toks")))
       .withColumn("quality", qualityCol(col("text"), col("toks")))
       .withColumn("hash_rank", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
-    val rep = repetition(t).select(col("doc_id"), col("dup2gram_frac"))
-    val nearDups = lshPairs(t)
+    val rep = repetitionFrom(td).select(col("doc_id"), col("dup2gram_frac"))
+    val nearDups = lshPairsFrom(td)
       .filter(col("jac") >= nearDupJaccard)
       .select(col("d2").as("doc_id")).distinct()
       .withColumn("is_near_dup", lit(true))
@@ -638,20 +686,22 @@ object TextQueries {
     * lines for exactly this reason). The same md5-fold runs in the
     * DuckDB oracle, so the ~n²/2⁶¹ collision mass is identical on both
     * engines and cancels in the compare. */
-  private def hashedShingles(t: Tables): DataFrame =
-    t.documents
-      .withColumn("toks", tokens(col("text")))
+  private def hashedShinglesFrom(td: DataFrame): DataFrame =
+    td
       .select(col("doc_id"), explode(wordShingles(col("toks"), 3)).as("s"))
       .select(col("doc_id"), hash60(col("s")).as("hs"))
       .distinct()
 
-  def decontaminate(t: Tables, mod: Int = DecontamMod): DataFrame = {
-    val sh = hashedShingles(t)
+  def decontaminate(t: Tables, mod: Int = DecontamMod): DataFrame =
+    decontaminateFrom(withToks(t.documents), mod)
+
+  private def decontaminateFrom(td: DataFrame, mod: Int): DataFrame = {
+    val sh = hashedShinglesFrom(td)
     val bench = sh.filter(col("doc_id") % mod === 0).select("hs").distinct()
     val hits = sh.filter(col("doc_id") % mod =!= 0)
       .join(broadcast(bench), "hs")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    t.documents.filter(col("doc_id") % mod =!= 0)
+    td.filter(col("doc_id") % mod =!= 0)
       .select("doc_id")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -670,14 +720,17 @@ object TextQueries {
     * then map-side-combined document-frequency count) + one shuffle
     * join back — all linear in total shingle volume, no pairwise
     * work at any corpus size. */
-  def boilerplate(t: Tables, maxDocs: Long = BoilerMaxDocs): DataFrame = {
-    val sh = hashedShingles(t)
+  def boilerplate(t: Tables, maxDocs: Long = BoilerMaxDocs): DataFrame =
+    boilerplateFrom(withToks(t.documents), maxDocs)
+
+  private def boilerplateFrom(td: DataFrame, maxDocs: Long): DataFrame = {
+    val sh = hashedShinglesFrom(td)
     val docFreq = sh.groupBy("hs").agg(count(lit(1)).as("df"))
     val perDoc = sh.join(docFreq, "hs")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") > maxDocs, 1L).otherwise(0L)).as("n_common"))
-    t.documents.select("doc_id")
+    td.select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
@@ -760,26 +813,42 @@ object TextQueries {
     * (tokens, language, quality, exact-dup window), plus the four
     * shuffling branches (2-gram repetition, LSH near-dup pairs,
     * benchmark decontamination, boilerplate doc-frequency) joined back
-    * by doc_id — each branch individually verified linear at sf1. */
+    * by doc_id — each branch individually verified linear at sf1.
+    * Tokenization runs ONCE: every branch reads the same persisted
+    * (docs + toks) table (round-6; asserted in Round6Spec). */
   def curationPipeline(t: Tables, minTokens: Long = 20,
                        langs: Seq[String] = Seq("en"),
                        minQuality: Double = 0.3, maxDupFrac: Double = 0.6,
                        nearDupJaccard: Double = 0.8,
                        maxBoilerFrac: Double = 0.5): DataFrame = {
-    val base = t.documents
-      .withColumn("toks", tokens(col("text")))
+    // ONE tokenization feeds the fused per-row pass and all FOUR
+    // shuffling branches (repetition, LSH near-dup, decontamination,
+    // boilerplate) via a persisted (doc_id, text, toks) table —
+    // previously the regex tokenize scan ran ~5x inside this single
+    // query. (Measured dead end at sf1: ALSO persisting the hashed-
+    // shingle table for the decontaminate/boilerplate pair costs MORE
+    // than the duplicate subtrees it removes — their pushed-down doc_id
+    // filters mean the bench side only explodes ~1/97 of docs, while a
+    // shared cache pays full materialization and loses codegen fusion;
+    // 18.5s → 22.5s. Shapes that look duplicated aren't always worth
+    // materializing.)
+    val td = withToks(t.documents.select("doc_id", "text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = td
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("pred_lang", predLang(col("toks")))
       .withColumn("quality", qualityCol(col("text"), col("toks")))
       .withColumn("hash_rank", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
-    val rep = repetition(t).select(col("doc_id"), col("dup2gram_frac"))
-    val nearDups = lshPairs(t)
+    val rep = repetitionFrom(td).select(col("doc_id"), col("dup2gram_frac"))
+    val nearDups = lshPairsFrom(td)
       .filter(col("jac") >= nearDupJaccard)
       .select(col("d2").as("doc_id")).distinct()
       .withColumn("is_near_dup", lit(true))
-    val cont = decontaminate(t).select(col("doc_id"), col("n_hits"))
-    val boiler = boilerplate(t).select(col("doc_id"), col("boiler_frac"))
+    val cont = decontaminateFrom(td, DecontamMod)
+      .select(col("doc_id"), col("n_hits"))
+    val boiler = boilerplateFrom(td, BoilerMaxDocs)
+      .select(col("doc_id"), col("boiler_frac"))
     base
       .join(rep, Seq("doc_id"), "left")
       .join(nearDups, Seq("doc_id"), "left")

@@ -43,4 +43,38 @@ class RepetitionSpec extends SparkSpec {
     // 100 tokens alternate: "spam ham" claims 50 of the 99 2-gram slots
     assert(r.getDouble(r.fieldIndex("top2gram_frac")) == 0.505051)
   }
+
+  test("native row-local form is bit-identical to the shuffled groupBy form") {
+    // the round-6 GramRepetition expression must reproduce the
+    // exploded+grouped formulation EXACTLY (same Hash60 gram fold, same
+    // long→double casts) — the x16 oracle still gates the grouped
+    // semantics, so any drift here is a correctness bug, not noise
+    val rnd = new scala.util.Random(42)
+    val words = Vector("a", "b", "c", "dd", "e", "f", "g")
+    val docs = (0L until 300L).map { i =>
+      val len = rnd.nextInt(30) // includes 0- and 1-token docs
+      (i, Seq.fill(len)(words(rnd.nextInt(words.length))).mkString(" "),
+        "en", "s0", 1L)
+    }
+    val dir = Files.createTempDirectory("rep3").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t = Tables(spark, dir)
+    val native = TextQueries.repetition(t).collect()
+    val shuffled = TextQueries.repetitionShuffledForTest(t).collect()
+    assert(native.length == shuffled.length)
+    native.zip(shuffled).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
+  test("x16 plans with NO exchange except the final total-order sort") {
+    val dir = Files.createTempDirectory("rep4").toString
+    Seq((1L, "a b c a b", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p = TextQueries.repetition(Tables(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"row-local gram stats regressed to a shuffle\n${p.take(2000)}")
+    assert(!p.contains("Generate explode"), p.take(2000))
+  }
 }
