@@ -25,11 +25,22 @@ import glob
 import sys
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+def read_output(out_dir, name):
+    """All part-files of one Verify output dir (coalesce(1) writes one
+    today, but a multi-part output must not silently drop rows), with a
+    clear failure when the directory is missing or empty."""
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    if not files:
+        sys.exit(f"FAIL {name}: no parquet files under {out_dir}/{name}")
+    return pa.concat_tables(pq.read_table(f) for f in files)
+
+
 def main(sf_dir, out_dir):
-    pairs = pq.read_table(glob.glob(f"{out_dir}/x13_simhashpairs/*.parquet")[0])
+    pairs = read_output(out_dir, "x13_simhashpairs")
     d1 = pairs.column("d1").to_pylist()
     d2 = pairs.column("d2").to_pylist()
 
@@ -53,7 +64,7 @@ def main(sf_dir, out_dir):
 
     failures = 0
 
-    x21 = pq.read_table(glob.glob(f"{out_dir}/x21_dupclusters/*.parquet")[0])
+    x21 = read_output(out_dir, "x21_dupclusters")
     got = {r["doc_id"]: (r["cluster_id"], r["is_rep"]) for r in x21.to_pylist()}
     want = {v: (c, v == c) for v, c in cluster.items()}
     bad21 = sum(1 for k in want if got.get(k) != want[k]) + \
@@ -69,7 +80,7 @@ def main(sf_dir, out_dir):
         "SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) "
         f"ORDER BY doc_id) FROM read_parquet('{sf_dir}/documents.parquet')"
     ).fetchall()
-    x23 = pq.read_table(glob.glob(f"{out_dir}/x23_dedup_survivors/*.parquet")[0])
+    x23 = read_output(out_dir, "x23_dedup_survivors")
     got23 = {r["doc_id"]: r["status"] for r in x23.to_pylist()}
     bad23 = 0
     for doc, rank in hashrank:

@@ -4,11 +4,17 @@
 oracle_sql.json in DuckDB over the same sf parquet tables, canonicalize
 (sort columns by name, stringify values), and diff.
 
-Usage: check_oracle.py <sfDir> <verifyOut>
+Usage: check_oracle.py <sfDir> <verifyOut> [--skip name1,name2]
+
+--skip excludes queries whose ORACLE formulation is infeasible at the
+given scale (x21/x23's recursive CTE is quadratic in component size —
+use check_cc.py for those at sf>=0.1); skipped names are listed so the
+output can't silently read as full coverage.
 """
 import decimal
 import json, sys, glob, os
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -36,7 +42,7 @@ def canon(rows, names):
     order = sorted(range(len(names)), key=lambda i: names[i])
     return [tuple(canon_cell(r[i]) for i in order) for r in rows]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -45,12 +51,18 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name in sorted(oracles):
+        if name in skip:
+            print(f"skip {name} (oracle infeasible at this scale; "
+                  f"verify separately)")
+            continue
         sql = oracles[name]
         res_dir = f"{out_dir}/{name}"
-        files = glob.glob(f"{res_dir}/*.parquet")
+        # read EVERY part-file: coalesce(1) writes one today, but a
+        # multi-part output must not silently drop rows
+        files = sorted(glob.glob(f"{res_dir}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output"); failures += 1; continue
-        tbl = pq.read_table(files[0])
+        tbl = pa.concat_tables(pq.read_table(f) for f in files)
         spark_names = tbl.column_names
         spark_rows = [tuple(r[c] for c in spark_names)
                       for r in tbl.to_pylist()] if tbl.num_rows else []
@@ -82,8 +94,8 @@ def main(sf_dir, out_dir):
     for d in sorted(os.listdir(out_dir)):
         full = f"{out_dir}/{d}"
         if os.path.isdir(full) and d not in oracles:
-            files = glob.glob(f"{full}/*.parquet")
-            n = pq.read_table(files[0]).num_rows if files else -1
+            files = sorted(glob.glob(f"{full}/*.parquet"))
+            n = sum(pq.read_table(f).num_rows for f in files) if files else -1
             status = "ok  " if n > 0 else "FAIL"
             if n <= 0: failures += 1
             print(f"{status} {d} (rows-only: {n})")
@@ -91,4 +103,11 @@ def main(sf_dir, out_dir):
     sys.exit(1 if failures else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    skip = set()
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--skip":
+            skip = set(sys.argv[1:][i + 1].split(","))
+        elif a.startswith("--skip="):
+            skip = set(a.split("=", 1)[1].split(","))
+    main(args[0], args[1], skip=skip)

@@ -152,6 +152,12 @@ object Doublets {
           .as("w_art_frac"),
         min(when(col("n_art"), col("rk"))).as("first_art_rk"),
         avg(col("dist")).as("mean_dist"))
+    // sentinel for cells with NO neighbor inside the bounded radius:
+    // the largest observed neighbor distance (the radius bound), NOT
+    // 0.0 — zero reads as maximal local density, the opposite of the
+    // truth for exactly the isolated cells this feature describes
+    val distCap = ranked.agg(
+      coalesce(max(col("dist")), lit(1.0)).as("__dist_cap"))
     // per-cell library features from the combined matrix
     val libs = combined
       .groupBy("sample", "barcode")
@@ -168,7 +174,9 @@ object Doublets {
       // sentinel rank one past the last slot, the bounded null-free form
       .withColumn("first_art_rk",
         coalesce(col("first_art_rk"), lit(k + 1)).cast("double"))
-      .withColumn("mean_dist", coalesce(col("mean_dist"), lit(0.0)))
+      .crossJoin(broadcast(distCap))
+      .withColumn("mean_dist", coalesce(col("mean_dist"), col("__dist_cap")))
+      .drop("__dist_cap")
       .join(libs, "cells_id")
       .withColumn("features", org.apache.spark.ml.functions.array_to_vector(
         array(col("art_frac"), col("art_frac_inner"), col("w_art_frac"),
@@ -208,7 +216,8 @@ object Doublets {
     //     across folds (each one's held-out model trains on the
     //     others, labeled real, at the same feature point).
     // Deterministic: fold assignment is a seeded hash, the learner is
-    // seeded, the exclusion cut is an exact distributed top-k.
+    // seeded, the exclusion cut is an exact distributed order
+    // statistic (aggregation-only — no scored cells on the driver).
     val numFolds = 3
     val withFold = feats.withColumn("__fold",
       when(col("is_art"), lit(-1)).otherwise(
@@ -231,7 +240,20 @@ object Doublets {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nReal = p1.count()
     val nExcl = math.max(1L, math.ceil(nReal * 0.1).toLong)
-    val thr = p1.orderBy(col("__p1").desc).limit(nExcl.toInt)
+    // the exclusion cut = min of the top nExcl scores, as a distributed
+    // aggregation (no TakeOrdered of scored cells, no driver list, no
+    // .toInt ceiling). percentile interpolates at index p*(n-1); aiming
+    // at the HALF-INTEGER position (nReal-nExcl-0.5) lands the raw
+    // value strictly between the two straddling order statistics (or
+    // exactly on them when tied), so snapping to the smallest actual
+    // score >= it reproduces the exact order statistic regardless of
+    // floating-point rounding in p — bit-identical to the former
+    // orderBy.limit driver form.
+    val p = if (nReal - nExcl <= 0L) 0.0
+            else (nReal - nExcl - 0.5) / (nReal - 1).toDouble
+    val thrRaw = p1.agg(expr(s"percentile(__p1, $p)"))
+      .collect()(0).getDouble(0)
+    val thr = p1.filter(col("__p1") >= thrRaw)
       .agg(min(col("__p1"))).collect()(0).getDouble(0)
     val train2 = withFold.join(p1, Seq("cells_id"), "left")
       .filter(col("is_art") || col("__p1") < thr).drop("__p1")
