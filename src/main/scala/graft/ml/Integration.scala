@@ -28,11 +28,14 @@ import org.apache.spark.sql.functions._
   *     quantile-scaled to [0,1] with the 1%/90% quantiles (Seurat
   *     `k.score` + `ScoreAnchors`); a degenerate score distribution
   *     (all equal) carries no information and scores 1;
-  *  6. every query cell is corrected by the score-and-distance-weighted
-  *     mean of its `kWeight` nearest anchors' correction vectors
-  *     (weights score/(1+d)); cells whose nearby anchors all score 0
-  *     pass through uncorrected — the behavior Seurat's rPCA is
-  *     recommended for when a population exists in only one batch.
+  *  6. every query cell is corrected by the weighted mean of its
+  *     `kWeight` nearest anchor pairs' correction vectors, with
+  *     Seurat's own FindWeights kernel (Stuart et al. 2019, Methods):
+  *     distance weights `1 − d/d_k`, scaled by anchor score, through
+  *     `1 − exp(−w/(2/sd²))`, normalized to sum 1; cells whose nearby
+  *     anchors all score 0 pass through uncorrected — the behavior
+  *     Seurat's rPCA is recommended for when a population exists in
+  *     only one batch.
   * Groups with no anchors pass through uncorrected (matches the
   * reference's skip branch `dataIntegration.r:86-89` spirit).
   *
@@ -155,7 +158,7 @@ object Integration {
       val anchors = withShared
         .join(qry.select(col("cells_id").as("qid"), col("pc").as("qpc")), "qid")
         .join(ref.select(col("cells_id").as("rid"), col("pc").as("rpc")), "rid")
-        .select(col("qid"), col("qpc"), col("shared"),
+        .select(col("qid"), col("rid"), col("qpc"), col("shared"),
           zip_with(col("rpc"), col("qpc"), (r, q) => r - q).as("vec"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       toRelease += anchors
@@ -190,16 +193,52 @@ object Integration {
         // its own vector too): knnJoin excluded self, so union it back
         val selfA = anchorPts.select(col("cells_id"),
           col("cells_id").as("aid"), lit(0.0).as("dist"))
-        // an anchor cell paired with several ref cells contributes one
-        // row per pair (each with the pair's score) — deterministic,
-        // unlike collapsing to an arbitrary "first" vector
-        val weighted = near.unionByName(selfA)
-          .join(scored.select(col("qid").as("aid"), col("vec"),
-            col("score")), "aid")
-          .withColumn("w", col("score") / (lit(1.0) + col("dist")))
+        // EXACT Seurat FindWeights kernel (Stuart et al. 2019 Cell,
+        // Methods "Calculating anchor weights" — the IntegrateData
+        // weighting the reference invokes, dataIntegration.r:95):
+        //  1. each cell selects its kWeight nearest anchor PAIRS — the
+        //     distance to a pair is the distance to its query-side
+        //     cell, so an anchor cell in several pairs fills several
+        //     slots, exactly the cells x anchors weight matrix. The
+        //     kWeight nearest pairs are always among the pairs of the
+        //     kWeight nearest distinct cells, so expanding the cell-NN
+        //     result and re-ranking is exact.
+        //  2. distance weight 1 - d/d_k against the kWeight-th selected
+        //     pair's distance (the furthest selected anchor contributes
+        //     ZERO, unlike the previous score/(1+d) approximation which
+        //     never vanished), scaled by the anchor score;
+        //  3. exponential kernel 1 - exp(-w / (2/sd^2)), sd.weight = 1;
+        //  4. weights normalize to sum 1 per cell — implicit in the
+        //     weighted mean below.
+        // Degenerate guard Seurat never needs (k.weight=100 spans many
+        // distinct anchor cells; a small kWeight over few anchors can
+        // select pairs at ONE distance): equal distances carry no
+        // ordering information and 1 - d/d_k would zero every weight,
+        // deleting the correction for exactly those cells — fall back
+        // to the scores alone there.
+        val pairRows = near.unionByName(selfA)
+          .join(scored.select(col("qid").as("aid"), col("rid"),
+            col("vec"), col("score")), "aid")
+        val rkW = org.apache.spark.sql.expressions.Window
+          .partitionBy("cells_id")
+          .orderBy(col("dist"), col("aid"), col("rid"))
+        val cellW = org.apache.spark.sql.expressions.Window
+          .partitionBy("cells_id")
+        val sdWeight = 1.0
+        val weighted = pairRows
+          .withColumn("rk", row_number().over(rkW))
+          .filter(col("rk") <= kWeight)
+          .withColumn("dk", max(col("dist")).over(cellW))
+          .withColumn("dmin", min(col("dist")).over(cellW))
+          .withColumn("w",
+            lit(1.0) - exp(-(when(col("dk") > col("dmin"),
+                (lit(1.0) - col("dist") / col("dk")) * col("score"))
+              .otherwise(col("score"))) /
+              lit(2.0 / (sdWeight * sdWeight))))
           .filter(col("w") > 0)
-        // blend: posexplode vectors, grouped weighted mean per dim;
-        // cells whose anchors all scored 0 have no rows here and pass
+        // blend: posexplode vectors, grouped weighted mean per dim
+        // (= Seurat's sum-to-1 normalized weights); cells whose
+        // selected anchors all weigh 0 have no rows here and pass
         // through via the left join below
         val blended = weighted
           .select(col("cells_id"), col("w"), posexplode(col("vec")).as(Seq("d", "v")))

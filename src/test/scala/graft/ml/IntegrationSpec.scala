@@ -137,12 +137,44 @@ class IntegrationSpec extends SparkSpec {
     val out = Integration.integrateEmbeddings(pca, groups, kAnchor = 8, kWeight = 8)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val after = mixing(out)
-    // golden: 0.65875 measured on the seeded, deterministic fixture
-    // (tolerance covers fp drift in distributed double reductions).
-    // Not the 0.49 of perfect random mixing — the weighted-anchor blend
-    // leaves residual shift — but a 34-point drop from full separation
+    // golden: 0.6975 measured on the seeded, deterministic fixture with
+    // the EXACT Seurat FindWeights kernel (1 - d/d_k distance weights,
+    // score scaling, 1 - exp(-w/(2/sd^2)), sum-1 normalization); the
+    // superseded score/(1+d) approximation measured 0.65875 on the same
+    // fixture — the two forms measurably differ here because the exact
+    // kernel zeroes the furthest selected anchor and renormalizes.
+    // Tolerance covers fp drift in distributed double reductions. Not
+    // the 0.49 of perfect random mixing — the weighted-anchor blend
+    // leaves residual shift — but a 30-point drop from full separation
     // with population structure intact (asserted by the tests above).
-    assert(math.abs(after - 0.65875) < 0.03, s"mixing after correction: $after")
+    assert(math.abs(after - 0.6975) < 0.02, s"mixing after correction: $after")
+  }
+
+  test("hand-computed FindWeights kernel: furthest selected anchor contributes zero") {
+    // Minimal fixture where the exact kernel and the superseded
+    // score/(1+d) approximation disagree. Reference a={1:(0,0,0),
+    // 2:(10,0.5,0)}; query b={11:(0,1,0), 12:(10,1,0), 13:(2,1,0)}.
+    // kAnchor=1 mutual pairs: (11,1) vec (0,-1,0) and (12,2) vec
+    // (0,-0.5,0); kScore=0 makes every score 1. Cell 13 selects pair
+    // anchors 11 (d=2) and 12 (d=8): the exact kernel gives the
+    // furthest (12) weight 1-d/d_k = 0, so the correction is pair 11's
+    // vector ALONE -> 13 lands exactly at (2,0,0). The approximation
+    // blended 1/3 vs 1/9 weights -> y = 0.125, measurably different.
+    val pcaDf = Seq(
+      (1L, Array(0.0, 0.0, 0.0)), (2L, Array(10.0, 0.5, 0.0)),
+      (11L, Array(0.0, 1.0, 0.0)), (12L, Array(10.0, 1.0, 0.0)),
+      (13L, Array(2.0, 1.0, 0.0))).toDF("cells_id", "pc")
+    val grpDf = Seq(1L -> "a", 2L -> "a", 11L -> "b", 12L -> "b", 13L -> "b")
+      .toDF("cells_id", "group")
+    val out = Integration.integrateEmbeddings(pcaDf, grpDf,
+      kAnchor = 1, kWeight = 2, dims = 3, kScore = 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == Seq(0.0, 0.0, 0.0) && out(2L) == Seq(10.0, 0.5, 0.0))
+    // self-anchors: each anchor cell corrected by exactly its own vector
+    assert(out(11L) == Seq(0.0, 0.0, 0.0), s"11 -> ${out(11L)}")
+    assert(out(12L) == Seq(10.0, 0.5, 0.0), s"12 -> ${out(12L)}")
+    // the non-anchor cell: nearest pair's vector alone (exact kernel)
+    assert(out(13L) == Seq(2.0, 0.0, 0.0), s"13 -> ${out(13L)}")
   }
 
   test("single group passes through unchanged") {

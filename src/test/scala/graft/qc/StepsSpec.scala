@@ -37,6 +37,38 @@ class StepsSpec extends SparkSpec {
     assert(out.settings.collect()(0).getAs[Double]("probabilityThreshold") == 0.2)
   }
 
+  test("auto threshold reproduces the conditional max over real GBT scores") {
+    // end-to-end scDblFinder calibration semantics
+    // (doubletScores_config.r:11 — the boundary is derived from the
+    // score distribution, max(score | singlet), not a fixed 0.5): run
+    // the actual boosted-tree scorer, then assert the step's auto mode
+    // resolves exactly that conditional max over ITS scores
+    val clusterA = (0 until 20).flatMap { i =>
+      (0 until 8).map(g => ("s1", f"a$i%02d", s"gA$g", 20L + (i % 3)))
+    }
+    val clusterB = (0 until 20).flatMap { i =>
+      (0 until 8).map(g => ("s1", f"b$i%02d", s"gB$g", 20L + (i % 3)))
+    }
+    val planted = (0 until 2).flatMap { i =>
+      (0 until 8).map(g => ("s1", s"dbl$i", s"gA$g", 20L + i)) ++
+        (0 until 8).map(g => ("s1", s"dbl$i", s"gB$g", 20L + i))
+    }
+    val expr = (clusterA ++ clusterB ++ planted)
+      .toDF("sample", "barcode", "gene", "count")
+    val scored = graft.ml.Doublets.scores(expr, k = 10, numHvg = 16, numPcs = 5)
+    val resolved = DoubletScoresStep
+      .resolveSettings(scored, StepConfig(auto = true))
+      .collect()(0).getAs[Double]("probabilityThreshold")
+    val rows = scored.collect().map(r =>
+      (r.getAs[String]("barcode"), r.getAs[Double]("doublet_scores"),
+        r.getAs[String]("doublet_class")))
+    val expected = rows.filter(_._3 == "singlet").map(_._2).max
+    assert(resolved == expected, s"resolved $resolved != max-singlet $expected")
+    // and the filter keeps exactly the cells at or below that boundary
+    val kept = keep(DoubletScoresStep.run(scored, StepConfig()).cells)
+    assert(kept == rows.filter(_._2 <= expected).map(_._1).toSet)
+  }
+
   test("steps emit plot-data tables over the input cells") {
     val out = MitoContentStep.run(cellsDf, StepConfig())
     assert(out.plots.keySet == Set(
