@@ -37,6 +37,7 @@ object Snn {
     val pts = sampleVecs(corpus, 2048)
     if (pts.length <= k) return Double.MaxValue
     val probes = sampleVecs(query, 128)
+    var minPos = Double.MaxValue // smallest positive distance seen
     val kth = probes.map { p =>
       val ds = pts.map { c =>
         var s = 0.0; var i = 0
@@ -44,6 +45,9 @@ object Snn {
         math.sqrt(s)
       }
       java.util.Arrays.sort(ds)
+      var j = 0
+      while (j < ds.length && ds(j) <= 0.0) j += 1
+      if (j < ds.length && ds(j) < minPos) minPos = ds(j)
       ds(math.min(k, ds.length - 1))
     }
     // median probe by default: the estimator must be stable — an
@@ -55,7 +59,18 @@ object Snn {
     // not candidate volume.
     java.util.Arrays.sort(kth)
     val r = (if (conservative) kth(kth.length - 1) else kth(kth.length / 2)) * 2.0
-    if (r > 0 && java.lang.Double.isFinite(r)) r else Double.MaxValue
+    if (r > 0 && java.lang.Double.isFinite(r)) r
+    // kth distance 0 means >= k COINCIDENT points (PCR duplicates,
+    // zero-expression cells collapsing in PCA): the true neighbors sit
+    // at distance 0, so a small positive radius reaches them — prefer
+    // the smallest positive kth among probes (a real k-neighborhood
+    // scale), then the smallest positive distance seen, NEVER the
+    // infinite radius, which flips the whole join quadratic (surfaced
+    // by the domain soak: duplicate-heavy synthetic cells spilled
+    // >78 GB of candidate pairs under the old MaxValue degradation)
+    else kth.find(_ > 0).map(_ * 2.0)
+      .orElse(if (minPos < Double.MaxValue) Some(minPos * 2.0) else None)
+      .getOrElse(1.0) // every sampled point identical: scale arbitrary
   }
 
   /** Generic approximate kNN join: for each row of `query`, the k

@@ -13,7 +13,13 @@ import org.apache.spark.sql.types.DecimalType
 object EventStream {
 
   final case class Event(ts: java.sql.Timestamp, user_id: String, value: Double)
-  final case class UserTotal(user_id: String, n: Long, total: Double)
+
+  /** `evicted = true` marks the final TTL flush of a user's standing
+    * total (same numbers as the last live update — consumers that must
+    * not double-count filter on the flag or stay idempotent on
+    * (user_id, n)); `false` is a live per-trigger update. */
+  final case class UserTotal(user_id: String, n: Long, total: Double,
+                             evicted: Boolean)
 
   /** Q31's streaming form: tumbling 1-hour windows per user with a
     * 1-hour watermark (late events beyond it are dropped; state is
@@ -88,7 +94,11 @@ object EventStream {
     * store forever). A user idle past `ttl` of EVENT time — measured
     * against the watermark, so it's deterministic and replay-safe, not
     * wall-clock — has its state evicted after one final emission of
-    * the standing total; a later event restarts that user from zero. */
+    * the standing total; a later event restarts that user from zero.
+    * The eviction flush REPEATS the numbers of the last live update
+    * (the flush marks "this total is now final"), flagged
+    * `evicted = true` so an update-stream consumer can distinguish or
+    * drop it instead of double-counting. */
   def runningTotals(events: Dataset[Event],
                     ttlMs: Long = 3600L * 1000): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
@@ -100,7 +110,7 @@ object EventStream {
           if (state.hasTimedOut) {
             val (n, t) = state.get
             state.remove()
-            UserTotal(user, n, t)
+            UserTotal(user, n, t, evicted = true)
           } else {
             val (n0, t0) = state.getOption.getOrElse((0L, 0.0))
             var n = n0; var t = t0; var maxTs = Long.MinValue
@@ -115,7 +125,7 @@ object EventStream {
               try state.getCurrentWatermarkMs()
               catch { case _: UnsupportedOperationException => Long.MinValue }
             state.setTimeoutTimestamp(math.max(maxTs, wm) + ttlMs)
-            UserTotal(user, n, t)
+            UserTotal(user, n, t, evicted = false)
           }
       }
   }

@@ -49,6 +49,32 @@ class GraphSpec extends SparkSpec {
     small.unpersist(); big.unpersist()
   }
 
+  test("coincident-heavy data keeps a finite radius and a bounded candidate set") {
+    // >= k exact duplicates per point (PCR duplicates / zero-expression
+    // cells collapsing in PCA): the sampled kth-NN distance is 0, and
+    // the radius estimator must degrade to a SMALL positive radius —
+    // the old MaxValue degradation flipped the join quadratic (the
+    // domain soak spilled >78 GB of candidate pairs on exactly this
+    // shape before the fix).
+    val k = 10
+    val piles = (0 until 40).flatMap { p =>
+      (0 until 50).map { c => // 50 identical copies of each of 40 points
+        ((p * 50 + c).toLong,
+          Array(10.0 * p, 3.0 * (p % 7), 0.0, 0.0, 0.0))
+      }
+    }.toDF("cells_id", "pc").persist()
+    val r = Snn.estimateRadius(piles, piles, k, seed = 42L)
+    assert(r > 0 && r < Double.MaxValue, s"radius degraded to $r")
+    // candidates stay near n*copies, nowhere near the n^2 = 4M blowup
+    val cands = Snn.candidatePairs(piles, piles, k, seed = 42L).count()
+    assert(cands < 400000L, s"candidate blowup: $cands pairs for 2000 points")
+    // and every cell still gets its k coincident neighbors
+    val perCell = Snn.knnJoin(piles, piles, k, seed = 42L)
+      .groupBy("cid").count().collect().map(_.getLong(1))
+    assert(perCell.length == 2000 && perCell.forall(_ == k))
+    piles.unpersist()
+  }
+
   test("SNN graph + Louvain recovers the two blobs") {
     // k=10 of 14 possible in-blob neighbors: dense intra-blob SNN, so
     // the modularity optimum is the two planted communities

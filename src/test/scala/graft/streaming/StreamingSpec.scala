@@ -73,12 +73,15 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val u1 = spark.table("ttl_totals").collect()
         .filter(_.getString(0) == "u1")
-        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
-      // unchanged totals before the TTL, one final emission at eviction
-      assert(u1.count(_ == ((1L, 5.0))) == 1, u1)
-      assert(u1.count(_ == ((2L, 7.0))) == 2, u1) // live update + eviction flush
+        .map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+      // unchanged totals before the TTL, one final emission at eviction;
+      // the flush repeats the last live numbers but carries the evicted
+      // flag, so a consumer can drop it instead of double-counting
+      assert(u1.count(_ == ((1L, 5.0, false))) == 1, u1)
+      assert(u1.count(_ == ((2L, 7.0, false))) == 1, u1) // live update
+      assert(u1.count(_ == ((2L, 7.0, true))) == 1, u1)  // eviction flush
       // restart from zero proves the state store no longer held u1
-      assert(u1.last == ((1L, 9.0)), u1)
+      assert(u1.last == ((1L, 9.0, false)), u1)
     } finally q.stop()
   }
 
