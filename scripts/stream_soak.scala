@@ -13,17 +13,23 @@ import java.sql.Timestamp
 implicit val ctx = spark.sqlContext
 spark.conf.set("spark.sql.streaming.stateStore.providerClass",
   "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+// without per-commit compaction, RocksDB's memoryUsedBytes tracks SST
+// files retained for OLD checkpoint versions (minBatchesToRetain=100),
+// which grows with batch count even when the LOGICAL state (numRowsTotal)
+// is flat — compact so the size curve measures live state, not history
+spark.conf.set("spark.sql.streaming.stateStore.rocksdb.compactOnCommit", "true")
 spark.sparkContext.setLogLevel("ERROR")
 val ckptRoot = java.nio.file.Files.createTempDirectory("stream_soak").toString
 val t0Epoch = 1700000000000L // fixed epoch base, deterministic feed
 
-def report(tag: String, b: Int, cumRows: Long,
+def report(tag: String, b: Int, cumRows: Long, t0: Long,
            q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
   val p = q.lastProgress
-  val so = p.stateOperators()(0)
+  val so = p.stateOperators(0)
+  val secs = (System.nanoTime() - t0) / 1e9
   println(f"$tag batch=$b cum_rows=$cumRows state_rows=${so.numRowsTotal}" +
     f" state_mb=${so.memoryUsedBytes / 1e6}%.1f" +
-    f" rps=${p.processedRowsPerSecond}%.0f")
+    f" elapsed=${secs}%.1f s rows_per_s=${cumRows / secs}%.0f")
 }
 
 // ---- 1. runningTotals: TTL-evicted per-user state -------------------
@@ -31,6 +37,7 @@ def report(tag: String, b: Int, cumRows: Long,
 // batch, TTL 1h: without eviction state grows to 100k users; with it,
 // only users inside the ~2h watermark+TTL horizon stay resident.
 {
+  val t0 = System.nanoTime()
   val mem = MemoryStream[Event]
   val q = EventStream.runningTotals(mem.toDS(), ttlMs = 3600L * 1000)
     .writeStream.format("noop").outputMode("update")
@@ -43,7 +50,7 @@ def report(tag: String, b: Int, cumRows: Long,
         s"u${b * usersPerBatch + i % usersPerBatch}", 1.0)
     })
     q.processAllAvailable()
-    if (b % 10 == 9) report("TOTALS", b, (b + 1).toLong * perBatch, q)
+    if (b % 10 == 9) report("TOTALS", b, (b + 1).toLong * perBatch, t0, q)
   }
   q.stop()
 }
@@ -52,6 +59,7 @@ def report(tag: String, b: Int, cumRows: Long,
 // 20% duplicate docs; state holds only fingerprints within the 1h
 // horizon (2 batches), so cumulative fingerprints grow 25x past it.
 {
+  val t0 = System.nanoTime()
   val mem = MemoryStream[Doc]
   val q = DocStream.exactDedup(mem.toDF(), horizon = "1 hour")
     .writeStream.format("noop").outputMode("append")
@@ -67,7 +75,7 @@ def report(tag: String, b: Int, cumRows: Long,
         s"document body number $key with shared filler words")
     })
     q.processAllAvailable()
-    if (b % 10 == 9) report("DEDUP", b, (b + 1).toLong * perBatch, q)
+    if (b % 10 == 9) report("DEDUP", b, (b + 1).toLong * perBatch, t0, q)
   }
   q.stop()
 }
@@ -76,6 +84,7 @@ def report(tag: String, b: Int, cumRows: Long,
 // perBucket=64 caps every bucket cohort; state is O(buckets x 64)
 // regardless of stream length.
 {
+  val t0 = System.nanoTime()
   val mem = MemoryStream[Doc]
   val q = DocStream.nearDupFlags(mem.toDS(), perBucket = 64)
     .writeStream.format("noop").outputMode("append")
@@ -88,7 +97,7 @@ def report(tag: String, b: Int, cumRows: Long,
         s"tok${uniq % 97} alpha beta tok${uniq % 13} gamma delta tok${uniq % 7} epsilon")
     })
     q.processAllAvailable()
-    if (b % 6 == 5) report("NEARDUP", b, (b + 1).toLong * perBatch, q)
+    if (b % 6 == 5) report("NEARDUP", b, (b + 1).toLong * perBatch, t0, q)
   }
   q.stop()
 }

@@ -1,19 +1,20 @@
 package graft.ml
 
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Similarity
+
 /** `FindNeighbors(k = 20)` → shared-nearest-neighbor graph
   * (`QC_helpers/configureEmbedding.r:113`).
   *
-  * Spark decomposition (SURVEY §2.9): approximate kNN via seeded
-  * `BucketedRandomProjectionLSH` + distance-ranked window, then the
-  * SNN weight is pure relational algebra — self-join the kNN table on
-  * the shared neighbor, count, Jaccard = shared/(2k − shared), prune
-  * below 1/15 (Seurat default). Every stage shuffles on cell ids only.
+  * Spark decomposition (SURVEY §2.9): approximate kNN via a seeded
+  * E2LSH AND-OR grid join (see [[candidatePairs]]) + distance-ranked
+  * window, then the SNN weight is pure relational algebra — self-join
+  * the kNN table on the shared neighbor, count, Jaccard =
+  * shared/(2k − shared), prune below 1/15 (Seurat default). Every
+  * stage shuffles on 8-byte grid keys or cell ids only.
   */
 object Snn {
 
@@ -78,57 +79,122 @@ object Snn {
     * self-matches by id. Returns `(cid, nid, dist, rk)`.
     *
     * Scale posture (reference semantics: configureEmbedding.r:113): the
-    * LSH similarity join runs with a FINITE data-derived radius and a
-    * data-derived bucket length (pass `bucketLength <= 0` to derive
-    * both from a sample), so bucket occupancy — and with it the
-    * candidate-pair count — tracks the true k-neighborhood instead of
-    * growing quadratically with density. Survivors are then top-k
-    * pruned in two stages: a per-shuffle-partition rank caps any one
-    * cell's candidates at partitions×k before the global per-cell rank,
-    * so a skewed/hot cell never funnels its whole candidate set through
-    * one window partition. */
+    * candidate join is an E2LSH-style AND-OR grid (Datar et al., SoCG
+    * 2004) with a FINITE data-derived radius, so the candidate-pair
+    * count tracks the true k-neighborhood instead of growing
+    * quadratically with density. Survivors are then top-k pruned in two
+    * stages: a per-shuffle-partition rank caps any one cell's
+    * candidates at partitions×k before the global per-cell rank, so a
+    * skewed/hot cell never funnels its whole candidate set through one
+    * window partition. */
   def knnJoin(query: DataFrame, corpus: DataFrame, k: Int,
               seed: Long = 42L, bucketLength: Double = 0.0,
               conservative: Boolean = false): DataFrame =
     rankCandidates(
       candidatePairs(query, corpus, k, seed, bucketLength, conservative), k)
 
-  /** Radius-bounded LSH candidate set `(cid, nid, dist)` — the stage
-    * whose size must stay O(n·k) as data grows (asserted in GraphSpec). */
+  /** Radius-bounded candidate set `(cid, nid, dist)` — the stage whose
+    * size must stay O(n·occupancy) as data grows (asserted in
+    * GraphSpec).
+    *
+    * Deterministic ε-grid join (the spatial epsilon-grid order join —
+    * Böhm et al., ICDE 2001 — on a randomly-rotated subspace): project
+    * every point onto M ORTHONORMAL random directions and quantize each
+    * coordinate at cell width w = the estimated kNN radius r. Unit-norm
+    * directions give |a·(p−q)| ≤ ‖p−q‖ (Cauchy–Schwarz), so a pair
+    * within r differs by AT MOST ONE cell per axis — the corpus keys
+    * its own cell, the query probes the 3^M adjacent cells, and every
+    * pair within the radius is guaranteed to meet (100% recall of the
+    * radius-bounded kNN; the exact distance filter then prunes grid
+    * corners and hash collisions). Contrast BOTH with mllib's
+    * `BucketedRandomProjectionLSH` — each of its hash tables quantizes
+    * ONE projection, so bucket occupancy is Θ(n·w/σ) and candidates
+    * grow QUADRATICALLY with density (the domain soak measured 4× cells
+    * → ~12× shuffle, 67 GB, disk-full) — and with probabilistic AND-OR
+    * LSH, which bounds occupancy but misses a density-dependent
+    * fraction of true neighbors. Joint M-axis cells keep occupancy
+    * Θ(n·(w/σ)^M) while the adjacency probe replaces the recall that
+    * amplification would only approximate. All join keys are 8-byte
+    * hashes of the cell vector; the pair stream drops vectors before
+    * any shuffle. */
   private[ml] def candidatePairs(query: DataFrame, corpus: DataFrame, k: Int,
                                  seed: Long, bucketLength: Double = 0.0,
-                                 conservative: Boolean = false): DataFrame = {
+                                 conservative: Boolean = false,
+                                 gridDims: Int = 3): DataFrame = {
     val radius = estimateRadius(query, corpus, k, seed, conservative)
-    val bl =
+    // infinite radius (corpus sample <= k points): every pair is a
+    // candidate — a single shared grid cell degrades to the cartesian
+    // join that a <= k-point corpus genuinely needs
+    val w =
       if (bucketLength > 0) bucketLength
       else if (java.lang.Double.isFinite(radius) && radius < Double.MaxValue) radius
-      else 10.0
-    val q = query.select(col("cells_id"), array_to_vector(col("pc")).as("features"))
-    val c = corpus.select(col("cells_id"), array_to_vector(col("pc")).as("features"))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setBucketLength(bl).setNumHashTables(3).setSeed(seed)
-      .setInputCol("features").setOutputCol("__h")
-    val model = lsh.fit(c)
-    model.approxSimilarityJoin(q, c, radius, "dist")
-      .filter(col("datasetA.cells_id") =!= col("datasetB.cells_id"))
-      .select(
-        col("datasetA.cells_id").as("cid"),
-        col("datasetB.cells_id").as("nid"),
-        col("dist"))
+      else Double.MaxValue
+    val dim = corpus.select(col("pc")).head(1) match {
+      case Array(r) => r.getSeq[Double](0).length
+      case _ => 1 // empty corpus: any keying yields an empty join
+    }
+    val m = math.max(1, math.min(gridDims, dim))
+    // deterministic orthonormal basis of the projection subspace
+    // (Gram-Schmidt over seeded Gaussian draws) — driver-side, m×dim
+    val rng = new scala.util.Random(seed)
+    val dirs = new Array[Array[Double]](m)
+    var i = 0
+    while (i < m) {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      for (p <- 0 until i) {
+        var d = 0.0
+        for (j <- 0 until dim) d += v(j) * dirs(p)(j)
+        for (j <- 0 until dim) v(j) -= d * dirs(p)(j)
+      }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 1e-9) { dirs(i) = v.map(_ / n); i += 1 } // else redraw
+    }
+    def cells(side: DataFrame) = (0 until m).map { j =>
+      floor(Similarity.dotCols(col("pc"), typedlit(dirs(j).toSeq)) / lit(w))
+        .cast("long")
+    }
+    val c = corpus.select(col("cells_id").as("nid"), col("pc").as("__pc_nid"),
+      Similarity.dotCols(col("pc"), col("pc")).as("__cn2"),
+      xxhash64(cells(corpus): _*).as("__g"))
+    val probes = Seq.tabulate(math.pow(3, m).toInt) { combo =>
+      val qc = cells(query)
+      xxhash64((0 until m).map(j => qc(j) + lit(combo / math.pow(3, j).toInt % 3 - 1)): _*)
+    }
+    val q = query.select(col("cells_id").as("cid"), col("pc").as("__pc_cid"),
+      Similarity.dotCols(col("pc"), col("pc")).as("__qn2"),
+      explode(array(probes: _*)).as("__g"))
+    q.join(c, Seq("__g"))
+      .filter(col("cid") =!= col("nid"))
+      .withColumn("dist", sqrt(greatest(lit(0.0),
+        col("__qn2") + col("__cn2") -
+          lit(2.0) * Similarity.dotCols(col("__pc_cid"), col("__pc_nid")))))
+      .filter(col("dist") <= lit(radius))
+      .select("cid", "nid", "dist")
   }
 
-  /** Skew-safe two-stage top-k over the candidate set. */
-  private def rankCandidates(candidates: DataFrame, k: Int): DataFrame =
+  /** Skew-safe two-stage top-k over the candidate set. The candidate
+    * stream may repeat a (cid, nid) pair (once per LSH table that
+    * bucketed it together), so the per-partition pre-cap leaves slack
+    * (2k) and the cid-partitioned stage drops adjacent duplicates —
+    * dist is deterministic per pair, so copies sort adjacently — before
+    * assigning ranks. Both windows and the dedup filter share one
+    * exchange+sort on cid. */
+  private def rankCandidates(candidates: DataFrame, k: Int): DataFrame = {
+    val byDist =
+      Window.partitionBy("cid").orderBy(col("dist").asc, col("nid").asc)
     candidates
       .withColumn("__pid", spark_partition_id())
       .withColumn("__prk", row_number().over(
         Window.partitionBy("cid", "__pid")
           .orderBy(col("dist").asc, col("nid").asc)))
-      .filter(col("__prk") <= k)
-      .drop("__pid", "__prk")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("cid").orderBy(col("dist").asc, col("nid").asc)))
+      .filter(col("__prk") <= 2 * k)
+      .withColumn("__dup",
+        coalesce(col("nid") === lag("nid", 1).over(byDist), lit(false)))
+      .filter(!col("__dup"))
+      .withColumn("rk", row_number().over(byDist))
       .filter(col("rk") <= k)
+      .drop("__pid", "__prk", "__dup")
+  }
 
   /** kNN edge table `(cid, nid, dist, rk)` from embeddings
     * `(cells_id, pc: array<double>)`. Each cell is its own 0-th

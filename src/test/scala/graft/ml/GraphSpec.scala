@@ -65,9 +65,13 @@ class GraphSpec extends SparkSpec {
     }.toDF("cells_id", "pc").persist()
     val r = Snn.estimateRadius(piles, piles, k, seed = 42L)
     assert(r > 0 && r < Double.MaxValue, s"radius degraded to $r")
-    // candidates stay near n*copies, nowhere near the n^2 = 4M blowup
+    // candidates = the true radius-bounded pair set: 49 own-pile
+    // neighbors plus the 2-4 adjacent piles that fall inside the
+    // fallback radius (2x the nearest inter-pile distance) — about
+    // n x 220 here, nowhere near the n^2 = 4M cartesian the MaxValue
+    // degradation used to produce
     val cands = Snn.candidatePairs(piles, piles, k, seed = 42L).count()
-    assert(cands < 400000L, s"candidate blowup: $cands pairs for 2000 points")
+    assert(cands < 600000L, s"candidate blowup: $cands pairs for 2000 points")
     // and every cell still gets its k coincident neighbors
     val perCell = Snn.knnJoin(piles, piles, k, seed = 42L)
       .groupBy("cid").count().collect().map(_.getLong(1))
