@@ -47,8 +47,41 @@ object Pca {
     }
     val mat = new IndexedRowMatrix(rows)
     mat.rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (pc, varExp) =
-      mat.toRowMatrix().computePrincipalComponentsAndExplainedVariance(kEff)
+    // covariance is computed distributed (MLlib Gramian); the d×d
+    // eigen-decomposition runs on the driver via eigSym (LAPACK dsyevd)
+    // rather than RowMatrix's breeze svd (dgesdd): divide-and-conquer
+    // SVD fails to converge on covariances with tightly repeated
+    // eigenvalues — the domain soak's 20k-cell synthetic sample, whose
+    // duplicated expression patterns produce exactly that spectrum,
+    // killed the doublets stage through this path — while the
+    // symmetric-tridiagonal eigensolver is robust there, and an
+    // eigen-decomposition is the mathematically exact operation for a
+    // symmetric PSD covariance anyway
+    val covMat = mat.toRowMatrix().computeCovariance()
+    val d = covMat.numCols
+    val bm = new breeze.linalg.DenseMatrix(d, d, covMat.toArray)
+    val es = breeze.linalg.eigSym(bm)
+    val top = (0 until d).sortBy(i => (-es.eigenvalues(i), i)).take(kEff)
+    val pcArr = new Array[Double](d * kEff)
+    top.zipWithIndex.foreach { case (c, j) =>
+      // deterministic sign: the largest-|component| entry (first on
+      // ties) is positive, so embeddings don't depend on LAPACK's
+      // arbitrary eigenvector orientation
+      var mi = 0
+      var i = 1
+      while (i < d) {
+        if (math.abs(es.eigenvectors(i, c)) > math.abs(es.eigenvectors(mi, c))) mi = i
+        i += 1
+      }
+      val s = if (es.eigenvectors(mi, c) < 0) -1.0 else 1.0
+      i = 0
+      while (i < d) { pcArr(j * d + i) = s * es.eigenvectors(i, c); i += 1 }
+    }
+    val pc = new org.apache.spark.mllib.linalg.DenseMatrix(d, kEff, pcArr)
+    val trace = (0 until d).map(i => bm(i, i)).sum
+    val varExp = top.map(c =>
+      math.max(0.0, es.eigenvalues(c)) / math.max(trace, Double.MinPositiveValue))
+      .toArray
     val emb = mat.multiply(pc)
     import spark.implicits._
     val embDf = emb.rows
