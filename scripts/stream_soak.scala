@@ -42,7 +42,10 @@ def report(tag: String, b: Int, cumRows: Long, t0: Long,
   val q = EventStream.runningTotals(mem.toDS(), ttlMs = 3600L * 1000)
     .writeStream.format("noop").outputMode("update")
     .option("checkpointLocation", s"$ckptRoot/totals").start()
-  val nBatches = 50; val perBatch = 20000; val usersPerBatch = 2000
+  // 80 batches (~2.5 min): long enough that the 60 s state-store
+  // maintenance cycle trims old RocksDB versions at least twice, so the
+  // memoryUsedBytes curve shows its plateau, not just compaction lag
+  val nBatches = 80; val perBatch = 20000; val usersPerBatch = 2000
   (0 until nBatches).foreach { b =>
     val base = t0Epoch + b.toLong * 30 * 60 * 1000
     mem.addData((0 until perBatch).map { i =>
@@ -89,7 +92,7 @@ def report(tag: String, b: Int, cumRows: Long, t0: Long,
   val q = DocStream.nearDupFlags(mem.toDS(), perBucket = 64)
     .writeStream.format("noop").outputMode("append")
     .option("checkpointLocation", s"$ckptRoot/neardup").start()
-  val nBatches = 30; val perBatch = 10000
+  val nBatches = 60; val perBatch = 10000
   (0 until nBatches).foreach { b =>
     mem.addData((0 until perBatch).map { i =>
       val uniq = b.toLong * perBatch + i
