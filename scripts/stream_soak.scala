@@ -27,8 +27,15 @@ def report(tag: String, b: Int, cumRows: Long, t0: Long,
   val p = q.lastProgress
   val so = p.stateOperators(0)
   val secs = (System.nanoTime() - t0) / 1e9
+  // live on-disk state (all SST files, post compactOnCommit) — the
+  // direct measure of state size; memoryUsedBytes additionally counts
+  // the LRU block cache, which FILLS toward its configured capacity
+  // (8 MB x shuffle partitions) and so rises with batch count even
+  // when state is flat
+  val sst = Option(so.customMetrics.get("rocksdbSstFileSize"))
+    .map(_.longValue).getOrElse(-1L)
   println(f"$tag batch=$b cum_rows=$cumRows state_rows=${so.numRowsTotal}" +
-    f" state_mb=${so.memoryUsedBytes / 1e6}%.1f" +
+    f" sst_mb=${sst / 1e6}%.1f state_mb=${so.memoryUsedBytes / 1e6}%.1f" +
     f" elapsed=${secs}%.1f s rows_per_s=${cumRows / secs}%.0f")
 }
 
@@ -92,7 +99,10 @@ def report(tag: String, b: Int, cumRows: Long, t0: Long,
   val q = DocStream.nearDupFlags(mem.toDS(), perBucket = 64)
     .writeStream.format("noop").outputMode("append")
     .option("checkpointLocation", s"$ckptRoot/neardup").start()
-  val nBatches = 60; val perBatch = 10000
+  // 120 batches: past the point where memoryUsedBytes hits the block
+  // cache capacity ceiling (~8 MB x 32 stores), so the artifact shows
+  // BOTH curves flat — sst_mb from the start, state_mb at its cap
+  val nBatches = 120; val perBatch = 10000
   (0 until nBatches).foreach { b =>
     mem.addData((0 until perBatch).map { i =>
       val uniq = b.toLong * perBatch + i
