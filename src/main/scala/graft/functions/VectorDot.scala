@@ -112,6 +112,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_gram_stats expects (array<string>, n literal)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => SimHash60(c)
+        case other => throw new IllegalArgumentException(
+          s"graft_simhash expects exactly 1 argument, got ${other.length}")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_band_keys"),
       new ExpressionInfo(classOf[BandKeys].getName, "graft_band_keys"),
       (children: Seq[Expression]) => children match {

@@ -255,29 +255,24 @@ object TextQueries {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
-  /** 60-bit SimHash per document. Formulation: explode tokens →
-    * codegen'd md5 hash → ONE hash aggregation with 60 conditional
-    * bit-count sums (bit b set iff 2·S_b ≥ n, identical to the
-    * sum-of-±1 ≥ 0 rule). The whole pipeline stays in whole-stage
-    * codegen with map-side partial aggregation — measured ~5× faster
-    * than the per-row higher-order-function variant
-    * ([[graft.functions.TextFunctions.simhash60]]), whose lambda is
-    * interpreted per token × bit. Zero-token docs get the all-ones
-    * fingerprint (every vote ties at 0). */
-  def simhashDf(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-    val h = toks.select(col("doc_id"), hash60(col("t")).as("h"))
-    val aggs = (0 until 60).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"s$b")) :+
-      count(lit(1)).as("n")
-    val bits = h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val sim = (0 until 60).map(b =>
-      when(col(s"s$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    docs.select("doc_id").join(bits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("n").isNull, lit((1L << 60) - 1)).otherwise(sim).as("sim"))
-  }
+  /** 60-bit SimHash per document — ONE row-local projection
+    * ([[graft.functions.SimHash60]] under the extensions): no explode,
+    * no exchange, the entire fingerprint build rides the document
+    * scan. (History: round ≤5 used explode → 60-column HashAggregate,
+    * which kept codegen but shuffled every token hash; the native
+    * expression removes that exchange entirely — at 100 TB the
+    * fingerprint pass becomes scan-bound, the ideal. The interpreted
+    * HOF fold remains the no-extensions fallback inside
+    * [[TextFunctions.simhashToks]].) Zero-token docs get the all-ones
+    * fingerprint (every vote ties at 0); the coalesce (same value, and
+    * unreachable for non-null text) marks `sim` non-nullable so
+    * downstream equi-joins on band keys don't push an
+    * `isnotnull(graft_simhash(...))` filter into the scan — which
+    * would evaluate the fingerprint twice per row (the hm precedent in
+    * [[shingleHashesFrom]]). */
+  def simhashDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      coalesce(simhashToks(tokens(col("text"))), lit((1L << 60) - 1)).as("sim"))
 
   /** x12 SimHash table. Near-dup = small Hamming distance; see
     * [[simhashPairs]]. */
@@ -296,7 +291,12 @@ object TextQueries {
   /** The x13 pair set without the gate's total sort — reused as the
     * edge list of [[dupClusters]]. */
   private def simhashPairsRaw(t: Tables): DataFrame = {
-    val sims = simhashDf(t.documents)
+    // both self-join sides consume the identical fingerprint table;
+    // persist it so the md5-per-token pass runs ONCE (the row-local
+    // expression no longer ends in an exchange AQE could reuse, and a
+    // broadcast join has no exchange at all). doc_id+sim is 16 bytes a
+    // document — negligible at any corpus size
+    val sims = simhashDf(t.documents).persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sims
       .select(col("doc_id"), col("sim"), explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),

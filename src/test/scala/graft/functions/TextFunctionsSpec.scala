@@ -45,6 +45,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r.getString(0) == r.getString(1))
   }
 
+  test("native simhash is bit-identical to the composed HOF fold") {
+    // the SQL-composable majority-vote fold (the no-extensions
+    // fallback's semantics, spelled out) vs the native expression,
+    // over empty / single / repeated / unicode / many-token inputs
+    val hof = expr(
+      """aggregate(
+        |  transform(filter(split(t, ' '), x -> x != ''),
+        |            x -> CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)),
+        |  array_repeat(CAST(0 AS BIGINT), 60),
+        |  (acc, h) -> zip_with(acc, sequence(0, 59),
+        |      (x, b) -> x + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END),
+        |  acc -> aggregate(zip_with(acc, sequence(0, 59),
+        |      (s, b) -> CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), b)
+        |                ELSE CAST(0 AS BIGINT) END),
+        |    CAST(0 AS BIGINT), (x, y) -> x + y))""".stripMargin)
+    val texts = Seq("", "one", "a a a b", "Ünïcode tökens hère",
+      "  padded   spaces  ", (1 to 500).map(i => s"w${i % 37}").mkString(" "))
+    val rows = texts.toDF("t")
+      .select(simhash60("t").as("native"), hof.as("ref")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) == r.getLong(1), s"mismatch for '${t.take(30)}'")
+    }
+  }
+
   test("simhash60 equal for equal text, all-ones for empty") {
     val r = Seq("w1 w2 w3", "w1 w2 w3", "").toDF("t")
       .select(simhash60("t").as("s")).collect().map(_.getLong(0))

@@ -49,9 +49,9 @@ class PlanSpec extends SparkSpec {
     // post-join filter over the full candidate blowup
     val joinLine = p.split("\n").find(l => l.contains("Join") && l.contains("bit_count"))
     assert(joinLine.isDefined, p.take(3000))
-    // the per-token fingerprint is a HashAggregate (codegen), not an
-    // interpreted higher-order aggregate() lambda
-    assert(p.contains("HashAggregate"))
+    // the fingerprint is the native row-local expression — no
+    // per-token exchange, no interpreted higher-order lambda
+    assert(p.contains("graft_simhash"), "native simhash projection missing")
     assert(!p.contains("aggregate(lambdafunction"), "HOF simhash crept back in")
     // the self-join either reuses the exchange (large inputs) or
     // broadcasts the banded side (small inputs)
