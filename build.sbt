@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses bare JSON lines from stdout. sbt's
+// default strategy for forked runs (LoggedOutput) prefixes every child
+// line with "[info] " and appends a "[success] Total time" line — both
+// kept BENCH_r06 `parsed: null`. Pipe the child's stdout through
+// untouched and drop the success banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
