@@ -103,11 +103,14 @@ def main(sf_dir, out_dir, skip=()):
     sys.exit(1 if failures else 0)
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    skip = set()
-    for i, a in enumerate(sys.argv[1:]):
-        if a == "--skip":
-            skip = set(sys.argv[1:][i + 1].split(","))
-        elif a.startswith("--skip="):
-            skip = set(a.split("=", 1)[1].split(","))
-    main(args[0], args[1], skip=skip)
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="Compare graft.Verify output against the DuckDB oracle")
+    ap.add_argument("sfDir", help="testdata scale-factor dir (the tables)")
+    ap.add_argument("verifyOut", help="graft.Verify output dir")
+    ap.add_argument("--skip", default="",
+                    help="comma-separated query names whose oracle is "
+                         "infeasible at this scale (use check_cc.py)")
+    ns = ap.parse_args()
+    skip = {s for s in ns.skip.split(",") if s}
+    main(ns.sfDir, ns.verifyOut, skip=skip)

@@ -246,9 +246,14 @@ object Doublets {
     // at the HALF-INTEGER position (nReal-nExcl-0.5) lands the raw
     // value strictly between the two straddling order statistics (or
     // exactly on them when tied), so snapping to the smallest actual
-    // score >= it reproduces the exact order statistic regardless of
-    // floating-point rounding in p — bit-identical to the former
-    // orderBy.limit driver form.
+    // score >= it reproduces the exact order statistic — equal to the
+    // former orderBy.limit driver form except sub-ulp ties (straddling
+    // scores ~1 ulp apart can round the midpoint onto the lower one and
+    // snap the cut one rank low; GBT scores never resolve that finely).
+    // Note percentile's final merge buffers the distinct __p1 values in
+    // one aggregation task — O(nReal) peak in a task for continuous
+    // scores: moved OFF the driver, not eliminated. Swap in
+    // approx_percentile(+snap) if nReal ever makes that task the limit.
     val p = if (nReal - nExcl <= 0L) 0.0
             else (nReal - nExcl - 0.5) / (nReal - 1).toDouble
     val thrRaw = p1.agg(expr(s"percentile(__p1, $p)"))

@@ -126,9 +126,15 @@ object Snn {
     // candidate — a single shared grid cell degrades to the cartesian
     // join that a <= k-point corpus genuinely needs
     val w =
-      if (bucketLength > 0) bucketLength
-      else if (java.lang.Double.isFinite(radius) && radius < Double.MaxValue) radius
-      else Double.MaxValue
+      if (!java.lang.Double.isFinite(radius) || radius >= Double.MaxValue)
+        Double.MaxValue
+      // the one-cell-per-axis recall guarantee needs w >= radius, so a
+      // caller's bucketLength may only COARSEN the grid (fewer, fuller
+      // cells), never shrink cells below the radius — under the old
+      // BRP-LSH this knob was recall-safe (pure bucket granularity),
+      // and clamping keeps that contract
+      else if (bucketLength > 0) math.max(bucketLength, radius)
+      else radius
     val dim = corpus.select(col("pc")).head(1) match {
       case Array(r) => r.getSeq[Double](0).length
       case _ => 1 // empty corpus: any keying yields an empty join
@@ -154,20 +160,23 @@ object Snn {
         .cast("long")
     }
     val c = corpus.select(col("cells_id").as("nid"), col("pc").as("__pc_nid"),
-      Similarity.dotCols(col("pc"), col("pc")).as("__cn2"),
       xxhash64(cells(corpus): _*).as("__g"))
     val probes = Seq.tabulate(math.pow(3, m).toInt) { combo =>
       val qc = cells(query)
       xxhash64((0 until m).map(j => qc(j) + lit(combo / math.pow(3, j).toInt % 3 - 1)): _*)
     }
     val q = query.select(col("cells_id").as("cid"), col("pc").as("__pc_cid"),
-      Similarity.dotCols(col("pc"), col("pc")).as("__qn2"),
       explode(array(probes: _*)).as("__g"))
+    // elementwise (p−q)·(p−q), not ‖p‖²+‖q‖²−2p·q: the expanded form
+    // cancels catastrophically for near-coincident points with large
+    // norms (error ~ ‖p‖·√ε), which misranks ties and jitters the
+    // radius-boundary filter exactly on coincident-heavy data; the
+    // difference form is exact to the points' own precision
+    val diff = zip_with(col("__pc_cid"), col("__pc_nid"),
+      (x, y) => x.cast("double") - y.cast("double"))
     q.join(c, Seq("__g"))
       .filter(col("cid") =!= col("nid"))
-      .withColumn("dist", sqrt(greatest(lit(0.0),
-        col("__qn2") + col("__cn2") -
-          lit(2.0) * Similarity.dotCols(col("__pc_cid"), col("__pc_nid")))))
+      .withColumn("dist", sqrt(Similarity.dotCols(diff, diff)))
       .filter(col("dist") <= lit(radius))
       .select("cid", "nid", "dist")
   }

@@ -104,12 +104,17 @@ object Multimodal {
     * video frames — same output schema `(media_id, frame_idx,
     * frame_bytes)`). */
   def frameSample(media: DataFrame, nFrames: Int = 4): DataFrame = {
-    val frames = udf { bytes: Array[Byte] =>
-      val n = math.max(1, math.min(nFrames, bytes.length))
-      val step = math.max(1, bytes.length / n)
-      (0 until n).map(i => bytes.slice(i * step, math.min(bytes.length, (i + 1) * step)))
-    }
-    media
-      .select(col("media_id"), posexplode(frames(col("bytes"))).as(Seq("frame_idx", "frame_bytes")))
+    // pure Catalyst (no UDF): n equal `step`-byte slices via
+    // transform(sequence)+substr, which codegen evaluates in-place on
+    // the binary payload — with n = min(nFrames, len) frames of
+    // step = len div n bytes each (trailing len mod n bytes dropped,
+    // matching a stride-sampled decoder's whole-frame contract)
+    val len = length(col("bytes"))
+    val n = greatest(lit(1), least(lit(nFrames), len))
+    val step = greatest(lit(1), floor(len / n)).cast("int")
+    media.select(col("media_id"),
+      posexplode(transform(sequence(lit(0), n - lit(1)),
+        i => col("bytes").substr(i * step + lit(1), step)))
+        .as(Seq("frame_idx", "frame_bytes")))
   }
 }

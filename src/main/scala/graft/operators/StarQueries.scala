@@ -436,11 +436,43 @@ object StarQueries {
   /** Q38 multi-percentile — quartiles of extended price per return
     * flag from ONE percentile aggregation (the array form computes all
     * three cut points in a single pass over each group, vs three
-    * separate exact-percentile aggregations). */
+    * separate exact-percentile aggregations).
+    *
+    * Memory posture at scale (the one gated plan whose 100x question
+    * is executor memory, not shuffle shape): exact `percentile` keeps
+    * a value→count map per group, so the final-merge task for each of
+    * the 3 groups buffers every DISTINCT l_extendedprice in its group.
+    * Measured on the synthetic data: 197,963 / 198,250 / 198,117
+    * distinct values per group at sf0.1 — ~200k entries ≈ a few MB a
+    * group — and IDENTICAL at sf1 (the 10x generator replicates rows,
+    * not values; only counts grow, the map does not). The real-data
+    * growth law is distinct-values-per-group ∝ SF (TPC-H prices are
+    * quantity × per-part price, ≈ 50·|part|), so at SF100 the merge
+    * task holds ~10^8 entries — approaching single-task limits. Users
+    * who don't need the oracle's bit-exactness should use
+    * [[q38Approx]], whose buffer is O(accuracy) regardless of scale. */
   def q38(t: Tables): DataFrame =
     t.lineitem
       .groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("p"))
+      .select(col("l_returnflag"),
+        round(element_at(col("p"), 1), 6).as("p25"),
+        round(element_at(col("p"), 2), 6).as("p50"),
+        round(element_at(col("p"), 3), 6).as("p75"))
+      .orderBy("l_returnflag")
+
+  /** Q38's scale escape hatch (non-gated): the same quartiles via
+    * `approx_percentile` (Greenwald–Khanna), whose per-group state is
+    * O(accuracy·log n) SUMMARY TUPLES — bounded however many distinct
+    * prices a group accumulates — with rank error ≤ n/accuracy. The
+    * gate keeps exact [[q38]] (the oracle mandates exactness); this is
+    * the form a 100 TB user should reach for. */
+  def q38Approx(t: Tables, accuracy: Int = 10000): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(expr(
+        s"approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), $accuracy)")
+        .as("p"))
       .select(col("l_returnflag"),
         round(element_at(col("p"), 1), 6).as("p25"),
         round(element_at(col("p"), 2), 6).as("p50"),

@@ -5,7 +5,9 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.util.QueryExecutionListener
 import org.apache.spark.storage.StorageLevel
 
 /** Training-data-pipeline text operators over the `documents` table
@@ -16,6 +18,42 @@ import org.apache.spark.storage.StorageLevel
   * hash primitive, explicit double casts, ROUND(_,6), total ORDER BY).
   */
 object TextQueries {
+
+  /** Unpersist `cached` as soon as the first completed action that
+    * consumed it finishes. Composed pipelines (x13/x19/x30) persist a
+    * shared subtree (tokenization, fingerprints) purely as an
+    * intra-query sharing device; without release, every invocation in
+    * a long-lived session leaks ~2x corpus of MEMORY_AND_DISK cache
+    * until someone calls `spark.catalog.clearCache()`. The listener
+    * matches on the cached subtree appearing in a completed query's
+    * analyzed plan, fires once, and unregisters itself. If the caller
+    * re-materializes the returned frame later it simply recomputes
+    * (correct, just unshared) — gate/bench/service usage all
+    * materialize exactly once. Release is asynchronous (the listener
+    * bus), so tests poll rather than assert immediately. A frame that
+    * is declared but never materialized keeps its (data-free)
+    * cacheManager registration — persist() registers eagerly — but
+    * holds no blocks. */
+  private def unpersistAfterFirstUse(result: DataFrame,
+                                     cached: DataFrame): DataFrame = {
+    val session = result.sparkSession
+    val target = cached.queryExecution.analyzed
+    val listener: QueryExecutionListener = new QueryExecutionListener {
+      private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def maybeRelease(qe: QueryExecution): Unit =
+        if (qe.analyzed.exists(_.sameResult(target)) &&
+            released.compareAndSet(false, true)) {
+          cached.unpersist(blocking = false)
+          session.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = maybeRelease(qe)
+    }
+    session.listenerManager.register(listener)
+    result
+  }
 
   /** x01 exact dedup: hash-groupBy on full text (the 100 TB-scale
     * baseline dedup — one shuffle on a 128-bit key, no text movement
@@ -304,7 +342,7 @@ object TextQueries {
         .as("band"))
       .select(col("doc_id"), col("sim"),
         col("band.b").as("b"), col("band.key").as("key"))
-    banded.as("x")
+    val pairs = banded.as("x")
       .join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -314,6 +352,7 @@ object TextQueries {
       .select(col("d1"), col("d2"),
         bit_count(col("sim1").bitwiseXOR(col("sim2"))).cast("long").as("ham"))
       .filter(col("ham") <= 6)
+    unpersistAfterFirstUse(pairs, sims)
   }
 
   /** x16 repetition signals — the Gopher-family quality filters (Rae
@@ -436,7 +475,7 @@ object TextQueries {
       .filter(col("jac") >= nearDupJaccard)
       .select(col("d2").as("doc_id")).distinct()
       .withColumn("is_near_dup", lit(true))
-    base
+    val out = base
       .join(rep, Seq("doc_id"), "left")
       .join(nearDups, Seq("doc_id"), "left")
       .withColumn("status",
@@ -450,6 +489,7 @@ object TextQueries {
       .select(col("doc_id"), col("status"), col("pred_lang"),
         col("n_tokens"), col("quality"))
       .orderBy("doc_id")
+    unpersistAfterFirstUse(out, td)
   }
 
   /** x20 KMV (k-minimum-values) approximate distinct count — the
@@ -849,7 +889,7 @@ object TextQueries {
       .select(col("doc_id"), col("n_hits"))
     val boiler = boilerplateFrom(td, BoilerMaxDocs)
       .select(col("doc_id"), col("boiler_frac"))
-    base
+    val out = base
       .join(rep, Seq("doc_id"), "left")
       .join(nearDups, Seq("doc_id"), "left")
       .join(cont, Seq("doc_id"), "left")
@@ -867,6 +907,7 @@ object TextQueries {
           .otherwise("kept"))
       .select("doc_id", "status")
       .orderBy("doc_id")
+    unpersistAfterFirstUse(out, td)
   }
 
   val all: Seq[(String, Tables => DataFrame)] = Seq(

@@ -79,6 +79,20 @@ class GraphSpec extends SparkSpec {
     piles.unpersist()
   }
 
+  test("a sub-radius bucketLength is clamped — recall survives the knob") {
+    // the one-cell-per-axis recall guarantee needs cell width >= the
+    // estimated radius; a caller passing a tiny bucketLength (recall-
+    // safe under the old BRP-LSH, where it was pure bucket granularity)
+    // must not silently lose true within-radius neighbors
+    val k = 5
+    val base = Snn.knnJoin(emb, emb, k, seed = 42L)
+      .select("cid", "nid", "rk").collect().toSet
+    val tiny = Snn.knnJoin(emb, emb, k, seed = 42L, bucketLength = 1e-6)
+      .select("cid", "nid", "rk").collect().toSet
+    assert(tiny == base,
+      s"bucketLength=1e-6 changed the kNN graph (${tiny.size} vs ${base.size} edges)")
+  }
+
   test("SNN graph + Louvain recovers the two blobs") {
     // k=10 of 14 possible in-blob neighbors: dense intra-blob SNN, so
     // the modularity optimum is the two planted communities

@@ -58,7 +58,12 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("frameSample emits ordered frame ranges per media item") {
-    val frames = Multimodal.frameSample(media, nFrames = 4).collect()
+    val df = Multimodal.frameSample(media, nFrames = 4)
+    // round-7: the byte slicing is pure Catalyst — no ScalaUDF node
+    // breaking whole-stage codegen in the plan
+    assert(!df.queryExecution.executedPlan.toString.contains("UDF"),
+      "frameSample plan still contains a UDF node")
+    val frames = df.collect()
     val byId = frames.groupBy(_.getLong(0))
     assert(byId(1L).map(_.getInt(1)).sorted.sameElements(0 until 4))
     val joined = byId(1L).sortBy(_.getInt(1))

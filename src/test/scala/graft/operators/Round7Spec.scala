@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import java.nio.file.Files
+
+/** Round-7 session-hygiene guards: the composed pipelines persist a
+  * shared subtree purely as an intra-query sharing device, and must
+  * hand that memory back once their result materializes. A service
+  * calling corpusFilter/curationPipeline per request must not
+  * accumulate MEMORY_AND_DISK entries until someone calls
+  * clearCache() (the round-6 behavior; Bench papered over it with a
+  * clearCache per rep). */
+class Round7Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(n: Long): String = {
+    val dir = Files.createTempDirectory("r7docs").toString
+    (0L until n).map(i =>
+      (i, s"the quick brown fox ${i % 7} jumps over dog $i end", "en",
+        s"s${i % 3}", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Release rides the (async) listener bus — poll, don't assert. */
+  private def awaitCacheEmpty(what: String, timeoutMs: Long = 20000): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (!spark.sharedState.cacheManager.isEmpty &&
+           System.currentTimeMillis() - t0 < timeoutMs) Thread.sleep(50)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      s"$what left persisted entries in the session cache")
+  }
+
+  test("x30 curationPipeline releases its tokenization cache after the action") {
+    spark.catalog.clearCache()
+    val t = Tables(spark, docsDir(300))
+    val rows = TextQueries.curationPipeline(t).collect()
+    assert(rows.nonEmpty)
+    awaitCacheEmpty("curationPipeline")
+  }
+
+  test("x19 corpusFilter releases its tokenization cache after the action") {
+    spark.catalog.clearCache()
+    val t = Tables(spark, docsDir(300))
+    assert(TextQueries.corpusFilter(t).collect().nonEmpty)
+    awaitCacheEmpty("corpusFilter")
+  }
+
+  test("x13/x21 simhash pipelines release the fingerprint cache") {
+    spark.catalog.clearCache()
+    val t = Tables(spark, docsDir(300))
+    TextQueries.simhashPairs(t).collect() // may be empty: no near-dups
+    awaitCacheEmpty("simhashPairs")
+    TextQueries.dupClusters(t).collect()
+    awaitCacheEmpty("dupClusters")
+  }
+
+  test("q38Approx tracks exact q38 within the sketch's rank-error bound") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val exact = StarQueries.q38(t).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // accuracy=10000 on a ~6k-row table: GK is exact (eps < 1/n), but
+    // approx_percentile returns an OBSERVED value (no interpolation),
+    // so even here it may sit one order statistic off the interpolated
+    // exact quartile — allow 1% relative slack
+    val approx = StarQueries.q38Approx(t).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (p25, p50, p75) = exact(r.getString(0))
+      def close(a: Double, b: Double) = math.abs(a - b) / b < 0.01
+      assert(close(r.getDouble(1), p25) && close(r.getDouble(2), p50) &&
+        close(r.getDouble(3), p75), s"$r vs ($p25,$p50,$p75)")
+    }
+  }
+}
