@@ -99,12 +99,23 @@ object Integration {
       tagged.unpersist()
       return passThrough
     }
+    // Every persisted intermediate below is materialized with an
+    // explicit driver-thread action (count) before any composite
+    // action consumes it. Leaving first materialization to a later
+    // multi-branch AQE action means concurrent stage-materialization
+    // threads race to build the same cache — the 1M-barcode domain
+    // soak hit exactly that as a SparkPlan.session()==null NPE inside
+    // anchors.isEmpty (two sibling stages both first-touching a fresh
+    // InMemoryRelation). Eager counts serialize cache construction on
+    // the driver thread and also prevent sibling branches from
+    // computing the shared subtree twice.
     val ref = tagged.filter(col("group") === groupNames.head)
       .select("cells_id", "pc")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val basisR = eigenBasis(ref, dims)
     val refR = project(ref, basisR)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    refR.count()
     val refCount = ref.count()
 
     val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -115,6 +126,7 @@ object Integration {
       val basisQ = eigenBasis(qry, dims)
       val qryR = project(qry, basisR)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      qryR.count()
       toRelease += qryR
       // reciprocal anchor search: q→r on the reference basis, r→q on
       // the query basis; mutual pairs are anchors. All cross-batch
@@ -145,6 +157,7 @@ object Integration {
           val allR = refR.unionByName(qryR)
           val nbrs = Snn.knnJoin(allR, allR, kScore, seed).select("cid", "nid")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          nbrs.count()
           toRelease += nbrs
           val overlap = filtered
             .join(nbrs.select(col("cid").as("qid"), col("nid").as("n")), "qid")
@@ -161,8 +174,9 @@ object Integration {
         .select(col("qid"), col("rid"), col("qpc"), col("shared"),
           zip_with(col("rpc"), col("qpc"), (r, q) => r - q).as("vec"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nAnchors = anchors.count()
       toRelease += anchors
-      if (anchors.isEmpty) qry
+      if (nAnchors == 0) qry
       else {
         // quantile-scale scores to [0,1] (Seurat: 1% and 90% quantiles);
         // a flat distribution is uninformative → everyone scores 1

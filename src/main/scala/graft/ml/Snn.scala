@@ -18,38 +18,81 @@ import graft.operators.Similarity
   */
 object Snn {
 
-  /** Sample-derived kNN search radius: the max kth-NN distance over a
-    * panel of query points sampled from `query`, measured against a
-    * corpus sample. The corpus sample *under*-states density, so its
-    * kth-NN distance already *over*-states the true one; the extra 2×
-    * safety factor trades candidates for recall in the safe direction.
-    * One TakeOrdered scan per side; ≤2048×dim doubles on the driver. */
+  /** kNN search radius: the EXACT kth-NN distance of a 128-probe
+    * panel sampled from `query`, measured against the FULL corpus in
+    * one distributed scan (broadcast probes, per-partition bounded
+    * top-(k+1) lists, treeAggregate merge). An earlier form measured
+    * against a 2048-point corpus sample; its kth-NN distance
+    * over-states the true one by ~(n/2048)^(1/d) as the corpus grows,
+    * and the 1M-barcode domain soak measured the consequence — the
+    * inflated radius blew the grid-join candidate volume superlinearly
+    * (2.5× cells → 10× doublets shuffle). Exact distances keep
+    * candidates-per-cell Θ(k) at every corpus size; the 2× factor
+    * covers the upper tail of true kth-NN distances across cells. The
+    * corpus scan costs 128·dim flops/row — O(scan), the same order as
+    * the probe sampling pass, and corpus-size-independent per row. */
   private[ml] def estimateRadius(query: DataFrame, corpus: DataFrame,
                                  k: Int, seed: Long,
                                  conservative: Boolean = false): Double = {
-    // value-keyed pseudo-random sample (NOT rand(): its stream depends
-    // on the partition layout, so the same data in a different layout
-    // would yield a different radius)
-    def sampleVecs(df: DataFrame, n: Int): Array[Array[Double]] =
-      df.select(col("pc")).orderBy(xxhash64(col("pc"), lit(seed)),
-          col("pc").getItem(0))
-        .limit(n).collect()
-        .map(_.getSeq[Double](0).toArray)
-    val pts = sampleVecs(corpus, 2048)
-    if (pts.length <= k) return Double.MaxValue
-    val probes = sampleVecs(query, 128)
-    var minPos = Double.MaxValue // smallest positive distance seen
-    val kth = probes.map { p =>
-      val ds = pts.map { c =>
-        var s = 0.0; var i = 0
-        while (i < p.length) { val d = p(i) - c(i); s += d * d; i += 1 }
-        math.sqrt(s)
+    // value-keyed pseudo-random probe panel (NOT rand(): its stream
+    // depends on the partition layout, so the same data in a different
+    // layout would yield a different radius)
+    val probes = query.select(col("pc"))
+      .orderBy(xxhash64(col("pc"), lit(seed)), col("pc").getItem(0))
+      .limit(128).collect()
+      .map(_.getSeq[Double](0).toArray)
+    if (probes.isEmpty) return Double.MaxValue
+    val sc = corpus.sparkSession.sparkContext
+    val bcProbes = sc.broadcast(probes)
+    val cap = k + 1
+    // per-probe bounded ascending top-(k+1) distance lists + global
+    // (count, smallest positive distance); merged associatively
+    final class Acc(val tops: Array[Array[Double]], val lens: Array[Int],
+                    var n: Long, var minPos: Double) extends Serializable
+    def zero() = new Acc(Array.fill(probes.length)(new Array[Double](cap)),
+      new Array[Int](probes.length), 0L, Double.MaxValue)
+    def insert(acc: Acc, pi: Int, d: Double): Unit = {
+      val t = acc.tops(pi); val len = acc.lens(pi)
+      if (len < cap || d < t(len - 1)) {
+        var i = math.min(len, cap - 1)
+        while (i > 0 && t(i - 1) > d) { t(i) = t(i - 1); i -= 1 }
+        t(i) = d
+        if (len < cap) acc.lens(pi) = len + 1
       }
-      java.util.Arrays.sort(ds)
-      var j = 0
-      while (j < ds.length && ds(j) <= 0.0) j += 1
-      if (j < ds.length && ds(j) < minPos) minPos = ds(j)
-      ds(math.min(k, ds.length - 1))
+    }
+    val agg = corpus.select(col("pc")).rdd.treeAggregate(zero())(
+      seqOp = (acc, row) => {
+        val c = row.getSeq[Double](0)
+        val ps = bcProbes.value
+        var pi = 0
+        while (pi < ps.length) {
+          val p = ps(pi)
+          var s = 0.0; var i = 0
+          while (i < p.length) { val d = p(i) - c(i); s += d * d; i += 1 }
+          val d = math.sqrt(s)
+          insert(acc, pi, d)
+          if (d > 0.0 && d < acc.minPos) acc.minPos = d
+          pi += 1
+        }
+        acc.n += 1
+        acc
+      },
+      combOp = (a, b) => {
+        var pi = 0
+        while (pi < a.tops.length) {
+          var i = 0
+          while (i < b.lens(pi)) { insert(a, pi, b.tops(pi)(i)); i += 1 }
+          pi += 1
+        }
+        a.n += b.n
+        if (b.minPos < a.minPos) a.minPos = b.minPos
+        a
+      })
+    bcProbes.destroy()
+    if (agg.n <= k) return Double.MaxValue
+    val minPos = agg.minPos
+    val kth = Array.tabulate(probes.length) { pi =>
+      agg.tops(pi)(math.min(k, agg.lens(pi) - 1))
     }
     // median probe by default: the estimator must be stable — an
     // outlier probe (a corner cell) inflating the radius inflates the
@@ -210,10 +253,14 @@ object Snn {
     * neighbor in Seurat; we exclude self and rank 1..k. */
   def knn(emb: DataFrame, k: Int = 20, seed: Long = 42L,
           bucketLength: Double = 0.0): DataFrame = {
-    val vecs = emb
-      .select(col("cells_id"), col("pc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    knnJoin(vecs, vecs, k, seed, bucketLength)
+    // no internal persist: `emb` is scanned ~4× (radius probe panel,
+    // radius corpus scan, grid query side, grid corpus side), so
+    // callers that care pass an already-persisted frame (both engine
+    // call sites do). An earlier form persisted here, which both
+    // double-cached the callers' frames and leaked the entry — the
+    // caller can't release a cache it can't see.
+    knnJoin(emb.select(col("cells_id"), col("pc")),
+      emb.select(col("cells_id"), col("pc")), k, seed, bucketLength)
   }
 
   /** SNN edges `(src, dst, weight)` with src < dst, Jaccard-weighted

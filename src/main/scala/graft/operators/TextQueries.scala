@@ -43,6 +43,11 @@ object TextQueries {
       private def maybeRelease(qe: QueryExecution): Unit =
         if (qe.analyzed.exists(_.sameResult(target)) &&
             released.compareAndSet(false, true)) {
+          // listener-bus thread: no active session is set there, and
+          // unpersist can rebuild dependent cached plans
+          // (recacheByCondition) — plans built without an active
+          // session carry session==null and NPE at next use
+          org.apache.spark.sql.SparkSession.setActiveSession(session)
           cached.unpersist(blocking = false)
           session.listenerManager.unregister(this)
         }

@@ -79,6 +79,29 @@ class GraphSpec extends SparkSpec {
     piles.unpersist()
   }
 
+  test("radius tracks true density past the probe panel — no sample-rate inflation") {
+    // Two uniform clouds at the SAME density, one 4x the volume/points
+    // of the other (both past the old 2048-point corpus-sample cap).
+    // The kth-NN distance depends only on density, so the estimated
+    // radius must match across them. The former sample-based estimator
+    // measured the big corpus through a 2048/12000 sample — an
+    // effective density ~5.9x too low, inflating its radius ~(5.9)^(1/3)
+    // ≈ 1.8x and with it the grid candidate volume superlinearly (the
+    // 1M-barcode domain soak measured 2.5x cells → 10x doublets
+    // shuffle from exactly this).
+    val rnd = new scala.util.Random(11)
+    def cube(n: Int, side: Double) = (0 until n).map(i =>
+      (i.toLong, Array.fill(3)(rnd.nextDouble() * side))).toDF("cells_id", "pc")
+    val k = 10
+    val small = cube(3000, 100.0).persist()             // density 3e-3
+    val big = cube(12000, 100.0 * math.cbrt(4.0)).persist() // same density
+    val rSmall = Snn.estimateRadius(small, small, k, seed = 42L)
+    val rBig = Snn.estimateRadius(big, big, k, seed = 42L)
+    assert(rBig < rSmall * 1.35 && rBig > rSmall * 0.65,
+      s"radius not density-stable: small=$rSmall big=$rBig")
+    small.unpersist(); big.unpersist()
+  }
+
   test("a sub-radius bucketLength is clamped — recall survives the knob") {
     // the one-cell-per-axis recall guarantee needs cell width >= the
     // estimated radius; a caller passing a tiny bucketLength (recall-
