@@ -26,8 +26,35 @@ class Round6Spec extends SparkSpec {
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
   }
 
-  private def count(p: String, needle: String): Int =
-    needle.r.findAllIn(p).length
+  /** Structural cache-sharing check on the OPTIMIZED LOGICAL plan.
+    * (The first cut counted "FileScan"/"InMemoryRelation" occurrences
+    * in the AQE final physical plan — but AQE's stage-reuse decisions
+    * are completion-order-dependent, so those render counts can
+    * legitimately differ run to run. Cache substitution happens before
+    * optimization and is deterministic: every documents read must
+    * appear as an InMemoryRelation leaf, never a direct
+    * LogicalRelation, and the tokenizer expression must live only
+    * inside the cache-build plan.) */
+  private def assertAllReadsCached(df: org.apache.spark.sql.DataFrame,
+                                   minConsumers: Int): Unit = {
+    df.collect()
+    val opt = df.queryExecution.optimizedPlan
+    val direct = opt.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(direct.isEmpty,
+      s"direct parquet scan outside the token cache: ${direct.mkString("; ")}")
+    val caches = opt.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(caches.size >= minConsumers,
+      s"expected >= $minConsumers cache consumers, saw ${caches.size}")
+    val splits = opt.flatMap(_.expressions.flatMap(_.collect {
+      case s: org.apache.spark.sql.catalyst.expressions.StringSplit => s
+    }))
+    assert(splits.isEmpty,
+      s"tokenization outside the cache build: ${splits.mkString("; ")}")
+  }
 
   test("x30: every branch reads the ONE persisted tokenization, no direct rescans") {
     spark.catalog.clearCache()
@@ -35,17 +62,7 @@ class Round6Spec extends SparkSpec {
       (i, s"the quick brown fox ${i % 7} jumps over dog $i end", s"s${i % 3}")) ++
       // a near-dup cluster so the LSH branch has work at runtime
       (900L until 905L).map(i => (i, "alpha beta gamma delta epsilon zeta", "s9")))
-    val p = finalPlan(TextQueries.curationPipeline(Tables(spark, dir)))
-    // every parquet read of documents sits INSIDE an InMemoryRelation
-    // rendering (the cache-build plan, physically run once): a direct
-    // FileScan outside the cache means a branch re-tokenized the corpus
-    assert(count(p, "FileScan parquet") == count(p, "InMemoryRelation"),
-      s"direct parquet scan outside the token cache\n${p.take(3000)}")
-    // same for the tokenizer expression itself
-    assert(count(p, "split\\(") == count(p, "InMemoryRelation"),
-      s"tokenization outside the cache build\n${p.take(3000)}")
-    // all document consumers go through the cache
-    assert(count(p, "InMemoryTableScan") >= 4, p.take(3000))
+    assertAllReadsCached(TextQueries.curationPipeline(Tables(spark, dir)), 4)
     spark.catalog.clearCache()
   }
 
@@ -53,10 +70,7 @@ class Round6Spec extends SparkSpec {
     spark.catalog.clearCache()
     val dir = docsDir((0L until 150L).map(i =>
       (i, s"pack my box with ${i % 5} dozen liquor jugs $i", s"s${i % 2}")))
-    val p = finalPlan(TextQueries.corpusFilter(Tables(spark, dir)))
-    assert(count(p, "FileScan parquet") == count(p, "InMemoryRelation"),
-      s"direct parquet scan outside the token cache\n${p.take(3000)}")
-    assert(count(p, "InMemoryTableScan") >= 3, p.take(3000))
+    assertAllReadsCached(TextQueries.corpusFilter(Tables(spark, dir)), 3)
     spark.catalog.clearCache()
   }
 
