@@ -56,21 +56,69 @@ println(s"rows=${expr.count()} barcodes_per_sample=${nAmbient + nReal} genes=$nG
 
 def time[T](label: String)(f: => T): T = {
   val s0 = shuffleTotal.get(); val t0 = System.nanoTime()
-  val r = f
+  val r = try f catch {
+    case e: Throwable =>
+      // the REPL elides the cause frames that identify WHICH plan
+      // carried a null session — print the full chain ourselves
+      println(s"=== STAGE $label FAILED: full cause chain ===")
+      var c: Throwable = e; var depth = 0
+      while (c != null && depth < 8) {
+        println(s"--- [$depth] ${c.getClass.getName}: ${c.getMessage}")
+        c.getStackTrace.foreach(f => println(s"    at $f"))
+        c = c.getCause; depth += 1
+      }
+      scanCacheForNullSession(s"$label-postmortem")
+      throw e
+  }
   val secs = (System.nanoTime() - t0) / 1e9
   val sh = (shuffleTotal.get() - s0) / 1e6
   println(f"STAGE $label%-12s ${secs}%.1f s  shuffle ${sh}%.0f MB")
   r
 }
 
+// Diagnostic for the 1M-run NPE (SparkPlan.session()==null inside
+// anchors.count()): any SparkPlan constructed on a thread without an
+// active SparkSession captures session=null and NPEs at first
+// sparkContext() use. Cached plans outlive their construction site, so
+// scan the CacheManager between stages to catch the poisoned plan at
+// the stage that CREATED it rather than the stage that tripped on it.
+def scanCacheForNullSession(label: String): Unit = try {
+  val cm = spark.sharedState.cacheManager
+  val f = cm.getClass.getDeclaredFields.find(_.getName.contains("cachedData"))
+  f.foreach { fld =>
+    fld.setAccessible(true)
+    val entries = fld.get(cm) match {
+      case l: java.util.List[_] => scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq
+      case s: scala.collection.Iterable[_] => s.toSeq
+      case other => Seq.empty
+    }
+    var bad = 0
+    entries.foreach { cd =>
+      val imr = cd.getClass.getMethod("cachedRepresentation").invoke(cd)
+      val builder = imr.getClass.getMethod("cacheBuilder").invoke(imr)
+      val plan = builder.getClass.getMethod("cachedPlan").invoke(builder)
+        .asInstanceOf[org.apache.spark.sql.execution.SparkPlan]
+      plan.foreach { node =>
+        if (node.session == null) {
+          bad += 1
+          println(s"NULL-SESSION cached plan node [$label]: ${node.getClass.getName} in:\n$plan")
+        }
+      }
+    }
+    println(s"CACHESCAN $label: ${entries.size} cached entries, $bad null-session nodes")
+  }
+} catch { case e: Throwable => println(s"CACHESCAN $label failed: $e") }
+
 val ed = time("emptyDrops") {
   val r = graft.ml.EmptyDrops.run(expr, 100, 500); r.scores.count(); r }
 println(s"emptyDrops rows=${ed.scores.count()} flagged=${ed.flagged}")
+scanCacheForNullSession("after-emptyDrops")
 
 val pre = graft.qc.CellQc.minFeatureFilter(expr, 10)
 val dbl = time("doublets") { val d = graft.ml.Doublets.scores(pre); d.count(); d }
 println(s"doublets rows=${dbl.count()} " +
   s"called=${dbl.filter(col("doublet_class") === "doublet").count()}")
+scanCacheForNullSession("after-doublets")
 
 val cellsBase = graft.operators.MergeSamples.withCellsId(
   pre.select("sample", "barcode").distinct())
@@ -82,6 +130,7 @@ val red = time("integration") {
   r.pca.count(); r
 }
 println(s"pca rows=${red.pca.count()}")
+scanCacheForNullSession("after-integration")
 
 val emb = time("embedding") {
   graft.qc.ConfigureEmbedding.run(red.pca, numPCs = 20, k = 15, umapEpochs = 50) }
