@@ -54,28 +54,6 @@ val expr = gen("s1", 0).unionByName(gen("s2", 3))
   .repartition(32).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 println(s"rows=${expr.count()} barcodes_per_sample=${nAmbient + nReal} genes=$nGenes")
 
-def time[T](label: String)(f: => T): T = {
-  val s0 = shuffleTotal.get(); val t0 = System.nanoTime()
-  val r = try f catch {
-    case e: Throwable =>
-      // the REPL elides the cause frames that identify WHICH plan
-      // carried a null session — print the full chain ourselves
-      println(s"=== STAGE $label FAILED: full cause chain ===")
-      var c: Throwable = e; var depth = 0
-      while (c != null && depth < 8) {
-        println(s"--- [$depth] ${c.getClass.getName}: ${c.getMessage}")
-        c.getStackTrace.foreach(f => println(s"    at $f"))
-        c = c.getCause; depth += 1
-      }
-      scanCacheForNullSession(s"$label-postmortem")
-      throw e
-  }
-  val secs = (System.nanoTime() - t0) / 1e9
-  val sh = (shuffleTotal.get() - s0) / 1e6
-  println(f"STAGE $label%-12s ${secs}%.1f s  shuffle ${sh}%.0f MB")
-  r
-}
-
 // Diagnostic for the 1M-run NPE (SparkPlan.session()==null inside
 // anchors.count()): any SparkPlan constructed on a thread without an
 // active SparkSession captures session=null and NPEs at first
@@ -108,6 +86,29 @@ def scanCacheForNullSession(label: String): Unit = try {
     println(s"CACHESCAN $label: ${entries.size} cached entries, $bad null-session nodes")
   }
 } catch { case e: Throwable => println(s"CACHESCAN $label failed: $e") }
+
+def time[T](label: String)(f: => T): T = {
+  val s0 = shuffleTotal.get(); val t0 = System.nanoTime()
+  val r = try f catch {
+    case e: Throwable =>
+      // the REPL elides the cause frames that identify WHICH plan
+      // carried a null session — print the full chain ourselves
+      println(s"=== STAGE $label FAILED: full cause chain ===")
+      var c: Throwable = e; var depth = 0
+      while (c != null && depth < 8) {
+        println(s"--- [$depth] ${c.getClass.getName}: ${c.getMessage}")
+        c.getStackTrace.foreach(f => println(s"    at $f"))
+        c = c.getCause; depth += 1
+      }
+      scanCacheForNullSession(s"$label-postmortem")
+      throw e
+  }
+  val secs = (System.nanoTime() - t0) / 1e9
+  val sh = (shuffleTotal.get() - s0) / 1e6
+  println(f"STAGE $label%-12s ${secs}%.1f s  shuffle ${sh}%.0f MB")
+  r
+}
+
 
 val ed = time("emptyDrops") {
   val r = graft.ml.EmptyDrops.run(expr, 100, 500); r.scores.count(); r }
