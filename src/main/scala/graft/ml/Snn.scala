@@ -210,16 +210,19 @@ object Snn {
     }
     val q = query.select(col("cells_id").as("cid"), col("pc").as("__pc_cid"),
       explode(array(probes: _*)).as("__g"))
-    // elementwise (p−q)·(p−q), not ‖p‖²+‖q‖²−2p·q: the expanded form
+    // elementwise Σ(p−q)², not ‖p‖²+‖q‖²−2p·q: the expanded form
     // cancels catastrophically for near-coincident points with large
     // norms (error ~ ‖p‖·√ε), which misranks ties and jitters the
-    // radius-boundary filter exactly on coincident-heavy data; the
-    // difference form is exact to the points' own precision
-    val diff = zip_with(col("__pc_cid"), col("__pc_nid"),
-      (x, y) => x.cast("double") - y.cast("double"))
+    // radius-boundary filter exactly on coincident-heavy data. The
+    // filter below is pushed into the join condition and evaluated per
+    // CANDIDATE PAIR, so the distance must stay codegen'd: dist2Cols is
+    // the native graft_dist2 single-loop expression (a zip_with
+    // difference here — interpreted HOF — pinned the 1M-cell soak's
+    // anchor search at ~16 cores inside ZipWith.eval for 20+ min)
     q.join(c, Seq("__g"))
       .filter(col("cid") =!= col("nid"))
-      .withColumn("dist", sqrt(Similarity.dotCols(diff, diff)))
+      .withColumn("dist",
+        sqrt(Similarity.dist2Cols(col("__pc_cid"), col("__pc_nid"))))
       .filter(col("dist") <= lit(radius))
       .select("cid", "nid", "dist")
   }

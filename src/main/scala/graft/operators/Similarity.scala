@@ -36,6 +36,26 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
     }
 
+  /** Squared Euclidean distance Σ (a(i)−b(i))² over the common prefix,
+    * in the numerically exact elementwise-difference form (NOT
+    * ‖a‖²+‖b‖²−2a·b, which cancels catastrophically near coincident
+    * points). Native codegen'd [[graft.functions.VectorDist2]] when the
+    * extensions are injected — mandatory for join-condition use, where
+    * the interpreted zip_with fallback evaluates per candidate pair
+    * (see the expression's scaladoc for the measured blowup) — else
+    * the equivalent higher-order fallback, same min-length semantics
+    * and accumulation order. */
+  def dist2Cols(a: Column, b: Column): Column =
+    if (graft.functions.GraftExtensions.active)
+      call_function("graft_dist2", a, b)
+    else {
+      val n = least(size(a), size(b))
+      aggregate(zip_with(slice(a, lit(1), n), slice(b, lit(1), n),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    }
+
   def norm(a: String): Column = sqrt(dotCols(col(a), col(a)))
 
   def cosine(a: String, b: String): Column =

@@ -116,6 +116,28 @@ class GraphSpec extends SparkSpec {
       s"bucketLength=1e-6 changed the kNN graph (${tiny.size} vs ${base.size} edges)")
   }
 
+  test("candidate-join distance is native codegen — no interpreted HOF in the plan") {
+    // The distance filter is pushed into the join condition and
+    // evaluated per candidate pair; an interpreted zip_with there
+    // pinned the 1M-cell soak's anchor search at ~16 cores inside
+    // ZipWith.eval for 20+ minutes. With the extensions injected the
+    // plan must carry graft_dist2 and no higher-order lambda.
+    val plan = Snn.candidatePairs(emb, emb, 5, seed = 42L)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_dist2"), plan)
+    assert(!plan.contains("zip_with") && !plan.contains("lambdafunction"), plan)
+    // and the native form agrees with the interpreted fallback
+    val d2 = call_function("graft_dist2", col("a"), col("b"))
+    val fb = aggregate(
+      zip_with(col("a"), col("b"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    val rows = Seq(
+      (Array(1.5, -2.0, 3e8), Array(1.5, -2.0, 3e8 + 1e-4)),
+      (Array(0.0, 0.0, 0.0), Array(1.0, 2.0, 2.0)))
+      .toDF("a", "b").select(d2.as("n"), fb.as("f")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
+  }
+
   test("SNN graph + Louvain recovers the two blobs") {
     // k=10 of 14 possible in-blob neighbors: dense intra-blob SNN, so
     // the modularity optimum is the two planted communities
