@@ -90,44 +90,61 @@ object Integration {
                           kAnchor: Int = 5, kWeight: Int = 5,
                           seed: Long = 42L, dims: Int = 30,
                           kScore: Int = 30, kFilter: Int = 200): DataFrame = {
-    val tagged = pca.join(groups, "cells_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Intermediates are EAGER localCheckpoints, deliberately NOT
+    // persist(): the pipeline's reused frames form a chain six deep
+    // (tagged → ref → refR → qryR → nbrs → anchors), and with cache
+    // each level's cached plan scans the previous level's
+    // InMemoryRelation. Under AQE that nests
+    // TableCacheQueryStageExec materializations, a path the 1M-barcode
+    // domain soak showed to be broken in Spark 4.1.2: a failure inside
+    // the nested cache build enters CachedRDDBuilder.buildBuffers'
+    // catch handler (InMemoryRelation.scala:330), whose
+    // recacheByPlan → tryRebuildCacheEntry NPEs on
+    // SparkPlan.session()==null and MASKS the original exception —
+    // the same 1M leg with spark.sql.adaptive.enabled=false ran to
+    // completion. (Round-6's eager count()s serialized FIRST builds
+    // but could not stop later nested rebuilds.) localCheckpoint
+    // materializes to plain RDD blocks on the driver thread: no
+    // CacheManager entry, no nested cache stages, nothing for AQE to
+    // rebuild — and the lineage cut also keeps per-level plans flat.
+    // Block release is explicit (releaseCkpt) once the output is
+    // materialized. Cluster note: checkpoint blocks are not
+    // recomputable after executor loss (persist would recompute); the
+    // frames are O(cells·dims) doubles, small enough to re-run the
+    // operator on the rare loss, and the alternative is the broken
+    // rebuild path above.
+    def ckpt(df: DataFrame): DataFrame =
+      df.localCheckpoint(true)
+    def releaseCkpt(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(false)
+        case _ => ()
+      }
+    val released = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def tracked(df: DataFrame): DataFrame = {
+      val c = ckpt(df); released += c; c
+    }
+
+    val tagged = tracked(pca.join(groups, "cells_id"))
     val groupNames = tagged.select("group").distinct()
       .collect().map(_.getString(0)).sorted
     if (groupNames.length < 2) {
       val passThrough = tagged.select("cells_id", "pc").localCheckpoint(true)
-      tagged.unpersist()
+      releaseCkpt(tagged)
       return passThrough
     }
-    // Every persisted intermediate below is materialized with an
-    // explicit driver-thread action (count) before any composite
-    // action consumes it. Leaving first materialization to a later
-    // multi-branch AQE action means concurrent stage-materialization
-    // threads race to build the same cache — the 1M-barcode domain
-    // soak hit exactly that as a SparkPlan.session()==null NPE inside
-    // anchors.isEmpty (two sibling stages both first-touching a fresh
-    // InMemoryRelation). Eager counts serialize cache construction on
-    // the driver thread and also prevent sibling branches from
-    // computing the shared subtree twice.
-    val ref = tagged.filter(col("group") === groupNames.head)
-      .select("cells_id", "pc")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ref = tracked(tagged.filter(col("group") === groupNames.head)
+      .select("cells_id", "pc"))
     val basisR = eigenBasis(ref, dims)
-    val refR = project(ref, basisR)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    refR.count()
+    val refR = tracked(project(ref, basisR))
     val refCount = ref.count()
 
-    val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val corrected = groupNames.tail.map { g =>
-      val qry = tagged.filter(col("group") === g).select("cells_id", "pc")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      toRelease += qry
+      val qry = tracked(tagged.filter(col("group") === g)
+        .select("cells_id", "pc"))
       val basisQ = eigenBasis(qry, dims)
-      val qryR = project(qry, basisR)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      qryR.count()
-      toRelease += qryR
+      val qryR = tracked(project(qry, basisR))
       // reciprocal anchor search: q→r on the reference basis, r→q on
       // the query basis; mutual pairs are anchors. All cross-batch
       // searches run with the conservative radius: the batch gap means
@@ -155,10 +172,8 @@ object Integration {
         if (kScore <= 0) filtered.withColumn("shared", lit(0L))
         else {
           val allR = refR.unionByName(qryR)
-          val nbrs = Snn.knnJoin(allR, allR, kScore, seed).select("cid", "nid")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          nbrs.count()
-          toRelease += nbrs
+          val nbrs = tracked(
+            Snn.knnJoin(allR, allR, kScore, seed).select("cid", "nid"))
           val overlap = filtered
             .join(nbrs.select(col("cid").as("qid"), col("nid").as("n")), "qid")
             .join(nbrs.select(col("cid").as("rid"), col("nid").as("n")),
@@ -168,14 +183,12 @@ object Integration {
           filtered.join(overlap, Seq("qid", "rid"), "left")
             .withColumn("shared", coalesce(col("shared"), lit(0L)))
         }
-      val anchors = withShared
+      val anchors = tracked(withShared
         .join(qry.select(col("cells_id").as("qid"), col("pc").as("qpc")), "qid")
         .join(ref.select(col("cells_id").as("rid"), col("pc").as("rpc")), "rid")
         .select(col("qid"), col("rid"), col("qpc"), col("shared"),
-          zip_with(col("rpc"), col("qpc"), (r, q) => r - q).as("vec"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          zip_with(col("rpc"), col("qpc"), (r, q) => r - q).as("vec")))
       val nAnchors = anchors.count()
-      toRelease += anchors
       if (nAnchors == 0) qry
       else {
         // quantile-scale scores to [0,1] (Seurat: 1% and 90% quantiles);
@@ -269,10 +282,10 @@ object Integration {
                 (p, c) => p + coalesce(c, lit(0.0)))).as("pc"))
       }
     }
-    // materialize before releasing the cached inputs the lineage reads
+    // materialize the output checkpoint, THEN free every intermediate's
+    // blocks — out no longer references any of them
     val out = (ref +: corrected).reduce(_ unionByName _).localCheckpoint(true)
-    toRelease.foreach(_.unpersist())
-    tagged.unpersist(); ref.unpersist(); refR.unpersist()
+    released.foreach(releaseCkpt)
     out
   }
 }
