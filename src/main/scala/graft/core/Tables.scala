@@ -31,15 +31,30 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
-  /** `events` with `ts` as TimestampType (truncated ns → µs) and
-    * `ts_ns` preserving the exact nanosecond long for total ordering. */
+  /** `events` with `ts` as a timestamp column and `ts_ns` as the
+    * epoch-nanosecond long used for total ordering. Schema-adaptive —
+    * the fixture generator has shipped two layouts:
+    *  - TIMESTAMP(NANOS) (an INT64 Spark's vectorized reader rejects):
+    *    read via the documented `nanosAsLong` escape hatch, `ts_ns` is
+    *    the raw long, `ts` the ns→µs truncation;
+    *  - timestamp[us] (plain TIMESTAMP_MICROS, read as NTZ): `ts` is
+    *    used as stored, `ts_ns` derived as `unix_micros·1000` — exact,
+    *    and identical ordering semantics (sessions pin UTC, so the
+    *    NTZ→LTZ cast under unix_micros shifts nothing). */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events")
-      .withColumn("ts_ns", col("ts"))
-      // integer division: `/` would promote to double and lose
-      // precision above 2^53 (epoch-ns ~1.7e18), shifting events that
-      // sit within ~130ns of an hour boundary into the wrong bucket
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          // integer division: `/` would promote to double and lose
+          // precision above 2^53 (epoch-ns ~1.7e18), shifting events
+          // that sit within ~130ns of an hour boundary into the wrong
+          // bucket
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts_ns",
+          expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    }
   }
 }
