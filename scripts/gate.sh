@@ -15,8 +15,11 @@ work=$(mktemp -d)
 trap 'rm -rf "$work"' EXIT
 git archive HEAD | tar -x -C "$work"
 echo "== compiling HEAD in $work =="
-(cd "$work" && sbt -batch compile 2>&1 | tail -2 | grep -q success) \
-  || { echo "HEAD DOES NOT COMPILE"; exit 1; }
+# exit-code check, not a grep for "[success]": showSuccess := false
+# (build.sbt, needed for the bench's bare-JSON stdout) suppresses the
+# success banner this used to grep for
+(cd "$work" && sbt -batch compile > /tmp/gate_compile.log 2>&1) \
+  || { echo "HEAD DOES NOT COMPILE"; tail -20 /tmp/gate_compile.log; exit 1; }
 echo "== HEAD compiles. Running tests + verify from the working repo =="
 
 sbt -batch test 2>&1 | tail -3
