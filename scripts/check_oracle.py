@@ -4,7 +4,7 @@
 oracle_sql.json in DuckDB over the same sf parquet tables, canonicalize
 (sort columns by name, stringify values), and diff.
 
-Usage: check_oracle.py <sfDir> <verifyOut> [--skip name1,name2]
+Usage: check_oracle.py <sfDir> <verifyOut> [--skip name1,name2] [--only name1,name2]
 
 --skip excludes queries whose ORACLE formulation is infeasible at the
 given scale (x21/x23's recursive CTE is quadratic in component size —
@@ -42,7 +42,11 @@ def canon(rows, names):
     order = sorted(range(len(names)), key=lambda i: names[i])
     return [tuple(canon_cell(r[i]) for i in order) for r in rows]
 
-def main(sf_dir, out_dir, skip=()):
+def match(name, pats):
+    # full names or id prefixes: "x21" matches x21_dupclusters
+    return any(name == s or name.startswith(s + "_") for s in pats)
+
+def main(sf_dir, out_dir, skip=(), only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -51,11 +55,16 @@ def main(sf_dir, out_dir, skip=()):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name in sorted(oracles):
-        # match full names or id prefixes ("x21" skips x21_dupclusters):
-        # the documented `--skip x21,x23` silently matched NOTHING under
-        # the exact-name test, so the supposedly-skipped quadratic CTE
+        # --only: positive filter for single-query iteration (skipping a
+        # full-gate rerun); silent pass-over, unlike --skip's loud line,
+        # because an --only run never claims full coverage
+        if only is not None and not match(name, only):
+            continue
+        # prefix matching ("x21" skips x21_dupclusters): the documented
+        # `--skip x21,x23` silently matched NOTHING under the
+        # exact-name test, so the supposedly-skipped quadratic CTE
         # ran anyway (30+ GB, hours, at sf1)
-        if any(name == s or name.startswith(s + "_") for s in skip):
+        if match(name, skip):
             print(f"skip {name} (oracle infeasible at this scale; "
                   f"verify separately)")
             continue
@@ -97,6 +106,8 @@ def main(sf_dir, out_dir, skip=()):
     # queries with no oracle: rows-only presence check
     for d in sorted(os.listdir(out_dir)):
         full = f"{out_dir}/{d}"
+        if only is not None and not match(d, only):
+            continue
         if os.path.isdir(full) and d not in oracles:
             files = sorted(glob.glob(f"{full}/*.parquet"))
             n = sum(pq.read_table(f).num_rows for f in files) if files else -1
@@ -114,7 +125,14 @@ if __name__ == "__main__":
     ap.add_argument("verifyOut", help="graft.Verify output dir")
     ap.add_argument("--skip", default="",
                     help="comma-separated query names whose oracle is "
-                         "infeasible at this scale (use check_cc.py)")
+                         "infeasible at this scale (use check_cc.py); "
+                         "id prefixes match (\"x21\" = x21_dupclusters)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names/id prefixes to check, "
+                         "all others silently passed over — for "
+                         "single-query iteration without a full-gate rerun")
     ns = ap.parse_args()
     skip = {s for s in ns.skip.split(",") if s}
-    main(ns.sfDir, ns.verifyOut, skip=skip)
+    only = ({s for s in ns.only.split(",") if s}
+            if ns.only is not None else None)
+    main(ns.sfDir, ns.verifyOut, skip=skip, only=only)

@@ -18,8 +18,10 @@ echo "== compiling HEAD in $work =="
 # exit-code check, not a grep for "[success]": showSuccess := false
 # (build.sbt, needed for the bench's bare-JSON stdout) suppresses the
 # success banner this used to grep for
-(cd "$work" && sbt -batch compile > /tmp/gate_compile.log 2>&1) \
-  || { echo "HEAD DOES NOT COMPILE"; tail -20 /tmp/gate_compile.log; exit 1; }
+# log lives in $work: unique per run (concurrent gates can't clobber
+# each other's tails) and removed by the trap
+(cd "$work" && sbt -batch compile > "$work/compile.log" 2>&1) \
+  || { echo "HEAD DOES NOT COMPILE"; tail -20 "$work/compile.log"; exit 1; }
 echo "== HEAD compiles. Running tests + verify from the working repo =="
 
 sbt -batch test 2>&1 | tail -3

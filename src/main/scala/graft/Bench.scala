@@ -63,12 +63,22 @@ object Bench {
     // the file is the machine-readable artifact of record
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_summary.json"), full + "\n")
-    // compact summary LAST: the per-query line above is long enough
-    // that a bounded tail capture can truncate its head (and with it
-    // the total) — this line restates the headline numbers in a few
-    // hundred bytes so they survive any tail window. Distinct metric
-    // name so a consumer aggregating by metric can't double-count the
-    // two "total" lines.
+    // The driver's artifact keeps only a ~2000-byte TAIL of stdout, so
+    // the full-precision line above gets its head cut (r7 lost q01–q20
+    // medians from BENCH_r07.json). The last two lines are sized to fit
+    // that window together:
+    //  - per_query: ALL medians, compacted to survive — ids shortened
+    //    to their unique q##/x## prefix, values to 3 decimals (~1 KB);
+    //  - total_summary: the headline numbers, LAST so a line-bounded
+    //    tail also keeps it. Distinct metric names so a consumer
+    //    aggregating by metric can't double-count the totals.
+    val compact = results.map { case (k, (med, _)) =>
+      // Locale.ROOT: the f-interpolator is locale-sensitive and a comma
+      // decimal separator would break the JSON
+      s"\"${k.takeWhile(_ != '_')}\":" + String.format(
+        java.util.Locale.ROOT, "%.3f", Double.box(med))
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"per_query","unit":"sec","queries":$compact,"sf":"$sfDir","reps":$reps}""")
     val worst = json(results.sortBy(-_._2._1).take(5)
       .map { case (k, (med, _)) => k -> med })
     println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${results.length},"worst5":$worst,"sf":"$sfDir","reps":$reps}""")

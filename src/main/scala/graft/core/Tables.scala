@@ -42,6 +42,12 @@ final case class Tables(spark: SparkSession, dir: String) {
     *    and identical ordering semantics (sessions pin UTC, so the
     *    NTZ→LTZ cast under unix_micros shifts nothing). */
   def events: DataFrame = {
+    // The NTZ→LTZ casts below (and every unix_timestamp/session_window
+    // consumer downstream) are value-preserving only under a UTC
+    // session; Verify/SparkSpec pin it, ad-hoc shells must too.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables.events requires spark.sql.session.timeZone=UTC " +
+        s"(got '${spark.conf.get("spark.sql.session.timeZone")}')")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table("events")
     raw.schema("ts").dataType match {
@@ -53,8 +59,11 @@ final case class Tables(spark: SparkSession, dir: String) {
           // bucket
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ =>
-        raw.withColumn("ts_ns",
-          expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+        // normalize: the reader infers TimestampNTZ (isAdjustedToUTC=
+        // false) or TimestampType depending on fixture layout; pin the
+        // public dtype to TimestampType so consumers see one schema
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
     }
   }
 }

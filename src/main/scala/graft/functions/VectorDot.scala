@@ -98,7 +98,13 @@ case class VectorDot(left: Expression, right: Expression)
   *    interpreted-lambda-per-pair failure SOAK_domain.md finding 3
   *    records for sessions without the extensions).
   * The difference form in a single flat codegen loop is both exact to
-  * the inputs' precision and allocation-free. */
+  * the inputs' precision and allocation-free.
+  *
+  * Semantics: Σ (a(i)−b(i))² over i < min(|a|, |b|); elements are
+  * assumed non-null (embedding/PC vectors), same contract as
+  * [[VectorDot]]. A null element reads as 0.0 here, whereas the
+  * `zip_with` HOF fallback would yield NULL for the whole distance —
+  * callers must not feed nullable-element arrays. */
 case class VectorDist2(left: Expression, right: Expression)
     extends BinaryExpression {
 

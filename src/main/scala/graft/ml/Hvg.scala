@@ -1,7 +1,6 @@
 package graft.ml
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Highly-variable-gene selection — `FindVariableFeatures(vst, top
@@ -69,12 +68,21 @@ object Hvg {
       .withColumn("variance_standardized",
         (col("__znnz") + (lit(nCells) - col("__nnz")) * col("__z0") * col("__z0"))
           / (nCells - 1))
-    withStd
-      .withColumn("hvg_rank",
-        row_number().over(
-          Window.orderBy(col("variance_standardized").desc, col("gene"))))
-      .filter(col("hvg_rank") <= numGenes)
-      .select("gene", "mean", "variance", "variance_standardized", "hvg_rank")
+    // top-N via orderBy+limit = TakeOrderedAndProject (per-partition
+    // heaps, no global-order shuffle), NOT a global rank window (which
+    // would drag every gene into one WindowExec partition). The re-rank
+    // happens on the driver: ≤ numGenes rows post-reduction, same
+    // boundedness as the loess collect above.
+    val topRows = withStd
+      .select("gene", "mean", "variance", "variance_standardized")
+      .orderBy(col("variance_standardized").desc, col("gene"))
+      .limit(numGenes)
+      .collect()
+    topRows.sortBy(r => (-r.getDouble(3), r.getString(0)))
+      .zipWithIndex.map { case (r, i) =>
+        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), i + 1)
+      }.toSeq
+      .toDF("gene", "mean", "variance", "variance_standardized", "hvg_rank")
   }
 
   /** Dense 0-based ordinal for a selected gene set, by rank — the

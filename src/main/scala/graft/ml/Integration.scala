@@ -125,26 +125,36 @@ object Integration {
     def tracked(df: DataFrame): DataFrame = {
       val c = ckpt(df); released += c; c
     }
+    // project() returns its input unchanged when the basis is None
+    // (dims >= d): re-checkpointing it would double block storage for
+    // an identical frame, so only checkpoint genuinely new frames
+    def trackedProj(df: DataFrame, basis: Option[DenseMatrix]): DataFrame =
+      if (basis.isEmpty) df else tracked(project(df, basis))
 
+    // try/finally: localCheckpoint blocks have no CacheManager entry, so
+    // a mid-pipeline failure (approxQuantile, a knnJoin action) would
+    // otherwise leak every intermediate's storage for the session's
+    // lifetime with nothing to find them by. The output checkpoint is
+    // EAGER, so on the success path it is fully materialized before the
+    // finally releases the intermediates it was built from.
+    try {
     val tagged = tracked(pca.join(groups, "cells_id"))
     val groupNames = tagged.select("group").distinct()
       .collect().map(_.getString(0)).sorted
     if (groupNames.length < 2) {
-      val passThrough = tagged.select("cells_id", "pc").localCheckpoint(true)
-      releaseCkpt(tagged)
-      return passThrough
+      return tagged.select("cells_id", "pc").localCheckpoint(true)
     }
     val ref = tracked(tagged.filter(col("group") === groupNames.head)
       .select("cells_id", "pc"))
     val basisR = eigenBasis(ref, dims)
-    val refR = tracked(project(ref, basisR))
+    val refR = trackedProj(ref, basisR)
     val refCount = ref.count()
 
     val corrected = groupNames.tail.map { g =>
       val qry = tracked(tagged.filter(col("group") === g)
         .select("cells_id", "pc"))
       val basisQ = eigenBasis(qry, dims)
-      val qryR = tracked(project(qry, basisR))
+      val qryR = trackedProj(qry, basisR)
       // reciprocal anchor search: q→r on the reference basis, r→q on
       // the query basis; mutual pairs are anchors. All cross-batch
       // searches run with the conservative radius: the batch gap means
@@ -282,10 +292,11 @@ object Integration {
                 (p, c) => p + coalesce(c, lit(0.0)))).as("pc"))
       }
     }
-    // materialize the output checkpoint, THEN free every intermediate's
-    // blocks — out no longer references any of them
-    val out = (ref +: corrected).reduce(_ unionByName _).localCheckpoint(true)
-    released.foreach(releaseCkpt)
-    out
+    // materialize the output checkpoint (eager); the finally then frees
+    // every intermediate's blocks — out no longer references any of them
+    (ref +: corrected).reduce(_ unionByName _).localCheckpoint(true)
+    } finally {
+      released.foreach(releaseCkpt)
+    }
   }
 }

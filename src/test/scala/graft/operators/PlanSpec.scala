@@ -156,6 +156,35 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p.take(2000))
   }
 
+  test("global (single-partition) windows appear ONLY in oracle-mandated queries") {
+    // A WindowExec with an empty partitionSpec drags the whole input
+    // into one task — a scale-killer unless the query's SEMANTICS are a
+    // global order. Sweep every gate query's physical plan and pin the
+    // offender set to exactly the queries whose oracle demands a total
+    // order: q21 (dense global id), q23 (global lag), q30 (corpus-wide
+    // BH-FDR rank). Production forms of all three are partitioned
+    // (DenseId two-pass, EmptyDrops per-sample BH) — the gate shapes
+    // are the declared, correct exception. Anything else showing up
+    // here is a regression (e.g. Hvg's old global rank window).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def hasGlobalWindow(p: SparkPlan): Boolean = {
+      val here = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+      here || p.collect { case a: AdaptiveSparkPlanExec => a }
+        .exists(a => hasGlobalWindow(a.executedPlan))
+    }
+    val allowed = Set("q21_denseid", "q23_lag", "q30_bhfdr")
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      if (hasGlobalWindow(df.queryExecution.executedPlan)) Some(name) else None
+    }
+    assert(offenders.toSet == allowed,
+      s"global-window queries ${offenders.mkString(",")} != allowed ${allowed.mkString(",")}")
+  }
+
   test("q37: JSON path extraction stays codegen'd, no UDF node") {
     val p = plan(StarQueries.q37(t))
     assert(p.contains("get_json_object") && !p.contains("BatchEvalPython"), p.take(2000))
