@@ -461,12 +461,41 @@ object TextQueries {
                    langs: Seq[String] = Seq("en"),
                    minQuality: Double = 0.3, maxDupFrac: Double = 0.6,
                    nearDupJaccard: Double = 0.8): DataFrame = {
-    // ONE tokenization for the whole pipeline: the fused per-row pass
-    // and both shuffling branches read the persisted (docs + toks)
-    // table instead of re-running the regex scan per branch. Pruned to
-    // the columns the pipeline touches; disk-spillable cache — at
-    // cluster scale this is one materialization (~2x corpus) vs three
-    // full tokenize scans.
+    val b = curationBranches(t, nearDupJaccard)
+    val out = b.base
+      .join(b.rep, Seq("doc_id"), "left")
+      .join(b.nearDups, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("hash_rank") > 1, "exact_dup")
+          .when(col("n_tokens") < minTokens, "too_short")
+          .when(not(col("pred_lang").isInCollection(langs)), "lang")
+          .when(col("quality") < minQuality, "low_quality")
+          .when(col("dup2gram_frac") > maxDupFrac, "repetitive")
+          .when(col("is_near_dup"), "near_dup")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("status"), col("pred_lang"),
+        col("n_tokens"), col("quality"))
+      .orderBy("doc_id")
+    unpersistAfterFirstUse(out, b.td)
+  }
+
+  /** The branches x19 and x30 share — built once here so the two
+    * pipelines can only differ in their precedence chain (and x30's two
+    * extra branches). `td` is the persisted single tokenization every
+    * branch reads (release it via [[unpersistAfterFirstUse]] on the
+    * final output); pruned to the columns the pipelines touch;
+    * disk-spillable — at cluster scale one materialization (~2x corpus)
+    * vs a full tokenize scan per branch. `base` fuses the narrow
+    * per-row signals (token count, language, quality) and the exact-dup
+    * rank into ONE pass (the dedup "join" is a window over md5(text),
+    * no second scan); `rep` (2-gram repetition) and `nearDups`
+    * (MinHash-LSH pairs, HIGHER doc_id of each qualifying pair) are the
+    * genuinely shuffling branches, joined back by doc_id. */
+  private final case class CurationBranches(
+      td: DataFrame, base: DataFrame, rep: DataFrame, nearDups: DataFrame)
+
+  private def curationBranches(t: Tables,
+                               nearDupJaccard: Double): CurationBranches = {
     val td = withToks(t.documents.select("doc_id", "text"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = td
@@ -480,21 +509,7 @@ object TextQueries {
       .filter(col("jac") >= nearDupJaccard)
       .select(col("d2").as("doc_id")).distinct()
       .withColumn("is_near_dup", lit(true))
-    val out = base
-      .join(rep, Seq("doc_id"), "left")
-      .join(nearDups, Seq("doc_id"), "left")
-      .withColumn("status",
-        when(col("hash_rank") > 1, "exact_dup")
-          .when(col("n_tokens") < minTokens, "too_short")
-          .when(not(col("pred_lang").isInCollection(langs)), "lang")
-          .when(col("quality") < minQuality, "low_quality")
-          .when(col("dup2gram_frac") > maxDupFrac, "repetitive")
-          .when(col("is_near_dup"), "near_dup")
-          .otherwise("kept"))
-      .select(col("doc_id"), col("status"), col("pred_lang"),
-        col("n_tokens"), col("quality"))
-      .orderBy("doc_id")
-    unpersistAfterFirstUse(out, td)
+    CurationBranches(td, base, rep, nearDups)
   }
 
   /** x20 KMV (k-minimum-values) approximate distinct count — the
@@ -866,9 +881,9 @@ object TextQueries {
                        minQuality: Double = 0.3, maxDupFrac: Double = 0.6,
                        nearDupJaccard: Double = 0.8,
                        maxBoilerFrac: Double = 0.5): DataFrame = {
-    // ONE tokenization feeds the fused per-row pass and all FOUR
+    // The shared builders feed the fused per-row pass and all FOUR
     // shuffling branches (repetition, LSH near-dup, decontamination,
-    // boilerplate) via a persisted (doc_id, text, toks) table —
+    // boilerplate) from ONE persisted (doc_id, text, toks) table —
     // previously the regex tokenize scan ran ~5x inside this single
     // query. (Measured dead end at sf1: ALSO persisting the hashed-
     // shingle table for the decontaminate/boilerplate pair costs MORE
@@ -877,26 +892,14 @@ object TextQueries {
     // shared cache pays full materialization and loses codegen fusion;
     // 18.5s → 22.5s. Shapes that look duplicated aren't always worth
     // materializing.)
-    val td = withToks(t.documents.select("doc_id", "text"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val base = td
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("pred_lang", predLang(col("toks")))
-      .withColumn("quality", qualityCol(col("text"), col("toks")))
-      .withColumn("hash_rank", row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
-    val rep = repetitionFrom(td).select(col("doc_id"), col("dup2gram_frac"))
-    val nearDups = lshPairsFrom(td)
-      .filter(col("jac") >= nearDupJaccard)
-      .select(col("d2").as("doc_id")).distinct()
-      .withColumn("is_near_dup", lit(true))
-    val cont = decontaminateFrom(td, DecontamMod)
+    val b = curationBranches(t, nearDupJaccard)
+    val cont = decontaminateFrom(b.td, DecontamMod)
       .select(col("doc_id"), col("n_hits"))
-    val boiler = boilerplateFrom(td, BoilerMaxDocs)
+    val boiler = boilerplateFrom(b.td, BoilerMaxDocs)
       .select(col("doc_id"), col("boiler_frac"))
-    val out = base
-      .join(rep, Seq("doc_id"), "left")
-      .join(nearDups, Seq("doc_id"), "left")
+    val out = b.base
+      .join(b.rep, Seq("doc_id"), "left")
+      .join(b.nearDups, Seq("doc_id"), "left")
       .join(cont, Seq("doc_id"), "left")
       .join(boiler, Seq("doc_id"), "left")
       .withColumn("status",
@@ -912,7 +915,7 @@ object TextQueries {
           .otherwise("kept"))
       .select("doc_id", "status")
       .orderBy("doc_id")
-    unpersistAfterFirstUse(out, td)
+    unpersistAfterFirstUse(out, b.td)
   }
 
   val all: Seq[(String, Tables => DataFrame)] = Seq(
