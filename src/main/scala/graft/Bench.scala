@@ -55,7 +55,14 @@ object Bench {
     val qs = json(results.map { case (k, (med, _)) => k -> med })
     val spread = json(results.map { case (k, (_, sp)) => k -> sp })
     val total = results.map(_._2._1).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop_write","queries":$qs,"spread":$spread,"sf":"$sfDir","reps":$reps}"""
+    // methodology note (r8): pre-r8 driver artifacts truncated this
+    // line to its TAIL, exposing the spread map where medians were
+    // expected — r7's "x30 median 1.61s" was really x30's max−min
+    // spread (true r6/r7 medians: 3.03/3.93, in each round's worst5).
+    // The compact per_query line below is the tail-safe median record.
+    val note = "queries=medians,spread=max-min; pre-r8 tails cut this " +
+      "line mid-object and exposed spread values as medians"
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop_write","note":"$note","queries":$qs,"spread":$spread,"sf":"$sfDir","reps":$reps}"""
     println(full)
     // the full per-query JSON also lands on disk: stdout goes through
     // sbt's logger, whose "[info] " prefix keeps any line from parsing
