@@ -340,6 +340,16 @@ object TextQueries {
     // broadcast join has no exchange at all). doc_id+sim is 16 bytes a
     // document — negligible at any corpus size
     val sims = simhashDf(t.documents).persist(StorageLevel.MEMORY_AND_DISK)
+    unpersistAfterFirstUse(simhashPairsFromSims(sims), sims)
+  }
+
+  /** The banded ham≤6 pair join over a `(doc_id, sim)` table — both
+    * self-join sides read `sims`, so persist it at the call site.
+    * Candidate volume is inherently quadratic in fingerprint
+    * DUPLICITY (g docs sharing one sim → C(g,2) pairs — the x13 pair
+    * LIST cannot be smaller); callers that only need CONNECTIVITY
+    * must collapse to distinct fingerprints first ([[dupClusters]]). */
+  private def simhashPairsFromSims(sims: DataFrame): DataFrame = {
     val banded = sims
       .select(col("doc_id"), col("sim"), explode(array((0 until 4).map(b =>
         struct(lit(b).as("b"),
@@ -347,7 +357,7 @@ object TextQueries {
         .as("band"))
       .select(col("doc_id"), col("sim"),
         col("band.b").as("b"), col("band.key").as("key"))
-    val pairs = banded.as("x")
+    banded.as("x")
       .join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -357,7 +367,6 @@ object TextQueries {
       .select(col("d1"), col("d2"),
         bit_count(col("sim1").bitwiseXOR(col("sim2"))).cast("long").as("ham"))
       .filter(col("ham") <= 6)
-    unpersistAfterFirstUse(pairs, sims)
   }
 
   /** x16 repetition signals — the Gopher-family quality filters (Rae
@@ -550,23 +559,50 @@ object TextQueries {
 
   /** x21 duplicate clusters — the union-find step every dedup pipeline
     * needs between pair generation and survivorship: the SimHash
-    * near-dup pairs (the x13 edge list) grouped into connected
+    * near-dup relation (the x13 edge list) grouped into connected
     * components, cluster id = min doc_id of the component, keep flag
-    * on that representative. Distributed hash-min label propagation:
+    * on that representative.
+    *
+    * The edge list is NOT the materialized x13 pair list: identical
+    * fingerprints are ham=0 twins, so a group of g bag-identical
+    * copies contributes C(g,2) pairs — quadratic in duplicity, and at
+    * a heavily-duplicated corpus that IS the data (the round-8 500k
+    * soak measured 2.85e7 in-bucket candidate pairs at 50k docs,
+    * ~100x that at 500k, from exactly this). Connectivity needs none
+    * of it: collapse to one representative per DISTINCT fingerprint
+    * (min doc_id), emit member→rep edges (linear in the corpus), and
+    * run the banded ham≤6 pair join over distinct fingerprints only.
+    * Components are identical — twins always share all band keys, so
+    * member→rep replaces the twin clique, and any cross-group pair
+    * (same band criterion, same Hamming cut, evaluated on the same
+    * fingerprint values) survives as a rep–rep edge. The oracle's
+    * recursive min-label CTE over the full x13 pair list reproduces
+    * the result hash-exactly (the sf0.01 gate).
+    *
+    * Distributed hash-min label propagation past the driver-limit:
     * each round every node adopts the minimum label in its closed
-    * neighborhood (one join + one min-groupBy), converging in
-    * O(component diameter) rounds — near-dup components are small
-    * dense clumps, so 2–3 rounds in practice, with a driver-side
-    * fixpoint check bounding the loop. The oracle reproduces the
-    * components with a recursive min-label-over-reachability CTE on
-    * the same edges. */
-  def dupClusters(t: Tables, maxRounds: Int = 25): DataFrame =
-    connectedComponents(
-      simhashPairsRaw(t).select(col("d1").as("s"), col("d2").as("d")),
-      maxRounds)
+    * neighborhood (one join + one min-groupBy) plus a pointer jump,
+    * converging in O(log diameter) rounds with a driver-side fixpoint
+    * check bounding the loop. */
+  def dupClusters(t: Tables, maxRounds: Int = 25): DataFrame = {
+    val sims = simhashDf(t.documents).persist(StorageLevel.MEMORY_AND_DISK)
+    val groups = sims.groupBy("sim").agg(min("doc_id").as("rep"))
+    val memberEdges = sims.join(groups, "sim")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("s"), col("rep").as("d"))
+    val repPairs = simhashPairsFromSims(
+      groups.select(col("rep").as("doc_id"), col("sim")))
+    val edges = memberEdges.unionByName(
+      repPairs.select(col("d1").as("s"), col("d2").as("d")))
+    val labels = connectedComponents(edges, maxRounds)
       .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("is_rep", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
+    // connectedComponents is eager (it counts, then either collects or
+    // checkpoints) — nothing downstream re-reads sims, release now
+    sims.unpersist(false)
+    labels
+  }
 
   /** Connected components over undirected edges given as (s, d) rows
     * (one direction suffices). Output: (v, lbl) with lbl = min node id
