@@ -586,15 +586,7 @@ object TextQueries {
     * check bounding the loop. */
   def dupClusters(t: Tables, maxRounds: Int = 25): DataFrame = {
     val sims = simhashDf(t.documents).persist(StorageLevel.MEMORY_AND_DISK)
-    val groups = sims.groupBy("sim").agg(min("doc_id").as("rep"))
-    val memberEdges = sims.join(groups, "sim")
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("doc_id").as("s"), col("rep").as("d"))
-    val repPairs = simhashPairsFromSims(
-      groups.select(col("rep").as("doc_id"), col("sim")))
-    val edges = memberEdges.unionByName(
-      repPairs.select(col("d1").as("s"), col("d2").as("d")))
-    val labels = connectedComponents(edges, maxRounds)
+    val labels = connectedComponents(dupEdges(sims), maxRounds)
       .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("is_rep", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
@@ -602,6 +594,22 @@ object TextQueries {
     // checkpoints) — nothing downstream re-reads sims, release now
     sims.unpersist(false)
     labels
+  }
+
+  /** The collapsed x21 edge list over a `(doc_id, sim)` table: a
+    * member→representative star per distinct fingerprint (linear in
+    * the corpus) plus the banded ham≤6 rep–rep pairs. Public so soak
+    * harnesses can dump the exact edges [[dupClusters]] ran CC over
+    * and verify the labels with an independent union-find. */
+  def dupEdges(sims: DataFrame): DataFrame = {
+    val groups = sims.groupBy("sim").agg(min("doc_id").as("rep"))
+    val memberEdges = sims.join(groups, "sim")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("s"), col("rep").as("d"))
+    val repPairs = simhashPairsFromSims(
+      groups.select(col("rep").as("doc_id"), col("sim")))
+    memberEdges.unionByName(
+      repPairs.select(col("d1").as("s"), col("d2").as("d")))
   }
 
   /** Connected components over undirected edges given as (s, d) rows
