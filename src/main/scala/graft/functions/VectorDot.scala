@@ -218,6 +218,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_simhash expects exactly 1 argument, got ${other.length}")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => children match {
+        case Seq(k, f) => BloomContains(k, f)
+        case other => throw new IllegalArgumentException(
+          s"graft_bloom_contains expects exactly 2 arguments, got ${other.length}")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_band_keys"),
       new ExpressionInfo(classOf[BandKeys].getName, "graft_band_keys"),
       (children: Seq[Expression]) => children match {

@@ -349,6 +349,56 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** x33 gate threshold — like [[NearDupGateThreshold]], set low
+    * enough that the synthetic embeddings (max pairwise cosine ≈ 0.51)
+    * produce a non-trivial dup set; real corpora use ~0.95+. */
+  private[operators] val SemDedupGateThreshold = 0.30
+
+  /** x33 semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then
+    * search for near-duplicates only WITHIN each cluster — the
+    * published recipe that turns the O(n²) embedding-dedup problem
+    * into Σ|cell|², with cluster count the scale knob (cells sized to
+    * a bounded pairwise budget; SemDeDup itself uses ~10⁵ clusters at
+    * web-corpus scale, keeping E|cell| in the hundreds).
+    *
+    * Deterministic keep-rule, no transitive closure: a vector is a
+    * duplicate iff some LOWER-id vector in its cell has cosine ≥
+    * `threshold` against it (first-id-wins, the same survivor
+    * convention as x23). `prior_cos` reports the best such cosine
+    * (null for a cell's first/only member). The pairwise max compares
+    * exact doubles — order-independent — so the gate hash is immune to
+    * aggregation order.
+    *
+    * Scale shape: one `trainAndAssign` pass (bounded-sample quantizer,
+    * argmax assignment against literal centroids), then a self-join
+    * keyed on `cell`. At gate nlist=16 the cell key is coarse; at
+    * production cluster counts the join key has ~10⁵ values and the
+    * per-cell pairwise work is the bounded budget by construction —
+    * a hot cell (skewed cluster) is the one operational watch item,
+    * SemDeDup's own caveat. */
+  def semanticDedup(t: Tables, threshold: Double = SemDedupGateThreshold,
+                    nlist: Int = GateNlist, seed: Long = GateSeed,
+                    maxTrain: Int = GateMaxTrain): DataFrame = {
+    val (assigned, _) = trainAndAssign(t, nlist, seed, maxTrain)
+    val x = assigned.select(col("cell"), col("vec_id").as("u"),
+      col("embedding").as("ue"))
+    val y = assigned.select(col("cell"), col("vec_id").as("v"),
+      col("embedding").as("ve"))
+    val cos = dotCols(col("ue"), col("ve")) /
+      (sqrt(dotCols(col("ue"), col("ue"))) * sqrt(dotCols(col("ve"), col("ve"))))
+    val best = x.join(y, "cell")
+      .filter(col("u") < col("v"))
+      .select(col("v").as("vec_id"), cos.as("c"))
+      .groupBy("vec_id").agg(max("c").as("mc"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        round(col("mc"), 6).as("prior_cos"),
+        coalesce(col("mc") >= threshold, lit(false)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   /** name → query, in declared order. The near-dup threshold is wired
     * at 0.15 for the gate: the synthetic embeddings have no true
     * near-dups (max pairwise cosine ≈ 0.51 at sf0.01), and a gate query
@@ -358,6 +408,7 @@ object Similarity {
     "x09_cosineneardup" -> (t => cosineNearDup(t, threshold = NearDupGateThreshold)),
     "x14_ivf_topk" -> (t => ivfTopK(t)), // oracle generated post-run from the trained quantizer
     "x17_kmeans_cells" -> (t => kmeansCells(t)), // same generated-oracle pattern
+    "x33_semantic_dedup" -> (t => semanticDedup(t)), // same generated-oracle pattern
   )
 
   /** DuckDB double cosine between two list columns — the exact probe
@@ -455,6 +506,16 @@ object Similarity {
       WITH ${assignCtes(cs)}
       SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n,
         MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
-      FROM a GROUP BY cell ORDER BY cell""").toMap
+      FROM a GROUP BY cell ORDER BY cell""").toMap ++
+      gate.map(cs => "x33_semantic_dedup" -> s"""
+      WITH ${assignCtes(cs)},
+      p AS (SELECT y.vec_id AS v, ${cosSql("x.embedding", "y.embedding")} AS c
+            FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+      m AS (SELECT v, MAX(c) AS mc FROM p GROUP BY v)
+      SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+        ROUND(m.mc, 6) AS prior_cos,
+        COALESCE(m.mc >= $SemDedupGateThreshold, FALSE) AS is_dup
+      FROM a LEFT JOIN m ON m.v = a.vec_id
+      ORDER BY a.vec_id""").toMap
   }
 }

@@ -814,6 +814,104 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** x31 Bloom-prefiltered decontamination — x26's EXACT output on the
+    * scale path for eval suites whose distinct-shingle set outgrows a
+    * broadcast hash relation (multi-benchmark suites at 100 TB corpus
+    * scale). Three-phase:
+    *   1. the bench shingle set builds a Bloom filter DISTRIBUTEDLY
+    *      (`df.stat.bloomFilter`'s treeAggregate — ~1.2 bytes/key at
+    *      1% FPP vs ~32+/key for a broadcast hashed relation);
+    *   2. corpus shingles probe the filter via the codegen'd
+    *      [[graft.functions.BloomContains]] — a per-row bit test that
+    *      drops ~(1−FPP) of clean shingles before any join;
+    *   3. survivors (true hits + ~FPP false positives) are verified
+    *      EXACTLY by a shuffle hash join against the bench set —
+    *      deliberately NOT broadcast: this join is the path that still
+    *      works when the bench side doesn't fit an executor, and after
+    *      the Bloom cut its probe side is a sliver of the corpus.
+    * False positives die in phase 3, false negatives don't exist, so
+    * the result is row-identical to [[decontaminate]] — the two gates
+    * share one oracle. Without the session extensions the prefilter
+    * is skipped (phase 3 alone is already exact), so results cannot
+    * depend on session wiring. */
+  def bloomDecontaminate(t: Tables, mod: Int = DecontamMod,
+                         fpp: Double = 0.01): DataFrame =
+    bloomDecontaminateFrom(withToks(t.documents), mod, fpp)
+
+  private def bloomDecontaminateFrom(td: DataFrame, mod: Int,
+                                     fpp: Double): DataFrame = {
+    val sh = hashedShinglesFrom(td)
+    val bench = sh.filter(col("doc_id") % mod === 0).select("hs").distinct()
+    val corpus = sh.filter(col("doc_id") % mod =!= 0)
+    val prefiltered =
+      if (graft.functions.GraftExtensions.active) {
+        // two bounded-side jobs (count + treeAggregate build); the
+        // corpus never moves for either
+        val nBench = math.max(bench.count(), 1L)
+        val bf = bench.stat.bloomFilter("hs", nBench, fpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        corpus.filter(
+          call_function("graft_bloom_contains", col("hs"), lit(bos.toByteArray)))
+      } else corpus
+    val hits = prefiltered
+      .join(bench.hint("shuffle_hash"), "hs")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    td.filter(col("doc_id") % mod =!= 0)
+      .select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Gate constants for x32 — interpolated into both sides, as with
+    * x26/x27/x28. Terms are mid-frequency words of the fixture
+    * vocabulary; k1/b are the standard Robertson defaults. */
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Terms = Seq("spark", "window", "merge")
+  private val Bm25TopK = 30
+
+  /** x32 BM25 top-k retrieval (Robertson/Spärck Jones; the Lucene
+    * `ln(1 + (N − df + ½)/(df + ½))` idf form) — the classic
+    * quality-weighted lexical scorer a training-data pipeline uses for
+    * targeted corpus slicing ("the documents most about X").
+    *
+    * Scale shape: the query-term filter lands directly on the exploded
+    * token stream, so the full corpus contributes one narrow
+    * tokenize+filter pass; `df` (≤ |terms| rows) and the N/avgdl
+    * scalar frame are broadcast; per-doc length joins on `doc_id`.
+    * The only wide ops are the tf/dl aggregations (map-side combined,
+    * keyed on doc_id) and the final TakeOrdered top-k — no global
+    * window, no corpus-×-corpus work. Ordering (and the tie-break) is
+    * on the ROUNDED score + doc_id so ranking is engine-exact. */
+  def bm25TopK(t: Tables): DataFrame = {
+    val td = withToks(t.documents).select(col("doc_id"), col("toks"))
+    val dl = td.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = td
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) +
+            (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))).as("c"))
+    contrib
+      .groupBy("doc_id").agg(round(sum("c"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
   /** x27 cross-document boilerplate fraction — the CCNet/Gopher
     * duplicated-line-fraction signal re-expressed for unstructured
     * docs: per document, the fraction of its distinct 3-gram shingles
@@ -988,6 +1086,8 @@ object TextQueries {
     "x28_budget_fill" -> (t => budgetFill(t)),
     "x29_pack_sequences" -> (t => packSequences(t)),
     "x30_curation_pipeline" -> (t => curationPipeline(t)),
+    "x31_bloom_decontaminate" -> (t => bloomDecontaminate(t)),
+    "x32_bm25_topk" -> bm25TopK _,
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -1353,5 +1453,37 @@ object TextQueries {
       LEFT JOIN hits h ON h.doc_id = b.doc_id
       LEFT JOIN boiler bo ON bo.doc_id = b.doc_id
       ORDER BY b.doc_id""",
+    // x31 is row-identical to x26 by construction (the Bloom prefilter
+    // only reorders work; the exact verify join decides membership) —
+    // the oracle is deliberately the SAME text, so any drift between
+    // the two Spark paths fails the gate, not the oracle
+    "x31_bloom_decontaminate" -> s"""
+      WITH $hashedShingleCtes,
+      bench AS (SELECT DISTINCT hs FROM sh WHERE doc_id % $DecontamMod = 0),
+      hits AS (SELECT sh.doc_id, COUNT(*) AS n_hits
+               FROM sh JOIN bench b ON b.hs = sh.hs
+               WHERE sh.doc_id % $DecontamMod <> 0 GROUP BY sh.doc_id)
+      SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        COALESCE(h.n_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      WHERE d.doc_id % $DecontamMod <> 0
+      ORDER BY d.doc_id""",
+    "x32_bm25_topk" -> s"""
+      WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      stats AS (SELECT COUNT(*) AS n_docs, AVG(len(tk)) AS avgdl FROM t),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+             FROM (SELECT doc_id, unnest(tk) AS tok FROM t)
+             WHERE tok IN (${Bm25Terms.map(w => s"'$w'").mkString(", ")})
+             GROUP BY doc_id, tok),
+      df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t),
+      c AS (SELECT tf.doc_id,
+              ln(1.0 + (CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+                (tf.tf * ($Bm25K1 + 1.0)) /
+                (tf.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl.dl / s.avgdl)) AS c
+            FROM tf JOIN df ON df.tok = tf.tok
+            JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s)
+      SELECT doc_id, ROUND(SUM(c), 6) AS bm25 FROM c GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""",
   )
 }

@@ -71,4 +71,76 @@ class Round8Spec extends SparkSpec {
     assert(pairs >= 180, s"pair list $pairs")
     assert(edges <= 50, s"collapsed edges $edges not linear")
   }
+
+  // ---- round-8 additions: x31 / x32 / x33 --------------------------------
+
+  test("x31 bloom path is row-identical to x26 and plans bloom prefilter + shuffle verify") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val exact = TextQueries.decontaminate(t).collect().toSeq
+    val viaBloom = TextQueries.bloomDecontaminate(t)
+    assert(viaBloom.collect().toSeq == exact)
+    val plan = viaBloom.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_contains"),
+      "bloom prefilter missing from the physical plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      "exact verify join must stay a shuffle join (the non-broadcastable-bench path)")
+  }
+
+  test("x31 false positives die in the exact verify even at a sieve-like fpp") {
+    // fpp 0.5: roughly half the clean shingles survive the prefilter —
+    // the verify join must still produce the exact x26 answer
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val exact = TextQueries.decontaminate(t).collect().toSeq
+    assert(TextQueries.bloomDecontaminate(t, fpp = 0.5).collect().toSeq == exact)
+  }
+
+  test("x32 bm25 matches a hand-computed score and plans a TakeOrdered top-k") {
+    // 3 docs, query terms 'spark' and 'window' (from the gate set)
+    val dir = Files.createTempDirectory("r8bm25").toString
+    val docs = Seq(
+      (0L, "spark spark window alpha beta"),   // tf(spark)=2 tf(window)=1 dl=5
+      (1L, "spark gamma delta eps zeta eta"),  // tf(spark)=1 dl=6
+      (2L, "alpha beta gamma delta"))          // no query terms, dl=4
+      .map { case (id, tx) => (id, tx, "en", "s0", tx.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.bm25TopK(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def idf(df: Int) = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    val avgdl = 5.0 // (5 + 6 + 4) / 3
+    def term(tf: Long, dl: Long, df: Int) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val exp0 = BigDecimal(term(2, 5, 2) + term(1, 5, 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp1 = BigDecimal(term(1, 6, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(0L, 1L), s"docs without query terms must not score: $got")
+    assert(math.abs(got(0L) - exp0) < 2e-6 && math.abs(got(1L) - exp1) < 2e-6,
+      s"got $got expected ($exp0, $exp1)")
+    val plan = TextQueries.bm25TopK(Tables(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered, not sort+window")
+  }
+
+  test("x33 flags exactly the planted later-id twins, first-id survives") {
+    val dir = Files.createTempDirectory("r8sem").toString
+    val dim = 16
+    def oneHot(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (j == i % dim) 1.0f else 0.0f)
+    // 12 orthogonal base vectors (ids 0..11) + an identical twin of
+    // each (ids 100..111): twins land in the base's cell whatever the
+    // quantizer does, bases are pairwise cos=0 < threshold
+    val rows = (0 until 12).map(i => (i.toLong, oneHot(i), "base")) ++
+      (0 until 12).map(i => ((100 + i).toLong, oneHot(i), "twin"))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.semanticDedup(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toList
+    val dups = got.filter(_._2).map(_._1).toSet
+    assert(dups == (100L until 112L).toSet,
+      s"expected exactly the twins flagged, got $dups")
+    got.filter(_._2).foreach { case (id, _, pc) =>
+      assert(math.abs(pc - 1.0) < 1e-9, s"twin $id prior_cos $pc != 1") }
+  }
 }
