@@ -912,6 +912,150 @@ object TextQueries {
       .limit(Bm25TopK)
   }
 
+  // ---- x34 PII redaction -------------------------------------------------
+
+  /** Regex patterns for x34, shared verbatim with the DuckDB oracle
+    * (both engines' dialects — Java regex and RE2 — agree on this
+    * subset: char classes, bounded/unbounded repetition, `\b`). */
+  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val PiiIpRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+  /** x34 PII redaction — the scrub pass every training-data pipeline
+    * runs before text leaves curation (emails, phone numbers, IPv4
+    * addresses → typed placeholders), with per-doc match counts for
+    * the redaction audit log.
+    *
+    * The fixture corpus is synthetic token soup with no natural PII,
+    * so the gate plants deterministic PII derived from `doc_id` (an
+    * email, a phone, an IP appended to every doc — the SAME injection
+    * expression runs in the oracle), then counts and redacts it. The
+    * redacted text is reported as `red_md5` so the gate hashes full
+    * post-redaction content without shipping 60k long strings.
+    *
+    * Scale shape: pure per-row projection — counts via
+    * `regexp_extract_all` + size, redaction via three chained
+    * `regexp_replace` — one narrow scan, zero shuffles, fully inside
+    * whole-stage codegen. */
+  def piiRedact(t: Tables): DataFrame = {
+    val injected = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com call 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), (col("doc_id") % 100).cast("string"), lit(" end"))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(injected, PiiEmailRe, "<EMAIL>"),
+        PiiPhoneRe, "<PHONE>"),
+      PiiIpRe, "<IP>")
+    t.documents.select(
+        col("doc_id"),
+        size(regexp_extract_all(injected, lit(PiiEmailRe), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(injected, lit(PiiPhoneRe), lit(0)))
+          .cast("long").as("n_phone"),
+        size(regexp_extract_all(injected, lit(PiiIpRe), lit(0)))
+          .cast("long").as("n_ip"),
+        md5(redacted).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
+  // ---- x35 chunk-level dedup ---------------------------------------------
+
+  /** Chunk width for x35 (tokens per chunk). */
+  private val ChunkTokens = 20
+
+  /** x35 chunk-level (paragraph-analog) exact dedup — the C4/RefinedWeb
+    * span-dedup move: documents are split into fixed 20-token chunks,
+    * each chunk is deduplicated GLOBALLY (first occurrence by
+    * (doc_id, chunk index) wins), and every document is reassembled
+    * from its surviving chunks. Catches the cross-document repeated
+    * span (license headers, navigation text, quoted passages) that
+    * whole-document dedup (x01) and near-dup (x13) both miss.
+    *
+    * Scale shape: identical to x01 but at chunk grain — one window
+    * PARTITIONED BY the chunk text (the 100 TB-safe key: partitions
+    * are per-chunk occurrence lists, never a global order), then one
+    * map-side-combined per-doc reassembly. Chunk volume is corpus
+    * volume; nothing pairwise. */
+  def chunkDedup(t: Tables, c: Int = ChunkTokens): DataFrame = {
+    val td = withToks(t.documents)
+    val nChunks = ceil(size(col("toks")) / lit(c.toDouble)).cast("int")
+    val chunkArr = when(size(col("toks")) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(col("toks"), i * c + 1, lit(c)), " ")))
+    val chunks = td.select(col("doc_id"), posexplode(chunkArr).as(Seq("idx", "chunk")))
+    val ranked = chunks.withColumn("rnk",
+      row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "idx")))
+    ranked
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("rnk") === 1, struct(col("idx"), col("chunk"))))),
+            x => x.getField("chunk")),
+          " ")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  // ---- x36 DSIR importance weights ---------------------------------------
+
+  /** Hashed-feature bucket count and target slice for x36. */
+  private val DsirBuckets = 4096L
+  private val DsirTarget = "src0"
+
+  /** x36 DSIR importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023):
+    * per-document log importance weight log p_target(doc) −
+    * log p_raw(doc) under hashed-bigram bag-of-ngrams models with
+    * add-1 smoothing over `DsirBuckets` buckets. The target
+    * distribution is the `source = src0` slice; every non-target doc
+    * gets the weight its bigrams earn — the score a pipeline feeds
+    * into Gumbel-top-k resampling to tilt a raw crawl toward a
+    * high-quality target domain.
+    *
+    * Scale shape: the two bucket tables are ≤ `DsirBuckets` rows
+    * REGARDLESS of corpus size (map-side-combined counts on a
+    * 4096-value key), the log-ratio table is broadcast back onto the
+    * per-(doc, bucket) counts, and the per-doc weight is one more
+    * map-side-combined aggregation — strictly linear passes, model
+    * state O(buckets), nothing driver-side. */
+  def dsirWeights(t: Tables): DataFrame = {
+    val td = withToks(t.documents)
+    val docBucket = td
+      .select(col("doc_id"), col("source"),
+        explode(wordShingles(col("toks"), 2)).as("s"))
+      .select(col("doc_id"), col("source"),
+        (hash60(col("s")) % DsirBuckets).as("b"))
+      .groupBy("doc_id", "source", "b")
+      .agg(count(lit(1)).as("cnt"))
+    val tgt = docBucket.filter(col("source") === DsirTarget)
+      .groupBy("b").agg(sum("cnt").as("ct"))
+    val raw = docBucket.filter(col("source") =!= DsirTarget)
+      .groupBy("b").agg(sum("cnt").as("cr"))
+    val tot = tgt.agg(coalesce(sum("ct"), lit(0L)).as("tt"))
+      .crossJoin(raw.agg(coalesce(sum("cr"), lit(0L)).as("tr")))
+    val lr = tgt.join(raw, Seq("b"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+             (col("tt") + lit(DsirBuckets.toDouble))) -
+         log((coalesce(col("cr"), lit(0L)) + lit(1.0)) /
+             (col("tr") + lit(DsirBuckets.toDouble)))).as("lr"))
+    docBucket.filter(col("source") =!= DsirTarget)
+      .join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"),
+        round(sum(col("cnt") * col("lr")), 6).as("dsir_w"))
+      .orderBy("doc_id")
+  }
+
   /** x27 cross-document boilerplate fraction — the CCNet/Gopher
     * duplicated-line-fraction signal re-expressed for unstructured
     * docs: per document, the fraction of its distinct 3-gram shingles
@@ -1088,6 +1232,9 @@ object TextQueries {
     "x30_curation_pipeline" -> (t => curationPipeline(t)),
     "x31_bloom_decontaminate" -> (t => bloomDecontaminate(t)),
     "x32_bm25_topk" -> bm25TopK _,
+    "x34_pii_redact" -> piiRedact _,
+    "x35_chunk_dedup" -> (t => chunkDedup(t)),
+    "x36_dsir_weights" -> dsirWeights _,
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -1485,5 +1632,65 @@ object TextQueries {
             JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s)
       SELECT doc_id, ROUND(SUM(c), 6) AS bm25 FROM c GROUP BY doc_id
       ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""",
+    // x34: the injection expression is interpolated from the SAME
+    // Scala constants as the Spark plan; patterns sit in the shared
+    // Java-regex/RE2 dialect subset
+    "x34_pii_redact" -> s"""
+      WITH inj AS (SELECT doc_id,
+          text || ' contact user' || doc_id ||
+          '@mail.example.com call 555-' ||
+          lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+          ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ||
+          ' end' AS t2
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t2, '$PiiEmailRe')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(t2, '$PiiPhoneRe')) AS BIGINT) AS n_phone,
+        CAST(len(regexp_extract_all(t2, '$PiiIpRe')) AS BIGINT) AS n_ip,
+        md5(regexp_replace(regexp_replace(regexp_replace(t2,
+          '$PiiEmailRe', '<EMAIL>', 'g'),
+          '$PiiPhoneRe', '<PHONE>', 'g'),
+          '$PiiIpRe', '<IP>', 'g')) AS red_md5
+      FROM inj ORDER BY doc_id""",
+    "x35_chunk_dedup" -> s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      ch AS (SELECT doc_id, i AS idx,
+               array_to_string(list_slice(tk, i * $ChunkTokens + 1, i * $ChunkTokens + $ChunkTokens), ' ') AS chunk
+             FROM (SELECT doc_id, tk,
+                     unnest(range(0, CAST(ceil(len(tk) / $ChunkTokens.0) AS INT))) AS i
+                   FROM toks)),
+      rk AS (SELECT doc_id, idx, chunk,
+               ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rnk
+             FROM ch)
+      SELECT doc_id,
+        COUNT(*) AS n_chunks,
+        COUNT(*) FILTER (WHERE rnk = 1) AS n_kept,
+        md5(COALESCE(string_agg(chunk, ' ' ORDER BY idx)
+              FILTER (WHERE rnk = 1), '')) AS clean_md5
+      FROM rk GROUP BY doc_id ORDER BY doc_id""",
+    "x36_dsir_weights" -> s"""
+      WITH toks AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+      bg AS (SELECT doc_id, source,
+               CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $DsirBuckets AS b
+             FROM (SELECT doc_id, source,
+                     unnest(CASE WHEN len(tk) >= 2
+                       THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+                       ELSE [] END) AS s
+                   FROM toks)),
+      db AS (SELECT doc_id, source, b, COUNT(*) AS cnt FROM bg GROUP BY ALL),
+      tgt AS (SELECT b, SUM(cnt) AS ct FROM db WHERE source = '$DsirTarget' GROUP BY b),
+      raw AS (SELECT b, SUM(cnt) AS cr FROM db WHERE source <> '$DsirTarget' GROUP BY b),
+      tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS tt,
+                     (SELECT COALESCE(SUM(cr), 0) FROM raw) AS tr),
+      lr AS (SELECT COALESCE(t.b, r.b) AS b,
+               ln((COALESCE(t.ct, 0) + 1.0) / (tt + $DsirBuckets.0)) -
+               ln((COALESCE(r.cr, 0) + 1.0) / (tr + $DsirBuckets.0)) AS lr
+             FROM tgt t FULL JOIN raw r ON t.b = r.b CROSS JOIN tot)
+      SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
+        ROUND(SUM(d.cnt * lr.lr), 6) AS dsir_w
+      FROM db d JOIN lr ON lr.b = d.b
+      WHERE d.source <> '$DsirTarget'
+      GROUP BY d.doc_id ORDER BY d.doc_id""",
   )
 }
