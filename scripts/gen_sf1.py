@@ -122,7 +122,22 @@ if want("embeddings"):
         t = shifted(emb, {"vec_id": pc.max(emb.column("vec_id")).as_py() + 1}, i)
         if i > 0:
             rot = (7 * i) % dim
+            # rotations alone cycle with period dim (gcd(7, dim)=1):
+            # copy dim is copy 0 again. Past one full rotation block,
+            # overlay a deterministic per-block sign flip (norms
+            # preserved, random-vector correlation ~0) so e.g. a
+            # 500-copy 1M-vector ANN soak has no exact-duplicate
+            # copies. Blocks < 1 (i < dim) keep the historical output
+            # byte-identical (sf1/sf10 soak fixtures reproduce).
+            blk = i // dim
+            signs = None
+            if blk:
+                rnd = random.Random(1234 + blk)
+                signs = [1.0 if rnd.random() < 0.5 else -1.0
+                         for _ in range(dim)]
             vecs = [v[rot:] + v[:rot] for v in t.column("embedding").to_pylist()]
+            if signs:
+                vecs = [[x * s for x, s in zip(v, signs)] for v in vecs]
             t = t.set_column(t.column_names.index("embedding"), "embedding",
                              pa.array(vecs, type=emb.schema.field("embedding").type))
         parts.append(t)
