@@ -291,7 +291,9 @@ object Similarity {
     val scoreArr = array(centroids.map { c =>
       dotCols(col("embedding"), lit(c)) * 2.0 - lit(c.map(x => x * x).sum)
     }: _*)
-    val assigned = t.embeddings
+    // centroid argmax is nlist x dim multiplies per vector — the
+    // amplifying step a single-split scan would serialize
+    val assigned = graft.core.Fanout.widen(t.embeddings)
       .withColumn("__s", scoreArr)
       .withColumn("cell",
         (array_position(col("__s"), array_max(col("__s"))) - 1).cast("int"))

@@ -71,7 +71,7 @@ object TextQueries {
 
   /** x02 per-document stats: length / token counts / punctuation. */
   def textStats(t: Tables): DataFrame =
-    t.documents
+    graft.core.Fanout.widen(t.documents)
       .withColumn("toks", tokens(col("text")))
       .select(
         col("doc_id"),
@@ -163,7 +163,7 @@ object TextQueries {
   /** Distinct (doc_id, folded shingle hash) pairs — shared by the
     * MinHash signature and LSH pair queries. */
   private def shingleHashes(t: Tables): DataFrame =
-    shingleHashesFrom(withToks(t.documents))
+    shingleHashesFrom(withToks(graft.core.Fanout.widen(t.documents)))
 
   private def shingleHashesFrom(td: DataFrame): DataFrame =
     td
@@ -199,7 +199,8 @@ object TextQueries {
     * both join sides (ReusedExchange in the plan). At cluster scale
     * the join shuffles on a short string key; skewed mega-buckets are
     * handled by AQE skew splitting. */
-  def lshPairs(t: Tables): DataFrame = lshPairsFrom(withToks(t.documents))
+  def lshPairs(t: Tables): DataFrame =
+    lshPairsFrom(withToks(graft.core.Fanout.widen(t.documents)))
 
   private def lshPairsFrom(td: DataFrame): DataFrame = {
     // ONE distinct hashed-shingle table feeds the signature aggregation
@@ -378,7 +379,8 @@ object TextQueries {
     * (tagged union before the explode); the two groupBys are map-side
     * combinable, so the shape is the wordcount shuffle — linear at
     * corpus scale. Docs too short for an n-gram get NULLs. */
-  def repetition(t: Tables): DataFrame = repetitionFrom(withToks(t.documents))
+  def repetition(t: Tables): DataFrame =
+    repetitionFrom(withToks(graft.core.Fanout.widen(t.documents)))
 
   private def repetitionFrom(td: DataFrame): DataFrame =
     if (graft.functions.GraftExtensions.active) {
@@ -950,7 +952,7 @@ object TextQueries {
         regexp_replace(injected, PiiEmailRe, "<EMAIL>"),
         PiiPhoneRe, "<PHONE>"),
       PiiIpRe, "<IP>")
-    t.documents.select(
+    graft.core.Fanout.widen(t.documents).select(
         col("doc_id"),
         size(regexp_extract_all(injected, lit(PiiEmailRe), lit(0)))
           .cast("long").as("n_email"),
@@ -1027,7 +1029,12 @@ object TextQueries {
     * map-side-combined aggregation — strictly linear passes, model
     * state O(buckets), nothing driver-side. */
   def dsirWeights(t: Tables): DataFrame = {
-    val td = withToks(t.documents)
+    val td = withToks(graft.core.Fanout.widen(t.documents))
+    // per-(doc, bucket) occurrence counts: the one expensive pass
+    // (tokenize + bigram explode + hash). Persisted because BOTH the
+    // model fit (bucket marginals) and the scoring join consume it —
+    // without the persist each consumer re-tokenizes the corpus;
+    // released after the first materialization like x19/x30.
     val docBucket = td
       .select(col("doc_id"), col("source"),
         explode(wordShingles(col("toks"), 2)).as("s"))
@@ -1035,25 +1042,29 @@ object TextQueries {
         (hash60(col("s")) % DsirBuckets).as("b"))
       .groupBy("doc_id", "source", "b")
       .agg(count(lit(1)).as("cnt"))
-    val tgt = docBucket.filter(col("source") === DsirTarget)
-      .groupBy("b").agg(sum("cnt").as("ct"))
-    val raw = docBucket.filter(col("source") =!= DsirTarget)
-      .groupBy("b").agg(sum("cnt").as("cr"))
-    val tot = tgt.agg(coalesce(sum("ct"), lit(0L)).as("tt"))
-      .crossJoin(raw.agg(coalesce(sum("cr"), lit(0L)).as("tr")))
-    val lr = tgt.join(raw, Seq("b"), "full_outer")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // both marginals in ONE pass over the bucketed counts (conditional
+    // sums ≡ the filtered aggregates: a bucket row exists iff either
+    // side saw it, exactly the full-outer-join domain), and the totals
+    // from the ≤`DsirBuckets`-row table itself rather than re-scanning
+    val buckets = docBucket.groupBy("b").agg(
+      sum(when(col("source") === DsirTarget, col("cnt")).otherwise(0L)).as("ct"),
+      sum(when(col("source") =!= DsirTarget, col("cnt")).otherwise(0L)).as("cr"))
+    val tot = buckets.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val lr = buckets
       .crossJoin(broadcast(tot))
       .select(col("b"),
-        (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+        (log((col("ct") + lit(1.0)) /
              (col("tt") + lit(DsirBuckets.toDouble))) -
-         log((coalesce(col("cr"), lit(0L)) + lit(1.0)) /
+         log((col("cr") + lit(1.0)) /
              (col("tr") + lit(DsirBuckets.toDouble)))).as("lr"))
-    docBucket.filter(col("source") =!= DsirTarget)
+    val out = docBucket.filter(col("source") =!= DsirTarget)
       .join(broadcast(lr), "b")
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_bigrams"),
         round(sum(col("cnt") * col("lr")), 6).as("dsir_w"))
       .orderBy("doc_id")
+    unpersistAfterFirstUse(out, docBucket)
   }
 
   /** x27 cross-document boilerplate fraction — the CCNet/Gopher
