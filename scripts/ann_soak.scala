@@ -51,17 +51,23 @@ println("quarter=" + tq.embeddings.count())
 
 // --- x09 banded near-dup: candidate volume (threshold = -1 keeps every
 // verified candidate, so the row count IS the post-distinct candidate
-// volume) and the production-threshold output, at 250k and 1M ---
-val cand250 = time("x09_candidates_250k") {
-  Similarity.cosineNearDup(tq, threshold = -1.0).count()
+// volume). Leg 1 of this soak measured the GATE banding (4x16) at
+// 250k/1M: 3.7e6 -> 6.0e7 candidates, 15.96x for 4x vectors — the
+// 2^16 band space saturates (avg bucket 1M/65536 ≈ 15, Σ C(bucket,2)
+// quadratic). The fix is the width knob: 4x24-bit bands (2^24
+// buckets/band) keep expected candidates ≈ 4·C(n,2)/2^24 — linear
+// through ~10^7 vectors, with 4x32 the next decade's setting. Both
+// widths measured here. ---
+val cand250w = time("x09_cand_250k_4x24") {
+  Similarity.cosineNearDup(tq, threshold = -1.0, bandBits = 24).count()
 }
-val cand1m = time("x09_candidates_1m") {
-  Similarity.cosineNearDup(t, threshold = -1.0).count()
+val cand1mw = time("x09_cand_1m_4x24") {
+  Similarity.cosineNearDup(t, threshold = -1.0, bandBits = 24).count()
 }
-println(f"x09 candidate growth for 4x vectors: ${cand1m.toDouble / cand250}%.2fx" +
-  f" (near-linear=4x, quadratic=16x); per-vector ${cand1m / 1e6}%.2f")
-val nd1m = time("x09_neardup_0.9_1m") {
-  Similarity.cosineNearDup(t, threshold = 0.9).count()
+println(f"x09 4x24 candidate growth for 4x vectors: ${cand1mw.toDouble / cand250w}%.2fx" +
+  f" (near-linear=4x); per-vector at 1m: ${cand1mw / 1e6}%.4f")
+val nd1m = time("x09_neardup_0.9_1m_4x24") {
+  Similarity.cosineNearDup(t, threshold = 0.9, bandBits = 24).count()
 }
 println(s"x09 pairs >= 0.9 at 1m: $nd1m")
 

@@ -22,9 +22,12 @@ object Hyperplanes {
     (java.lang.Long.parseLong(hex, 16) % 1000L).toDouble / 500.0 - 1.0
   }
 
-  /** Row j = hyperplane for sign bit j (cached up to 64 bits). */
+  /** Row j = hyperplane for sign bit j (cached up to 128 bits: the
+    * g(i, j) family is unbounded in j, so wider sketches only need
+    * this cache raised — 128 covers 4×32-bit banding, the width that
+    * keeps per-band buckets sparse past 10⁸ vectors). */
   lazy val rows: IndexedSeq[Array[Double]] =
-    (0 until 64).map(j => Array.tabulate(MaxDim)(i => g(i, j)))
+    (0 until 128).map(j => Array.tabulate(MaxDim)(i => g(i, j)))
 }
 
 /** All LSH band keys of an embedding in ONE codegen'd pass: band b's
@@ -37,7 +40,8 @@ object Hyperplanes {
 case class BandKeys(child: Expression, numBands: Int, bandBits: Int)
     extends UnaryExpression {
 
-  require(numBands * bandBits <= 64, "at most 64 sign bits supported")
+  require(numBands * bandBits <= 128, "at most 128 sign bits supported")
+  require(bandBits <= 63, "a band key must fit a signed long")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>

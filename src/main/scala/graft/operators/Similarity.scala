@@ -70,7 +70,7 @@ object Similarity {
     val queries = t.embeddings
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val scored = t.embeddings
+    val scored = graft.core.Fanout.widen(t.embeddings)
       .join(broadcast(queries), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         cosine("embedding", "qe").as("cos_raw"))
@@ -134,10 +134,10 @@ object Similarity {
            |  0D, (acc, v) -> acc + v)""".stripMargin)
     }
 
-  /** One 16-bit band key: sign bits j ∈ [b·BandBits, (b+1)·BandBits). */
-  private def bandKey(b: Int): Column =
-    (0 until BandBits).map { i =>
-      when(proj(b * BandBits + i) >= 0, lit(1L << i)).otherwise(lit(0L))
+  /** One band key: sign bits j ∈ [b·bits, (b+1)·bits). */
+  private def bandKey(b: Int, bits: Int = BandBits): Column =
+    (0 until bits).map { i =>
+      when(proj(b * bits + i) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Banded LSH candidate pairs: vectors agreeing on ≥1 full band.
@@ -150,17 +150,22 @@ object Similarity {
     * composes [[bandKey]] per band with bit-identical results. Exposed
     * for the scale spec, which asserts candidate count stays
     * near-linear on a synthetic 10× blowup. */
-  private[graft] def bandedCandidates(emb: DataFrame): DataFrame = {
+  private[graft] def bandedCandidates(emb0: DataFrame,
+                                      numBands: Int = NumBands,
+                                      bandBits: Int = BandBits): DataFrame = {
+    // sketching is numBands*bandBits*dim multiplies per vector — widen
+    // an under-split scan before the fan-out (identity at scale)
+    val emb = graft.core.Fanout.widen(emb0)
     val banded = (
       if (graft.functions.GraftExtensions.active)
         emb.select(col("vec_id"), col("embedding"),
           posexplode(call_function("graft_band_keys",
-            col("embedding"), lit(NumBands), lit(BandBits)))
+            col("embedding"), lit(numBands), lit(bandBits)))
             .as(Seq("b", "key")))
       else
         emb.select(col("vec_id"), col("embedding"),
-          explode(array((0 until NumBands).map(b =>
-            struct(lit(b).as("b"), bandKey(b).as("key"))): _*)).as("band"))
+          explode(array((0 until numBands).map(b =>
+            struct(lit(b).as("b"), bandKey(b, bandBits).as("key"))): _*)).as("band"))
           .select(col("vec_id"), col("embedding"),
             col("band.b").as("b"), col("band.key").as("key"))
       )
@@ -180,8 +185,10 @@ object Similarity {
     * near-identical vectors agree on a full band w.h.p., while the
     * 2^16-bucket key space per band keeps every bucket (and hence the
     * Σ bucket² verify cost) bounded. */
-  def cosineNearDup(t: Tables, threshold: Double = 0.9): DataFrame =
-    bandedCandidates(t.embeddings)
+  def cosineNearDup(t: Tables, threshold: Double = 0.9,
+                    numBands: Int = NumBands,
+                    bandBits: Int = BandBits): DataFrame =
+    bandedCandidates(t.embeddings, numBands, bandBits)
       .select(col("v1"), col("v2"), cosine("e1", "e2").as("cos_raw"))
       .filter(col("cos_raw") >= threshold)
       .select(col("v1"), col("v2"), round(col("cos_raw"), 6).as("cos"))
@@ -211,16 +218,28 @@ object Similarity {
       while (i < dim) { val t = a(i) - b(i); s += t * t; i += 1 }
       s
     }
-    // k-means++ seeding
+    // k-means++ seeding with the standard incremental min-distance
+    // update: dists(i) is maintained as the running min over chosen
+    // centers (exact same values as recomputing the min each draw, so
+    // the selected centers are bit-identical), making seeding
+    // O(n·nlist·dim) instead of O(n·nlist²·dim) — at production
+    // quantizer sizes (nlist 10³–10⁵) the quadratic form was a
+    // driver-side wall (measured: 25 min at nlist=256/20k samples,
+    // found by the 1M-vector ANN soak)
     val centers = scala.collection.mutable.ArrayBuffer(sample(rng.nextInt(n)))
+    val dists = sample.map(v => d2(v, centers(0)))
     while (centers.length < math.min(nlist, n)) {
-      val dists = sample.map(v => centers.map(c => d2(v, c)).min)
       val total = dists.sum
       if (total <= 0) centers += sample(rng.nextInt(n))
       else {
         var r = rng.nextDouble() * total; var i = 0
         while (i < n - 1 && r > dists(i)) { r -= dists(i); i += 1 }
         centers += sample(i)
+      }
+      val c = centers.last
+      var i = 0
+      while (i < n) {
+        val d = d2(sample(i), c); if (d < dists(i)) dists(i) = d; i += 1
       }
     }
     var cs = centers.toArray
@@ -281,7 +300,7 @@ object Similarity {
     // quantizer trained on a bounded, deterministic (value-hashed)
     // sample — the corpus never iterates, so fit cost is O(maxTrain)
     // regardless of corpus size
-    val sample = t.embeddings
+    val sample = graft.core.Fanout.widen(t.embeddings)
       .orderBy(xxhash64(col("embedding"), lit(seed)), col("vec_id"))
       .limit(maxTrain)
       .select("embedding").collect()

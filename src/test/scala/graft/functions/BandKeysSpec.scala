@@ -37,6 +37,28 @@ class BandKeysSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
   }
 
+  test("wide 4x24-bit banding (96 sign bits) matches the composed form") {
+    // the corpus-scale sketch width (2^24 buckets/band, the knob that
+    // keeps candidate volume linear past 10^6 vectors — SOAK_ann.md)
+    val vecs = (0 until 100).map { v =>
+      (v.toLong, Array.tabulate(64)(d => (math.sin(v * 37 + d * 11) * 2).toFloat))
+    }.toDF("id", "e")
+    val rows = vecs.select(fused(4, 24).as("f"), composed(4, 24).as("c")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
+    // keys genuinely use the high bits (a 16-bit-keyed run would not)
+    val anyHigh = rows.exists(_.getSeq[Long](0).exists(k => (k >> 16) != 0))
+    assert(anyHigh, "no 4x24 key exceeded 16 bits — wide banding inert")
+  }
+
+  test("planted duplicate vectors share all band keys at every width") {
+    val base = Array.tabulate(64)(d => (math.cos(d * 13) * 2).toFloat)
+    val vecs = Seq((1L, base), (2L, base.clone())).toDF("id", "e")
+    for ((nb, bb) <- Seq((4, 16), (4, 24), (4, 32))) {
+      val ks = vecs.select(fused(nb, bb)).collect().map(_.getSeq[Long](0))
+      assert(ks(0) == ks(1), s"dup vectors diverged at ${nb}x$bb")
+    }
+  }
+
   test("interpreted eval matches codegen") {
     val e = BandKeys(
       org.apache.spark.sql.catalyst.expressions.Literal.create(
