@@ -29,6 +29,15 @@ object Fanout {
     * pruning below the added exchange. */
   def widen(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val parts = df.rdd.getNumPartitions
+    // partition count alone lies for a big single-row-group file:
+    // Spark splits it into defaultParallelism byte ranges, but only
+    // the range holding the row-group midpoint carries rows — 31
+    // hollow tasks and one task with the whole corpus (measured: a
+    // 25-minute straggler on a 250 MB one-row-group fixture). Files
+    // are the unit of GUARANTEED scan parallelism, so also widen when
+    // the frame reads fewer files than cores.
+    val files = df.inputFiles.length
+    if (parts < p || (files > 0 && files < p)) df.repartition(p) else df
   }
 }

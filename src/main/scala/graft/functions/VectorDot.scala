@@ -226,6 +226,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_bloom_contains expects exactly 2 arguments, got ${other.length}")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(
+            m: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(ArrayType(DoubleType, _), _))) =>
+          val mat = Array.tabulate(m.numElements())(r => m.getArray(r).toDoubleArray())
+          NearestCentroid(a, mat)
+        case _ => throw new IllegalArgumentException(
+          "graft_nearest_centroid expects (array, centroid-matrix literal)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_band_keys"),
       new ExpressionInfo(classOf[BandKeys].getName, "graft_band_keys"),
       (children: Seq[Expression]) => children match {
