@@ -42,6 +42,12 @@ case class NearestCentroid(child: Expression,
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_nearest_centroid"
 
+  /** Null in → null out, so Catalyst rewrites a join's
+    * `isnotnull(cell)` key filter to `isnotnull(embedding)` instead of
+    * duplicating the whole argmax below the exchange (the composed
+    * fallback's duplicated-filter cost was half the x14 straggler). */
+  override val nullIntolerant: Boolean = true
+
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 

@@ -307,15 +307,30 @@ object Similarity {
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val centroids = trainQuantizer(sample, nlist, iters = 5, seed = seed)
     trainedQuantizers.put(QuantKey(nlist, seed, maxTrain), centroids)
-    val scoreArr = array(centroids.map { c =>
-      dotCols(col("embedding"), lit(c)) * 2.0 - lit(c.map(x => x * x).sum)
-    }: _*)
-    // centroid argmax is nlist x dim multiplies per vector — the
-    // amplifying step a single-split scan would serialize
+    // Centroid argmax is nlist x dim multiplies per vector — the
+    // amplifying step a single-split scan would serialize (hence the
+    // widen). With the extensions the whole argmax is ONE native
+    // expression holding the centroid matrix as a codegen reference
+    // object; the composed per-centroid-literal form grows generated
+    // code linearly in nlist and collapsed to ~11 MFLOP/s at nlist=256
+    // on 1M vectors (ANN soak straggler). Both paths are bit-identical
+    // (same sequential dot, same 2*dot − |c|² score, first max wins).
+    val cellCol =
+      if (graft.functions.GraftExtensions.active)
+        call_function("graft_nearest_centroid", col("embedding"),
+          typedLit(centroids.map(_.toSeq).toSeq))
+      else {
+        val scoreArr = array(centroids.map { c =>
+          dotCols(col("embedding"), lit(c)) * 2.0 - lit(c.map(x => x * x).sum)
+        }: _*)
+        (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
+      }
+    // coalesce marks the join key non-nullable (embeddings are non-null
+    // by contract), so downstream equi-joins on `cell` don't inject an
+    // `isnotnull(cell)` filter that would re-evaluate the whole argmax
+    // a second time below the exchange (observed in the x14 1M plan)
     val assigned = graft.core.Fanout.widen(t.embeddings)
-      .withColumn("__s", scoreArr)
-      .withColumn("cell",
-        (array_position(col("__s"), array_max(col("__s"))) - 1).cast("int"))
+      .withColumn("cell", coalesce(cellCol, lit(-1)))
       .select(col("vec_id"), col("embedding"), col("cell"))
     (assigned, centroids)
   }
