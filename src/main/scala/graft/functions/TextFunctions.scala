@@ -63,6 +63,17 @@ object TextFunctions {
 
   /** Word n-gram shingles of the token array; empty array when the doc
     * has fewer than n tokens (guards Spark's descending `sequence`). */
+  /** Fixed-width token chunks (c tokens each, last chunk partial),
+    * space-joined — the span-dedup grain shared by the batch x35
+    * operator and its streaming form. Empty token lists yield an
+    * empty array (guarding `sequence`'s descending-range behavior). */
+  def wordChunks(toks: Column, c: Int): Column = {
+    val nChunks = ceil(size(toks) / lit(c.toDouble)).cast("int")
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * c + 1, lit(c)), " ")))
+  }
+
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),

@@ -335,6 +335,62 @@ object Similarity {
     (assigned, centroids)
   }
 
+  /** A built IVF index: trained coarse quantizer + the cell-assigned
+    * corpus — the build-once/query-many form of [[ivfTopK]] (which
+    * rebuilds per call, as the oracle gate requires). `assigned` is
+    * persisted by [[buildIvfIndex]]; callers own its release
+    * (`index.release()`). */
+  final case class IvfIndex(assigned: DataFrame,
+                            centroids: Array[Array[Double]]) {
+    def release(): Unit = assigned.unpersist(blocking = false)
+  }
+
+  /** Build the IVF index once: train the bounded-sample quantizer,
+    * assign every corpus vector to its cell, persist the (narrow)
+    * assigned table. Index build is the amortized cost — at 1M x 64
+    * dims it is the ~nlist·dim-per-vector argmax pass (SOAK_ann.md);
+    * every subsequent query batch pays only ~nprobe/nlist of a corpus
+    * scan. */
+  def buildIvfIndex(t: Tables, nlist: Int = GateNlist,
+                    seed: Long = GateSeed,
+                    maxTrain: Int = GateMaxTrain): IvfIndex = {
+    val (assigned, centroids) = trainAndAssign(t, nlist, seed, maxTrain)
+    IvfIndex(
+      assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      centroids)
+  }
+
+  /** Query a built index with an arbitrary (qid, qe) batch: nprobe
+    * nearest cells per query (driver math over the bounded centroid
+    * set), probe map broadcast onto the assigned corpus, exact cosine
+    * on the probed sliver, per-query top-k. Identical output to
+    * [[ivfTopK]] when given its query set. */
+  def ivfQuery(index: IvfIndex, queryDf: DataFrame, k: Int = GateK,
+               nprobe: Int = GateNprobe): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val queries = queryDf.select(col("qid"), col("qe"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = queries.flatMap { case (qid, qe) =>
+      index.centroids.zipWithIndex.map { case (c, ci) =>
+        val d = c.zip(qe).map { case (a, b) => (a - b) * (a - b) }.sum
+        (qid, ci, d)
+      }.sortBy(p => (p._3, p._2)).take(nprobe).map(p => (qid, p._2))
+    }.toSeq.toDF("qid", "cell")
+    val scored = index.assigned
+      .join(broadcast(probes), "cell")
+      .join(broadcast(queryDf.select(col("qid"), col("qe"))), Seq("qid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine("embedding", "qe").as("cos_raw"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("cos_raw").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), round(col("cos_raw"), 6).as("cos"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   def ivfTopK(t: Tables, nQueries: Int = GateNQueries, k: Int = GateK,
               nlist: Int = GateNlist, nprobe: Int = GateNprobe,
               seed: Long = GateSeed,

@@ -984,11 +984,8 @@ object TextQueries {
     * volume; nothing pairwise. */
   def chunkDedup(t: Tables, c: Int = ChunkTokens): DataFrame = {
     val td = withToks(t.documents)
-    val nChunks = ceil(size(col("toks")) / lit(c.toDouble)).cast("int")
-    val chunkArr = when(size(col("toks")) === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), nChunks - 1),
-        i => array_join(slice(col("toks"), i * c + 1, lit(c)), " ")))
-    val chunks = td.select(col("doc_id"), posexplode(chunkArr).as(Seq("idx", "chunk")))
+    val chunks = td.select(col("doc_id"),
+      posexplode(wordChunks(col("toks"), c)).as(Seq("idx", "chunk")))
     val ranked = chunks.withColumn("rnk",
       row_number().over(
         Window.partitionBy("chunk").orderBy("doc_id", "idx")))

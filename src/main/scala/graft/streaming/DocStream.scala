@@ -26,6 +26,32 @@ object DocStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark(Seq("fp"))
 
+  /** Streaming chunk-level (span) dedup — the incremental form of the
+    * batch x35 operator, sharing its [[TextFunctions.wordChunks]]
+    * grain: each document explodes into 20-token chunks; the FIRST
+    * occurrence of a chunk within the watermark horizon survives,
+    * later copies (license headers, boilerplate spans — including ones
+    * inside otherwise-novel documents) are dropped. Output is the
+    * surviving (doc_id, idx, chunk) rows; the consumer reassembles
+    * per-doc text downstream (a second stateful per-doc aggregation
+    * would force its own completeness horizon — the row form keeps
+    * this operator single-state and append-mode).
+    *
+    * State: one row per DISTINCT chunk md5 inside the horizon,
+    * evicted by the watermark — bounded by stream rate x horizon, not
+    * stream length. */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 20,
+                 horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(col("ts"), col("doc_id"),
+        posexplode(TextFunctions.wordChunks(col("toks"), chunkTokens))
+          .as(Seq("idx", "chunk")))
+      .withColumn("ch", md5(col("chunk")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(Seq("ch"))
+      .select("ts", "doc_id", "idx", "chunk")
+
   private val Bands = 4
   private val BandBits = 15
   private val BandMask = (1L << BandBits) - 1

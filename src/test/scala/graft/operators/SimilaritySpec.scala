@@ -66,4 +66,25 @@ class SimilaritySpec extends SparkSpec {
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "cos non-increasing in rank")
     }
   }
+
+  test("build-once IVF index answers identically to the per-call ivfTopK") {
+    import org.apache.spark.sql.functions.col
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    val direct = Similarity.ivfTopK(t, nQueries = 5, k = 5, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    val index = Similarity.buildIvfIndex(t)
+    try {
+      val queryDf = t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val viaIndex = Similarity.ivfQuery(index, queryDf, k = 5, nprobe = 4)
+        .collect().map(_.toSeq).toSeq
+      assert(viaIndex == direct)
+      // a second, different batch runs off the SAME index
+      val q2 = t.embeddings.filter(col("vec_id") >= 5 && col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val out2 = Similarity.ivfQuery(index, q2, k = 3, nprobe = 4).collect()
+      assert(out2.length == 9 &&
+        out2.map(_.getLong(0)).toSet == Set(5L, 6L, 7L))
+    } finally index.release()
+  }
 }

@@ -32,6 +32,30 @@ class DocStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chunk dedup: a repeated 20-token span survives only its first occurrence") {
+    implicit val ctx = spark.sqlContext
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ")
+    val tailA = (1 to 5).map(i => s"a$i").mkString(" ")
+    val tailB = (1 to 5).map(i => s"b$i").mkString(" ")
+    val mem = MemoryStream[Doc]
+    val q = DocStream.chunkDedup(mem.toDF())
+      .writeStream.format("memory").queryName("chunk_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc(ts(0), 1L, s"$shared $tailA"))
+      q.processAllAvailable()
+      mem.addData(Doc(ts(1), 2L, s"$shared $tailB")) // shares chunk 0
+      q.processAllAvailable()
+      val out = spark.table("chunk_dedup")
+        .select("doc_id", "idx", "chunk").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(out == Set(
+        (1L, 0, shared), (1L, 1, tailA), // doc 1 intact
+        (2L, 1, tailB)), // doc 2 lost the shared span, kept its tail
+        out)
+    } finally q.stop()
+  }
+
   test("streaming near-dup flags a lightly-mutated copy, not unrelated text") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Doc]
