@@ -185,6 +185,32 @@ class PlanSpec extends SparkSpec {
       s"global-window queries ${offenders.mkString(",")} != allowed ${allowed.mkString(",")}")
   }
 
+  test("x34: PII scrub is one narrow pass — no aggregation shuffle, no UDF") {
+    val p = plan(TextQueries.piiRedact(t))
+    // only the final ORDER BY may exchange (range partitioning); the
+    // regex counts/redaction must not introduce a hash shuffle
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") && p.contains("regexp_replace"),
+      p.take(2000))
+  }
+
+  test("x35: chunk dedup windows on the chunk text, never a global order") {
+    val p = plan(TextQueries.chunkDedup(t))
+    assert(p.contains("Exchange hashpartitioning(chunk"), p.take(3000))
+  }
+
+  test("x36: DSIR log-ratio table is broadcast and the doc-bucket pass is cached once") {
+    val df = TextQueries.dsirWeights(t)
+    val p = plan(df)
+    // the per-(doc,bucket) table feeds both the model fit and the
+    // scoring join from ONE cached subtree
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastQueryStage"),
+      p.take(3000))
+    df.sparkSession.catalog.clearCache()
+  }
+
   test("q37: JSON path extraction stays codegen'd, no UDF node") {
     val p = plan(StarQueries.q37(t))
     assert(p.contains("get_json_object") && !p.contains("BatchEvalPython"), p.take(2000))
