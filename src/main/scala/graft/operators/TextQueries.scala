@@ -1212,6 +1212,196 @@ object TextQueries {
     unpersistAfterFirstUse(out, b.td)
   }
 
+  // ---- x37 Gopher-style rule filter --------------------------------------
+
+  /** x37 rule thresholds — the Gopher repetition/quality rule suite
+    * (Rae et al., "Scaling Language Models: Methods, Analysis &
+    * Insights from Training Gopher", 2021, Table A1), with the numeric
+    * cuts re-centred on this corpus's token-soup distribution (10–99
+    * whitespace tokens, all-lowercase vocabulary) so every rule has
+    * real selectivity instead of degenerating to all-true. */
+  private val GopherMinTokens = 20L
+  private val GopherMaxTokens = 80L
+  private val GopherMinMeanLen = 3.2
+  private val GopherMaxMeanLen = 5.5
+  private val GopherMaxTopFrac = 0.125
+  private val GopherMinStopHits = 2L
+  private val GopherMaxShortFrac = 0.15
+
+  /** x37 Gopher-rule quality filter: per document, one boolean per
+    * rule — token count in range, mean token length in range, top
+    * single-token fraction below cut (the word-level repetition rule),
+    * total stopword hits above floor, single-character-token fraction
+    * below cut (the symbol-ratio analog) — plus the failed-rule count
+    * and the all-rules verdict.
+    *
+    * Scale shape: pure per-row projection, zero shuffles (the final
+    * ORDER BY is gate convention). The top-token fraction is computed
+    * WITHIN the row by nested higher-order functions (distinct-value
+    * scan per token list, O(n·d) on ≤100-token docs) rather than a
+    * corpus-wide (doc_id, token) groupBy — the same signal x16 gets
+    * from a shuffle, traded here for codegen-fused row-local work so
+    * the whole rule suite stays one narrow scan at any corpus size. */
+  def gopherRules(t: Tables): DataFrame = {
+    val toks = col("toks")
+    val n = size(toks).cast("double")
+    val meanLen = expr("aggregate(toks, 0L, (a, x) -> a + length(x))")
+      .cast("double") / n
+    val topFrac = array_max(transform(array_distinct(toks),
+      d => size(filter(toks, x => x === d)))).cast("double") / n
+    val stopHits = Stopwords.map { case (_, w) => stopwordHits(toks, w) }
+      .reduce(_ + _).cast("long")
+    val shortFrac = size(filter(toks, x => length(x) <= 1)).cast("double") / n
+    val rules = Seq(
+      "r_wc" -> (size(toks) >= GopherMinTokens &&
+        size(toks) <= GopherMaxTokens),
+      "r_len" -> (meanLen >= GopherMinMeanLen &&
+        meanLen <= GopherMaxMeanLen),
+      "r_rep" -> (topFrac <= GopherMaxTopFrac),
+      "r_stop" -> (stopHits >= GopherMinStopHits),
+      "r_short" -> (shortFrac <= GopherMaxShortFrac))
+    val nFail = rules.map { case (_, c) =>
+      when(c, 0L).otherwise(1L)
+    }.reduce(_ + _)
+    withToks(t.documents)
+      .filter(size(toks) > 0)
+      .select(col("doc_id") +: size(toks).cast("long").as("n_tokens") +:
+        rules.map { case (nm, c) => c.as(nm) } :+
+        nFail.as("n_fail") :+ (nFail === 0).as("pass"): _*)
+      .orderBy("doc_id")
+  }
+
+  // ---- x38 URL canonicalization + per-domain caps ------------------------
+
+  /** x38 cap: max documents kept per registered domain. */
+  private val DomainCap = 10L
+  private val UrlStripSchemeRe = "^https?://"
+  private val UrlStripWwwRe = "^www\\."
+  private val UrlStripQueryRe = "[?#].*$"
+  private val UrlHostRe = "^[^/]+"
+
+  /** x38 per-domain caps over canonicalized URLs — the Common-Crawl
+    * curation move (RefinedWeb / C4): messy source URLs are
+    * canonicalized (case-fold, scheme and `www.` stripped, query and
+    * fragment dropped), the registered host is extracted, and each
+    * domain keeps at most [[DomainCap]] documents in doc_id order so
+    * no single site dominates the mixture.
+    *
+    * The fixture corpus has no URL column, so the gate plants
+    * deterministic messy URLs from `doc_id` (scheme, WWW-casing, and
+    * query-string presence all vary by residue — the SAME injection
+    * expression runs in the oracle), exactly the x34 PII pattern.
+    *
+    * Scale shape: per-row canonicalization (four chained regexes, all
+    * codegen'd) + ONE window PARTITIONED BY domain — the natural shard
+    * key of a crawl; per-domain occurrence lists are the semantic unit,
+    * never a global order. A mega-domain is bounded by the cap itself:
+    * rank ≤ cap short-circuits everything downstream of the window. */
+  def domainCaps(t: Tables, cap: Long = DomainCap): DataFrame = {
+    val url = concat(
+      when(col("doc_id") % 2 === 0, "https://").otherwise("http://"),
+      when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+      lit("Host"), (col("doc_id") % 40).cast("string"),
+      lit(".Example.com/p/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 4 === 0, "?utm_source=feed").otherwise(""))
+    val canon = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(url), UrlStripSchemeRe, ""),
+        UrlStripWwwRe, ""),
+      UrlStripQueryRe, "")
+    val domain = regexp_extract(canon, UrlHostRe, 0)
+    t.documents
+      .select(col("doc_id"), canon.as("canon_url"), domain.as("domain"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("domain").orderBy("doc_id"))
+          .cast("long"))
+      .withColumn("kept", col("rnk") <= cap)
+      .orderBy("doc_id")
+  }
+
+  // ---- x39 hashed-bigram LM cross-entropy --------------------------------
+
+  /** x39/x40 language-model knobs: hashed-feature vocabulary and the
+    * in-domain training slice (the `source = src0` documents — the
+    * "target Wikipedia" of the CCNet recipe). */
+  private val LmBuckets = 1024L
+  private val LmTarget = "src0"
+
+  /** Per-document hashed-bigram cross-entropy under an add-1-smoothed
+    * conditional model trained on the [[LmTarget]] slice — shared by
+    * x39 (scores) and x40 (partition). Returns
+    * (doc_id, n_bigrams, ce) for every non-target doc with ≥1 bigram;
+    * `ce` is rounded to 6 (the gate's cross-engine float discipline). */
+  private def bigramCe(t: Tables): DataFrame = {
+    val big = withToks(graft.core.Fanout.widen(t.documents))
+      .select(col("doc_id"), col("source"),
+        explode(wordShingles(col("toks"), 2)).as("s"))
+      .select(col("doc_id"), col("source"),
+        (hash60(substring_index(col("s"), " ", 1)) % LmBuckets).as("cb"),
+        (hash60(col("s")) % LmBuckets).as("bb"))
+      .groupBy("doc_id", "source", "cb", "bb")
+      .agg(count(lit(1)).as("cnt"))
+    // model tables are corpus-size-independent: contexts ≤ LmBuckets
+    // rows, bigram buckets ≤ LmBuckets² (1M) worst-case and in practice
+    // min(distinct bigrams, that) — both broadcast to the scoring join
+    val train = big.filter(col("source") === LmTarget)
+    val ctx = train.groupBy("cb").agg(sum("cnt").as("c1"))
+    val mdl = train.groupBy("cb", "bb").agg(sum("cnt").as("c12"))
+    big.filter(col("source") =!= LmTarget)
+      .join(broadcast(mdl), Seq("cb", "bb"), "left")
+      .join(broadcast(ctx), Seq("cb"), "left")
+      .withColumn("lp",
+        log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)) + lit(LmBuckets.toDouble))))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"),
+        round(-sum(col("cnt") * col("lp")) / sum("cnt"), 6).as("ce"))
+  }
+
+  /** x39 CCNet-style LM filter signal (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", 2020): per-document cross-entropy (and perplexity) under a
+    * hashed-bigram LM with add-1 smoothing, trained on the in-domain
+    * [[LmTarget]] slice, scored over the rest of the corpus — the
+    * signal CCNet gets from KenLM, re-expressed as two bounded count
+    * tables. Distinct from x36: DSIR is a bag-of-ngrams importance
+    * RATIO (target vs raw marginals); this is a CONDITIONAL
+    * p(w₂|w₁) model and an interpretable per-doc perplexity.
+    *
+    * Scale shape: one tokenize+explode pass into map-side-combined
+    * (doc, bucket-pair) counts; the model fit reduces to ≤[[LmBuckets]]²
+    * rows broadcast back onto the same counts; one final per-doc
+    * aggregation. Model state is O(buckets²) regardless of corpus
+    * size; nothing driver-side. */
+  def bigramPerplexity(t: Tables): DataFrame =
+    bigramCe(t)
+      .withColumn("ppl", round(exp(col("ce")), 6))
+      .orderBy("doc_id")
+
+  /** x40 CCNet head/middle/tail partition: the scored corpus is cut at
+    * the exact cross-entropy terciles into the three CCNet buckets
+    * (head = best-fitting third). The thresholds are ONE exact
+    * `percentile` reduction to two scalars broadcast back over the
+    * scores — no global window, no sort of the corpus.
+    *
+    * Tercile fractions are written as 1.0/3-style divisions so both
+    * engines fold the same IEEE doubles; `ce` is pre-rounded to 6 by
+    * [[bigramCe]], so threshold comparisons see identical values on
+    * both sides (the q38 exact-percentile discipline). */
+  def pplPartition(t: Tables): DataFrame = {
+    val ce = bigramCe(t)
+    val cuts = ce.agg(
+      expr("percentile(ce, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))")
+        .as("p"))
+      .select(col("p").getItem(0).as("t1"), col("p").getItem(1).as("t2"))
+    ce.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("ce"),
+        when(col("ce") <= col("t1"), "head")
+          .when(col("ce") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x01_exactdedup" -> exactDedup _,
     "x02_textstats" -> textStats _,
@@ -1243,6 +1433,10 @@ object TextQueries {
     "x34_pii_redact" -> piiRedact _,
     "x35_chunk_dedup" -> (t => chunkDedup(t)),
     "x36_dsir_weights" -> dsirWeights _,
+    "x37_gopher_rules" -> gopherRules _,
+    "x38_domain_caps" -> (t => domainCaps(t)),
+    "x39_bigram_ppl" -> bigramPerplexity _,
+    "x40_ppl_partition" -> pplPartition _,
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -1252,6 +1446,31 @@ object TextQueries {
 
   /** DuckDB: whitespace tokens of `text` (empties dropped). */
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** DuckDB CTEs ending in `agg(doc_id, n_bigrams, ce)` — the x39/x40
+    * hashed-bigram cross-entropy, generated from the same
+    * ([[LmBuckets]], [[LmTarget]]) constants as [[bigramCe]]. */
+  private lazy val bigramCeCtes: String = s"""
+      toks AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+      bg AS (SELECT doc_id, source,
+          CAST('0x' || substr(md5(string_split(s, ' ')[1]), 1, 15) AS BIGINT) % $LmBuckets AS cb,
+          CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $LmBuckets AS bb
+        FROM (SELECT doc_id, source,
+                unnest(CASE WHEN len(tk) >= 2
+                  THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+                  ELSE [] END) AS s
+              FROM toks)),
+      cnt AS (SELECT doc_id, source, cb, bb, COUNT(*) AS cnt FROM bg GROUP BY ALL),
+      ctx AS (SELECT cb, SUM(cnt) AS c1 FROM cnt WHERE source = '$LmTarget' GROUP BY cb),
+      mdl AS (SELECT cb, bb, SUM(cnt) AS c12 FROM cnt WHERE source = '$LmTarget' GROUP BY cb, bb),
+      sc AS (SELECT c.doc_id, c.cnt,
+               ln((COALESCE(m.c12, 0) + 1.0) / (COALESCE(x.c1, 0) + $LmBuckets.0)) AS lp
+             FROM cnt c LEFT JOIN mdl m ON m.cb = c.cb AND m.bb = c.bb
+             LEFT JOIN ctx x ON x.cb = c.cb
+             WHERE c.source <> '$LmTarget'),
+      agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+                ROUND(-SUM(cnt * lp) / SUM(cnt), 6) AS ce
+              FROM sc GROUP BY doc_id)"""
 
   /** DuckDB: 3-gram word shingles of a token-list column `tk`. */
   private val shinglesSql =
@@ -1700,5 +1919,68 @@ object TextQueries {
       FROM db d JOIN lr ON lr.b = d.b
       WHERE d.source <> '$DsirTarget'
       GROUP BY d.doc_id ORDER BY d.doc_id""",
+    // x37: thresholds interpolated from the SAME Scala constants as
+    // the Spark plan; ratio metrics are single IEEE divisions of
+    // exact integer counts, so comparisons agree bit-for-bit
+    "x37_gopher_rules" -> s"""
+      WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      m AS (SELECT doc_id,
+          CAST(len(tk) AS BIGINT) AS n_tokens,
+          CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) AS mean_len,
+          CAST(list_max(list_transform(list_distinct(tk), d -> len(list_filter(tk, x -> x = d)))) AS DOUBLE) / len(tk) AS top_frac,
+          CAST(${Stopwords.map { case (_, words) =>
+            val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+            s"len(list_filter(tk, x -> list_contains($lst, x)))"
+          }.mkString(" + ")} AS BIGINT) AS stop_hits,
+          CAST(len(list_filter(tk, x -> length(x) <= 1)) AS DOUBLE) / len(tk) AS short_frac
+        FROM t WHERE len(tk) > 0),
+      r AS (SELECT doc_id, n_tokens,
+          n_tokens >= $GopherMinTokens AND n_tokens <= $GopherMaxTokens AS r_wc,
+          mean_len >= $GopherMinMeanLen AND mean_len <= $GopherMaxMeanLen AS r_len,
+          top_frac <= $GopherMaxTopFrac AS r_rep,
+          stop_hits >= $GopherMinStopHits AS r_stop,
+          short_frac <= $GopherMaxShortFrac AS r_short
+        FROM m)
+      SELECT doc_id, n_tokens, r_wc, r_len, r_rep, r_stop, r_short,
+        CAST((CASE WHEN r_wc THEN 0 ELSE 1 END) + (CASE WHEN r_len THEN 0 ELSE 1 END) +
+             (CASE WHEN r_rep THEN 0 ELSE 1 END) + (CASE WHEN r_stop THEN 0 ELSE 1 END) +
+             (CASE WHEN r_short THEN 0 ELSE 1 END) AS BIGINT) AS n_fail,
+        r_wc AND r_len AND r_rep AND r_stop AND r_short AS pass
+      FROM r ORDER BY doc_id""",
+    // x38: URL injection mirrors the Spark expression constant-for-
+    // constant; the anchored strip regexes match at most once, so
+    // DuckDB's first-match regexp_replace equals Spark's global one
+    "x38_domain_caps" -> s"""
+      WITH u AS (SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+          (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+          'Host' || CAST(doc_id % 40 AS VARCHAR) || '.Example.com/p/' ||
+          CAST(doc_id AS VARCHAR) ||
+          (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed' ELSE '' END) AS url
+        FROM documents),
+      c AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(lower(url),
+            '$UrlStripSchemeRe', ''), '$UrlStripWwwRe', ''),
+            '$UrlStripQueryRe', '') AS canon_url
+        FROM u),
+      r AS (SELECT doc_id, canon_url,
+          regexp_extract(canon_url, '$UrlHostRe') AS domain FROM c)
+      SELECT doc_id, canon_url, domain,
+        CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS BIGINT) AS rnk,
+        ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) <= $DomainCap AS kept
+      FROM r ORDER BY doc_id""",
+    "x39_bigram_ppl" -> s"""
+      WITH $bigramCeCtes
+      SELECT doc_id, n_bigrams, ce, ROUND(exp(ce), 6) AS ppl
+      FROM agg ORDER BY doc_id""",
+    "x40_ppl_partition" -> s"""
+      WITH $bigramCeCtes,
+      cut AS (SELECT quantile_cont(ce, CAST(1 AS DOUBLE)/3) AS t1,
+                     quantile_cont(ce, CAST(2 AS DOUBLE)/3) AS t2 FROM agg)
+      SELECT a.doc_id, a.ce,
+        CASE WHEN a.ce <= c.t1 THEN 'head'
+             WHEN a.ce <= c.t2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM agg a CROSS JOIN cut c ORDER BY a.doc_id""",
   )
 }

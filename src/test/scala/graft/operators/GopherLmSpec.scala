@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import java.nio.file.Files
+
+/** Round-8 additions: x37 Gopher-rule filter, x38 per-domain caps,
+  * x39 hashed-bigram LM cross-entropy, x40 CCNet head/middle/tail
+  * partition. Planted-input golden checks + plan pins; the oracle
+  * gate covers hash-exactness. */
+class GopherLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    val dir = Files.createTempDirectory("glm").toString
+    rows.map { case (id, text, src) =>
+      (id, text, "en", src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ---- x37 ---------------------------------------------------------------
+
+  test("x37: each Gopher rule fires on its planted violator") {
+    val good = ((1 to 25).map(i => s"word$i") ++ Seq("the", "a", "of"))
+      .mkString(" ") // 28 tokens, diverse, stopwords present
+    val rows = Seq(
+      (0L, good, "s1"),                                  // passes all
+      (1L, (1 to 9).map(i => s"tok$i").mkString(" ") + " the a", "s1"), // 11 tokens -> r_wc fails
+      (2L, Seq.fill(30)("spark").mkString(" ") + " the a", "s1"),       // top_frac ~0.94 -> r_rep
+      (3L, (1 to 24).map(i => s"word$i").mkString(" ") +
+        " a a a a a a", "s1"),                           // 6/30 single-char -> r_short (and r_rep ok: 6/30=0.2>0.125 so also fails r_rep)
+      (4L, (1 to 30).map(i => s"word$i").mkString(" "), "s1")) // no stopwords -> r_stop
+    val t = Tables(spark, docsDir(rows))
+    val m = TextQueries.gopherRules(t).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(0L).getAs[Boolean]("pass"), m(0L).toString)
+    assert(!m(1L).getAs[Boolean]("r_wc"))
+    assert(!m(2L).getAs[Boolean]("r_rep"))
+    assert(!m(3L).getAs[Boolean]("r_short"))
+    assert(!m(4L).getAs[Boolean]("r_stop"))
+    assert(m(4L).getAs[Long]("n_fail") >= 1L)
+  }
+
+  test("x37: rule suite is a shuffle-free narrow pass") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val p = TextQueries.gopherRules(t).queryExecution.executedPlan.toString
+    // only the final ORDER BY exchanges (range partitioning); the
+    // row-local HOF metrics must not introduce a hash shuffle
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("BatchEvalPython"))
+  }
+
+  // ---- x38 ---------------------------------------------------------------
+
+  test("x38: canonicalization collapses scheme/www/query variants; caps hold per domain") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val out = TextQueries.domainCaps(t).collect()
+    // canonical URLs carry no scheme, no www., no query string
+    assert(out.forall { r =>
+      val u = r.getAs[String]("canon_url")
+      !u.contains("://") && !u.startsWith("www.") && !u.contains("?")
+    })
+    // doc_ids 6 (http, WWW., no query) and 46 (https, no www, no query)
+    // differ in every injected wart but share doc_id%40=6 -> same domain
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(6L).getAs[String]("domain") ==
+      byId(46L).getAs[String]("domain"))
+    // the cap is a hard bound per domain
+    val keptPerDomain = out.filter(_.getAs[Boolean]("kept"))
+      .groupBy(_.getAs[String]("domain")).map(_._2.length)
+    assert(keptPerDomain.nonEmpty && keptPerDomain.max <= 10)
+    // ranks are contiguous from 1 within each domain
+    out.groupBy(_.getAs[String]("domain")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rnk")).sorted
+      assert(ranks.zipWithIndex.forall { case (r, i) => r == i + 1 })
+    }
+  }
+
+  test("x38: the cap window partitions by domain — no global order") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val p = TextQueries.domainCaps(t).queryExecution.executedPlan.toString
+    assert(p.contains("Exchange hashpartitioning(domain"), p.take(3000))
+  }
+
+  // ---- x39 / x40 ---------------------------------------------------------
+
+  test("x39: in-domain text scores lower cross-entropy than unseen text") {
+    val target = (0 until 6).map(i =>
+      (i.toLong, "alpha beta gamma delta alpha beta gamma delta alpha beta", "src0"))
+    val scored = Seq(
+      (100L, "alpha beta gamma delta alpha beta", "s1"),  // seen bigrams
+      (101L, "zz qq rr ss tt uu vv ww", "s1"))            // unseen bigrams
+    val t = Tables(spark, docsDir(target ++ scored))
+    val m = TextQueries.bigramPerplexity(t).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ce")).toMap
+    assert(m.keySet == Set(100L, 101L), m.toString) // target docs not scored
+    assert(m(100L) < m(101L), s"seen ${m(100L)} !< unseen ${m(101L)}")
+  }
+
+  test("x39: model tables broadcast onto the scoring join") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val p = TextQueries.bigramPerplexity(t)
+      .queryExecution.executedPlan.toString
+    val b = "BroadcastHashJoin".r.findAllIn(p).length +
+      "BroadcastQueryStage".r.findAllIn(p).length
+    assert(b >= 2, s"expected ctx+mdl broadcasts, got $b\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("x40: tercile buckets are ordered and cover all scored docs") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val scored = TextQueries.bigramPerplexity(t).count()
+    val out = TextQueries.pplPartition(t).collect()
+    assert(out.length == scored)
+    val byBucket = out.groupBy(_.getAs[String]("bucket"))
+      .map { case (b, rs) => b -> rs.map(_.getAs[Double]("ce")) }
+    assert(byBucket.keySet == Set("head", "middle", "tail"), byBucket.keySet)
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // terciles: each bucket within a couple of docs of n/3 (ties aside)
+    val n = out.length
+    byBucket.values.foreach(v =>
+      assert(math.abs(v.length - n / 3) <= n / 6 + 2, s"skewed: ${v.length} of $n"))
+  }
+}
