@@ -198,11 +198,24 @@ object TextQueries {
     * signature computation is a single exchange that Spark reuses for
     * both join sides (ReusedExchange in the plan). At cluster scale
     * the join shuffles on a short string key; skewed mega-buckets are
-    * handled by AQE skew splitting. */
-  def lshPairs(t: Tables): DataFrame =
-    lshPairsFrom(withToks(graft.core.Fanout.widen(t.documents)))
+    * handled by AQE skew splitting.
+    *
+    * `bandRows`/`numBands` is the corpus-size knob (the x09 sketch-
+    * width move applied to MinHash): collision probability per band is
+    * jac^bandRows, so a growing corpus needs WIDER bands to keep the
+    * random-collision candidate tail linear — 4×4 is the gate shape
+    * (recall down to jac≈0.5), 8×2 the 10⁶+ shape (candidates(8×2) ⊆
+    * candidates(4×4): an 8-row band key is the concatenation of two
+    * 4-row keys, so every wide match is a pair of narrow matches;
+    * exact twins always survive any width). */
+  def lshPairs(t: Tables, bandRows: Int = 4, numBands: Int = 4): DataFrame =
+    lshPairsFrom(withToks(graft.core.Fanout.widen(t.documents)),
+      bandRows, numBands)
 
-  private def lshPairsFrom(td: DataFrame): DataFrame = {
+  private def lshPairsFrom(td: DataFrame, bandRows: Int = 4,
+                           numBands: Int = 4): DataFrame = {
+    require(bandRows * numBands <= MinHashCoeffs.length,
+      s"banding $numBands x $bandRows exceeds k=${MinHashCoeffs.length}")
     // ONE distinct hashed-shingle table feeds the signature aggregation
     // AND both verification join sides: the (doc_id, s)-distinct
     // exchange is identical in all three consumers, so Spark plans it
@@ -214,9 +227,10 @@ object TextQueries {
       min(minHashJ(col("hm"), j)).as(f"m$j%02d"))
     val sigSz = sh.groupBy("doc_id")
       .agg(aggs.head, (aggs.tail :+ count(lit(1)).as("sz")): _*)
-    val bandEntries = array((0 until 4).map { b =>
+    val bandEntries = array((0 until numBands).map { b =>
       struct(lit(b).as("b"),
-        concat_ws("_", (0 until 4).map(r => col(f"m${b * 4 + r}%02d")): _*)
+        concat_ws("_",
+          (0 until bandRows).map(r => col(f"m${b * bandRows + r}%02d")): _*)
           .as("key"))
     }: _*)
     val banded = sigSz
@@ -1247,8 +1261,22 @@ object TextQueries {
     val n = size(toks).cast("double")
     val meanLen = expr("aggregate(toks, 0L, (a, x) -> a + length(x))")
       .cast("double") / n
-    val topFrac = array_max(transform(array_distinct(toks),
-      d => size(filter(toks, x => x === d)))).cast("double") / n
+    // top token count as the longest run in the SORTED list — one
+    // O(n log n) sort + one linear fold per row. The obvious nested
+    // HOF (transform(distinct, d -> size(filter(toks, = d)))) is
+    // O(n·d) AND interpreted (HigherOrderFunction is CodegenFallback),
+    // which the 1.25M-doc soak measured at 496 s vs ~25 s for every
+    // neighboring per-row pass — quadratic per-row work dominates even
+    // at 100-token docs once the corpus is large (SOAK_corpus.md).
+    val topCount = expr(
+      """aggregate(array_sort(toks),
+           named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+           (a, x) -> named_struct(
+             'prev', x,
+             'run', IF(x <=> a.prev, a.run + 1L, 1L),
+             'best', GREATEST(a.best, IF(x <=> a.prev, a.run + 1L, 1L))),
+           a -> a.best)""")
+    val topFrac = topCount.cast("double") / n
     val stopHits = Stopwords.map { case (_, w) => stopwordHits(toks, w) }
       .reduce(_ + _).cast("long")
     val shortFrac = size(filter(toks, x => length(x) <= 1)).cast("double") / n
@@ -1263,7 +1291,10 @@ object TextQueries {
     val nFail = rules.map { case (_, c) =>
       when(c, 0L).otherwise(1L)
     }.reduce(_ + _)
-    withToks(t.documents)
+    // CPU-amplifying per-row pass (tokenize + sort + folds) → widen an
+    // under-split scan before it; without this the 5M soak ran the
+    // whole rule suite on the ~5 byte-range splits of one parquet file
+    withToks(graft.core.Fanout.widen(t.documents))
       .filter(size(toks) > 0)
       .select(col("doc_id") +: size(toks).cast("long").as("n_tokens") +:
         rules.map { case (nm, c) => c.as(nm) } :+
@@ -1409,7 +1440,7 @@ object TextQueries {
     "x04_tokenfreq" -> tokenFreq _,
     "x05_ngramjaccard" -> ngramJaccardTop _,
     "x06_minhash" -> minhashSignatures _,
-    "x07_lshpairs" -> lshPairs _,
+    "x07_lshpairs" -> (t => lshPairs(t)),
     "x10_quality" -> qualityScore _,
     "x11_fingerprint" -> fingerprints _,
     "x12_simhash" -> simhashes _,

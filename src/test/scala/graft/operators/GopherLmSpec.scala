@@ -109,6 +109,28 @@ class GopherLmSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  // ---- x07 band-width knob -----------------------------------------------
+
+  test("x07: wider bands produce a candidate subset; exact twins survive any width") {
+    // twins (identical text -> identical signature -> match at every
+    // width) + unrelated docs (shingle-disjoint -> no candidates)
+    val twin = (1 to 12).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val rows = (0 until 4).map(i => (i.toLong, twin, "s1")) ++
+      (10 until 30).map(i =>
+        (i.toLong, (0 until 15).map(j => s"w${i}_$j").mkString(" "), "s1"))
+    val t = Tables(spark, docsDir(rows))
+    def pairs(rowsPerBand: Int, bands: Int) =
+      TextQueries.lshPairs(t, rowsPerBand, bands)
+        .select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrow = pairs(4, 4)
+    val wide = pairs(8, 2)
+    assert(wide.subsetOf(narrow), s"wide \\ narrow: ${wide.diff(narrow)}")
+    val twinPairs = (for { a <- 0L until 4L; b <- (a + 1) until 4L }
+      yield (a, b)).toSet
+    assert(twinPairs.subsetOf(wide), s"missing twins: ${twinPairs.diff(wide)}")
+  }
+
   test("x40: tercile buckets are ordered and cover all scored docs") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val scored = TextQueries.bigramPerplexity(t).count()
