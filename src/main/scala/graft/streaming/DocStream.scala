@@ -52,6 +52,59 @@ object DocStream {
       .dropDuplicatesWithinWatermark(Seq("ch"))
       .select("ts", "doc_id", "idx", "chunk")
 
+  final case class UrlDoc(ts: java.sql.Timestamp, doc_id: Long,
+                          domain: String)
+  final case class Admission(doc_id: Long, domain: String, rnk: Long,
+                             kept: Boolean)
+
+  /** Streaming per-domain admission caps — the incremental form of the
+    * batch x38 operator: a crawl feed keyed by (already-canonicalized)
+    * domain admits at most `cap` documents per domain; later arrivals
+    * are emitted with `kept = false` (flag-don't-drop, so downstream
+    * ledgers stay complete — the x38 output shape). Arrival order
+    * within a micro-batch is made deterministic by (ts, doc_id).
+    *
+    * State: ONE counter per domain seen within the watermark horizon.
+    * A domain quiet for `horizon` past the watermark times out and its
+    * counter is removed (event-time timeout) — so the budget is
+    * per-domain-per-active-period and state is bounded by active
+    * domains × horizon, not by stream length or total domain count.
+    * Domains are the shard key, exactly like the batch window. */
+  def domainCapAdmission(docs: Dataset[UrlDoc], cap: Long = 10,
+                         horizon: String = "1 hour",
+                         horizonMs: Long = 3600L * 1000L): Dataset[Admission] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withWatermark("ts", horizon)
+      .groupByKey(_.domain)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (domain: String, rows: Iterator[UrlDoc],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var n = state.getOption.getOrElse(0L)
+            val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            val out = batch.map { r =>
+              n += 1
+              Admission(r.doc_id, domain, n, n <= cap)
+            }
+            state.update(n)
+            // evict the counter once the domain is quiet a full
+            // horizon past its newest event (must exceed the current
+            // watermark for EventTimeTimeout)
+            val newest = batch.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(newest, state.getCurrentWatermarkMs()) + horizonMs)
+            out.iterator
+          }
+      }
+  }
+
   private val Bands = 4
   private val BandBits = 15
   private val BandMask = (1L << BandBits) - 1

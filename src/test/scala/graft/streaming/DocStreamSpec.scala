@@ -156,4 +156,31 @@ class DocStreamSpec extends SparkSpec {
       assert(!flags.contains((4L, 1L)), s"got $flags")
     } finally q.stop()
   }
+
+  test("streaming domain caps: admission flags flip at the cap, counters persist across batches") {
+    implicit val ctx = spark.sqlContext
+    import DocStream.UrlDoc
+    val mem = MemoryStream[UrlDoc]
+    val q = DocStream.domainCapAdmission(mem.toDS(), cap = 2)
+      .writeStream.format("memory").queryName("domain_caps")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        UrlDoc(ts(0), 1L, "a.example.com"),
+        UrlDoc(ts(1), 2L, "a.example.com"),
+        UrlDoc(ts(2), 3L, "b.example.com"))
+      q.processAllAvailable()
+      // counter for a.example.com must survive into the next batch
+      mem.addData(
+        UrlDoc(ts(3), 4L, "a.example.com"),
+        UrlDoc(ts(4), 5L, "b.example.com"))
+      q.processAllAvailable()
+      val out = spark.table("domain_caps")
+        .select("doc_id", "rnk", "kept").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(out(1L) == ((1L, true)) && out(2L) == ((2L, true)), out)
+      assert(out(4L) == ((3L, false)), s"cap must persist: $out") // over cap
+      assert(out(3L) == ((1L, true)) && out(5L) == ((2L, true)), out)
+    } finally q.stop()
+  }
 }
