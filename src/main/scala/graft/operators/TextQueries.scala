@@ -904,18 +904,11 @@ object TextQueries {
     * window, no corpus-×-corpus work. Ordering (and the tie-break) is
     * on the ROUNDED score + doc_id so ranking is engine-exact. */
   def bm25TopK(t: Tables): DataFrame = {
-    val td = withToks(t.documents).select(col("doc_id"), col("toks"))
-    val dl = td.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val tf = td
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .filter(col("tok").isin(Bm25Terms: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val contrib = tf
-      .join(broadcast(df), "tok")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
+    val f = retrievalFrames(t)
+    val contrib = f.tf
+      .join(broadcast(f.df), "tok")
+      .join(f.dl, "doc_id")
+      .crossJoin(broadcast(f.stats))
       .select(col("doc_id"),
         (log(lit(1.0) +
             (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5)) *
@@ -926,6 +919,23 @@ object TextQueries {
       .groupBy("doc_id").agg(round(sum("c"), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(Bm25TopK)
+  }
+
+  /** Shared query-term frames for the lexical retrievers (x32 BM25 and
+    * x41's TF-IDF leg): per-doc length, corpus stats, query-term tf/df. */
+  private case class RetrievalFrames(dl: DataFrame, stats: DataFrame,
+                                     tf: DataFrame, df: DataFrame)
+
+  private def retrievalFrames(t: Tables): RetrievalFrames = {
+    val td = withToks(t.documents).select(col("doc_id"), col("toks"))
+    val dl = td.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = td
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    RetrievalFrames(dl, stats, tf, df)
   }
 
   // ---- x34 PII redaction -------------------------------------------------
@@ -1433,6 +1443,118 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---- x41 reciprocal-rank fusion ----------------------------------------
+
+  /** RRF constant (Cormack et al. 2009's k=60) and list sizes. */
+  private val RrfK = 60L
+  private val RrfOut = 20
+
+  /** x41 reciprocal-rank fusion — the standard hybrid-retrieval merge
+    * (Cormack, Clarke & Buettcher, SIGIR 2009): two rankers score the
+    * same query terms (x32's BM25 and a length-normalized TF-IDF — two
+    * scorers with genuinely different rank behavior), each contributes
+    * 1/(k + rank) for its top-[[Bm25TopK]] list, absent-from-a-list
+    * contributes nothing, fused list re-ranked by the sum.
+    *
+    * Scale shape: both rankers end in TakeOrdered top-30; ranks are
+    * then computed WITHOUT a window by a strictly-better-count self
+    * join over the ≤30-row broadcast frames (the PlanSpec global-window
+    * sweep stays clean — rank-over-top-k never touches the corpus).
+    * Everything upstream is x32's shape: one narrow term-filtered
+    * corpus pass, broadcast df/stats. */
+  def rrfFusion(t: Tables): DataFrame = {
+    val f = retrievalFrames(t)
+    val tfidf = f.tf
+      .join(broadcast(f.df), "tok")
+      .join(f.dl, "doc_id")
+      .crossJoin(broadcast(f.stats))
+      .select(col("doc_id"),
+        ((col("tf").cast("double") / col("dl")) *
+          log((col("n_docs").cast("double") + 1.0) / (col("df") + 1.0))).as("c"))
+      .groupBy("doc_id").agg(round(sum("c"), 6).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"))
+      .limit(Bm25TopK)
+    // window-free rank: 1 + |strictly better rows| over a top-k frame
+    // (scores pre-rounded to 6, doc_id tiebreak — a total order, so
+    // this equals ROW_NUMBER over (score DESC, doc_id))
+    def rankOf(top: DataFrame, score: String, as: String): DataFrame = {
+      val a = top.select(col("doc_id"), col(score).as("s"))
+      val b = a.select(col("doc_id").as("od"), col("s").as("os"))
+      a.join(broadcast(b),
+          col("os") > col("s") ||
+            (col("os") === col("s") && col("od") < col("doc_id")), "left")
+        .groupBy("doc_id").agg((count(col("od")) + 1L).as(as))
+    }
+    rankOf(bm25TopK(t), "bm25", "r_bm25")
+      .join(rankOf(tfidf, "tfidf", "r_tfidf"), Seq("doc_id"), "full")
+      .select(col("doc_id"), col("r_bm25"), col("r_tfidf"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_tfidf")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(RrfOut)
+  }
+
+  // ---- x42 delta dedup (incremental ingestion) ---------------------------
+
+  /** Every `DeltaMod`-th doc_id plays the newly-ingested batch. */
+  private val DeltaMod = 10L
+
+  /** x42 delta dedup — the INCREMENTAL production shape of the dedup
+    * family: a new batch (`doc_id % mod = 0`, ~10% of the fixture) is
+    * deduplicated AGAINST the standing corpus and within itself,
+    * without ever re-pairing the corpus with itself (which x01/x13
+    * style full-corpus passes would do on every ingest — unaffordable
+    * at 100 TB). Per delta doc, one status by precedence:
+    * `exact_dup_corpus` (normalized fingerprint already in the corpus)
+    * > `exact_dup_delta` (an earlier delta doc has the fingerprint)
+    * > `near_dup_corpus` (SimHash ham≤6 banded match in the corpus)
+    * > `new`; `dup_of` names the surviving doc (NULL for `new`).
+    *
+    * Scale shape: corpus work is ONE fingerprint projection + one
+    * band-table build (both linear, both the standing index a real
+    * pipeline would keep materialized); the delta side joins INTO
+    * those — cost per ingest is O(delta + matches), not O(corpus²).
+    * The banded join shuffles on the 15-bit band key exactly like x13;
+    * duplicity blowup cannot occur because the corpus side never
+    * self-joins. */
+  def deltaDedup(t: Tables, mod: Long = DeltaMod): DataFrame = {
+    val docs = graft.core.Fanout.widen(t.documents)
+    val fps = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val corpusFp = fps.filter(col("doc_id") % mod =!= 0)
+      .groupBy("fp").agg(min("doc_id").as("corpus_id"))
+    val deltaFp = fps.filter(col("doc_id") % mod === 0)
+    val firstDelta = deltaFp.groupBy("fp").agg(min("doc_id").as("first_delta"))
+    def bands(sims: DataFrame) = sims
+      .select(col("doc_id"), col("sim"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          (shiftright(col("sim"), b * 15) bitwiseAND lit(0x7fffL)).as("key"))): _*))
+        .as("band"))
+      .select(col("doc_id"), col("sim"),
+        col("band.b").as("b"), col("band.key").as("key"))
+    val sims = simhashDf(docs)
+    val near = bands(sims.filter(col("doc_id") % mod === 0)).as("d")
+      .join(bands(sims.filter(col("doc_id") % mod =!= 0)).as("c"),
+        col("d.b") === col("c.b") && col("d.key") === col("c.key") &&
+          bit_count(col("d.sim").bitwiseXOR(col("c.sim"))) <= 6)
+      .groupBy(col("d.doc_id").as("doc_id"))
+      .agg(min(col("c.doc_id")).as("near_id"))
+    deltaFp
+      .join(corpusFp, Seq("fp"), "left")
+      .join(firstDelta, "fp")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("corpus_id").isNotNull, "exact_dup_corpus")
+          .when(col("doc_id") > col("first_delta"), "exact_dup_delta")
+          .when(col("near_id").isNotNull, "near_dup_corpus")
+          .otherwise("new").as("status"),
+        when(col("corpus_id").isNotNull, col("corpus_id"))
+          .when(col("doc_id") > col("first_delta"), col("first_delta"))
+          .otherwise(col("near_id")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x01_exactdedup" -> exactDedup _,
     "x02_textstats" -> textStats _,
@@ -1468,6 +1590,8 @@ object TextQueries {
     "x38_domain_caps" -> (t => domainCaps(t)),
     "x39_bigram_ppl" -> bigramPerplexity _,
     "x40_ppl_partition" -> pplPartition _,
+    "x41_rrf_fusion" -> rrfFusion _,
+    "x42_delta_dedup" -> (t => deltaDedup(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -2013,5 +2137,69 @@ object TextQueries {
              WHEN a.ce <= c.t2 THEN 'middle'
              ELSE 'tail' END AS bucket
       FROM agg a CROSS JOIN cut c ORDER BY a.doc_id""",
+    // x41: ROW_NUMBER over (rounded score DESC, doc_id) on each LIMIT-30
+    // list == the Spark side's strictly-better-count (a total order)
+    "x41_rrf_fusion" -> s"""
+      WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t),
+      stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+             FROM (SELECT doc_id, unnest(tk) AS tok FROM t)
+             WHERE tok IN (${Bm25Terms.map(w => s"'$w'").mkString(", ")})
+             GROUP BY doc_id, tok),
+      df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      bc AS (SELECT tf.doc_id,
+              ln(1.0 + (CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+                (tf.tf * ($Bm25K1 + 1.0)) /
+                (tf.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl.dl / s.avgdl)) AS c
+            FROM tf JOIN df ON df.tok = tf.tok
+            JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+      bs AS (SELECT doc_id, ROUND(SUM(c), 6) AS bm25 FROM bc GROUP BY doc_id
+             ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK),
+      tc AS (SELECT tf.doc_id,
+              (CAST(tf.tf AS DOUBLE) / dl.dl) *
+                ln((CAST(s.n_docs AS DOUBLE) + 1.0) / (df.df + 1.0)) AS c
+            FROM tf JOIN df ON df.tok = tf.tok
+            JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+      ts AS (SELECT doc_id, ROUND(SUM(c), 6) AS tfidf FROM tc GROUP BY doc_id
+             ORDER BY tfidf DESC, doc_id LIMIT $Bm25TopK),
+      rb AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_bm25 FROM bs),
+      rt AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY tfidf DESC, doc_id) AS BIGINT) AS r_tfidf FROM ts)
+      SELECT COALESCE(rb.doc_id, rt.doc_id) AS doc_id, rb.r_bm25, rt.r_tfidf,
+        ROUND(COALESCE(1.0 / ($RrfK + rb.r_bm25), 0.0) +
+              COALESCE(1.0 / ($RrfK + rt.r_tfidf), 0.0), 6) AS rrf
+      FROM rb FULL JOIN rt ON rt.doc_id = rb.doc_id
+      ORDER BY rrf DESC, doc_id LIMIT $RrfOut""",
+    "x42_delta_dedup" -> s"""
+      WITH $simhashSql,
+      fp AS (SELECT doc_id,
+          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents),
+      cfp AS (SELECT fp, MIN(doc_id) AS corpus_id FROM fp
+              WHERE doc_id % $DeltaMod <> 0 GROUP BY fp),
+      dfp AS (SELECT doc_id, fp FROM fp WHERE doc_id % $DeltaMod = 0),
+      fd AS (SELECT fp, MIN(doc_id) AS first_delta FROM dfp GROUP BY fp),
+      db AS (SELECT s.doc_id, s.sim, b.b, (s.sim >> (b.b * 15)) & 32767 AS key
+             FROM sims s CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+             WHERE s.doc_id % $DeltaMod = 0),
+      cb AS (SELECT s.doc_id, s.sim, b.b, (s.sim >> (b.b * 15)) & 32767 AS key
+             FROM sims s CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+             WHERE s.doc_id % $DeltaMod <> 0),
+      near AS (SELECT d.doc_id, MIN(c.doc_id) AS near_id
+               FROM db d JOIN cb c ON c.b = d.b AND c.key = d.key
+               WHERE bit_count(xor(d.sim, c.sim)) <= 6
+               GROUP BY d.doc_id)
+      SELECT d.doc_id,
+        CASE WHEN c.corpus_id IS NOT NULL THEN 'exact_dup_corpus'
+             WHEN d.doc_id > f.first_delta THEN 'exact_dup_delta'
+             WHEN n.near_id IS NOT NULL THEN 'near_dup_corpus'
+             ELSE 'new' END AS status,
+        CASE WHEN c.corpus_id IS NOT NULL THEN c.corpus_id
+             WHEN d.doc_id > f.first_delta THEN f.first_delta
+             ELSE n.near_id END AS dup_of
+      FROM dfp d LEFT JOIN cfp c ON c.fp = d.fp
+      JOIN fd f ON f.fp = d.fp
+      LEFT JOIN near n ON n.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
   )
 }

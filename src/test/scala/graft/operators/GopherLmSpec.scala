@@ -131,6 +131,66 @@ class GopherLmSpec extends SparkSpec {
     assert(twinPairs.subsetOf(wide), s"missing twins: ${twinPairs.diff(wide)}")
   }
 
+  // ---- x41 / x42 ---------------------------------------------------------
+
+  test("x41: ranks are contiguous per ranker and rrf recomputes from them") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val rows = TextQueries.rrfFusion(t).collect()
+    assert(rows.nonEmpty)
+    def ranks(i: Int) = rows.flatMap(r =>
+      if (r.isNullAt(i)) None else Some(r.getLong(i)))
+    // each ranker's ranks are distinct, 1-based, within the top-30 list
+    for (i <- Seq(1, 2); rs = ranks(i)) {
+      assert(rs.distinct.length == rs.length)
+      assert(rs.forall(r => r >= 1 && r <= 30), rs.mkString(","))
+    }
+    // rrf is exactly the sum of the per-ranker reciprocal terms
+    rows.foreach { r =>
+      val expect = Seq(1, 2).map(i =>
+        if (r.isNullAt(i)) 0.0 else 1.0 / (60L + r.getLong(i))).sum
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-6, r.toString)
+    }
+    // descending fused order
+    val rrfs = rows.map(_.getAs[Double]("rrf"))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("x42: each delta status fires on its planted case, with the right survivor") {
+    val long = (1 to 60).map(i => s"base$i").mkString(" ")
+    val mutated = (1 to 59).map(i => s"base$i").mkString(" ") + " changedtok"
+    val fresh = (1 to 30).map(i => s"fresh$i").mkString(" ")
+    val rows = Seq(
+      (1L, long, "s1"),              // corpus original
+      (2L, "other corpus doc with plenty of words here", "s1"),
+      (10L, s"  $long  ", "s1"),     // delta: fingerprint folds whitespace
+      (20L, fresh, "s1"),            // delta: first of a delta pair
+      (30L, fresh, "s1"),            // delta: exact dup of 20
+      (40L, mutated, "s1"),          // delta: near-dup of corpus doc 1
+      (50L, (1 to 40).map(i => s"solo$i").mkString(" "), "s1")) // new
+    val t = Tables(spark, docsDir(rows))
+    val out = TextQueries.deltaDedup(t).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(10L) == (("exact_dup_corpus", 1L)), out)
+    assert(out(20L) == (("new", -1L)), out)
+    assert(out(30L) == (("exact_dup_delta", 20L)), out)
+    assert(out(40L) == (("near_dup_corpus", 1L)), out)
+    assert(out(50L) == (("new", -1L)), out)
+  }
+
+  test("x42: the near-dup ham cut runs inside the delta-vs-corpus join; no corpus self-join") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val p = TextQueries.deltaDedup(t).queryExecution.executedPlan.toString
+    val joinLine = p.split("\n")
+      .find(l => l.contains("Join") && l.contains("bit_count"))
+    assert(joinLine.isDefined, p.take(3000))
+    // both banded sides are mod-filtered (delta vs corpus), so the
+    // corpus never pairs with itself: the plan carries both the
+    // = 0 (delta) and the negated (corpus) residue filter
+    assert(p.contains("% 10) = 0"), p.take(2000))
+    assert(p.contains("NOT"), p.take(2000))
+  }
+
   test("x40: tercile buckets are ordered and cover all scored docs") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val scored = TextQueries.bigramPerplexity(t).count()
