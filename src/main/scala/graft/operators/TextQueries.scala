@@ -1555,6 +1555,92 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---- x43 temperature-scaled mixture weights ----------------------------
+
+  /** Sampling temperature (the α of mT5/GPT-3 multinomial mixing;
+    * Raffel et al. 2020 §3.4.1 use α∈[0.3,1], Brown et al. 2020 mix
+    * CommonCrawl/WebText/Books/Wikipedia with exactly this shape). */
+  private val MixAlpha = 0.7
+
+  /** x43 temperature-scaled source mixture weights — the third member
+    * of the corpus-balancing family, distinct from x38 (hard per-domain
+    * caps) and x36 (per-document importance ratios): per SOURCE,
+    * sampling probability p_α ∝ n_tokens^α, which up-weights small
+    * high-value sources relative to their raw token share (α<1 flattens
+    * the distribution; α=1 recovers p_raw). `boost` = p_α/p_raw is the
+    * effective epoch multiplier each source would see in a token-budget
+    * training run.
+    *
+    * Scale shape: one tokenize pass into a map-side-combined per-source
+    * count (≤ |sources| rows), one scalar reduction broadcast back.
+    * Nothing is ever bigger than the source list after the first agg —
+    * at 100 TB this is a single linear scan. */
+  def mixtureWeights(t: Tables, alpha: Double = MixAlpha): DataFrame = {
+    val per = t.documents
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val tot = per.agg(
+      sum("n_tokens").as("tot_tokens"),
+      sum(pow(col("n_tokens").cast("double"), alpha)).as("tot_alpha"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_tokens"), 6)
+          .as("p_raw"),
+        round(pow(col("n_tokens").cast("double"), alpha) / col("tot_alpha"), 6)
+          .as("p_alpha"),
+        round((pow(col("n_tokens").cast("double"), alpha) / col("tot_alpha")) /
+          (col("n_tokens").cast("double") / col("tot_tokens")), 6).as("boost"))
+      .orderBy("source")
+  }
+
+  // ---- x44 duplicate-span fraction ----------------------------------------
+
+  /** Window width for the exact-substring duplication signal (Lee et
+    * al. 2022 use 50 BPE tokens; 8 whitespace tokens is the fixture-
+    * scaled analog — wide enough that chance collisions vanish). */
+  private val DupSpanW = 8
+
+  /** x44 duplicate-span fraction — the per-document signal of exact
+    * substring-level duplication (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", 2022): every POSITIONAL
+    * w-token window is hashed, a window is duplicated if its hash
+    * occurs ≥2 times anywhere in the corpus (other docs OR a repeat
+    * within the same doc — both are verbatim-memorization risks), and
+    * each doc reports its window count, duplicated-window count, and
+    * fraction. Distinct from x27 (DISTINCT 3-gram shingles vs a
+    * doc-frequency threshold — a boilerplate signal) and from x35
+    * (non-overlapping fixed chunks, removal grain): this is the
+    * sliding-window duplication MEASURE that decides span-level
+    * dedup budgets.
+    *
+    * Scale shape: one tokenize+explode pass into (doc, window-hash)
+    * occurrences; occurrence totals are a map-side-combined groupBy on
+    * the 60-bit hash; the per-doc roll-up joins occurrences to totals
+    * by hash — a plain shuffle join chosen over a count window for the
+    * same reason as x27: a hot window (site chrome duplicated 10⁶×)
+    * skews one window-partition but hash-joins fine. No driver state,
+    * no all-pairs anything. */
+  def dupSpans(t: Tables, w: Int = DupSpanW): DataFrame = {
+    val win = withToks(graft.core.Fanout.widen(t.documents))
+      .select(col("doc_id"), explode(wordShingles(col("toks"), w)).as("s"))
+      .select(col("doc_id"), hash60(col("s")).as("hs"))
+    val totals = win.groupBy("hs").agg(count(lit(1)).as("tot"))
+    val perDoc = win.join(totals, "hs")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("tot") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    t.documents.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+        when(col("n_windows") > 0,
+          round(col("n_dup").cast("double") /
+            col("n_windows").cast("double"), 6)).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x01_exactdedup" -> exactDedup _,
     "x02_textstats" -> textStats _,
@@ -1592,6 +1678,8 @@ object TextQueries {
     "x40_ppl_partition" -> pplPartition _,
     "x41_rrf_fusion" -> rrfFusion _,
     "x42_delta_dedup" -> (t => deltaDedup(t)),
+    "x43_mixture_weights" -> (t => mixtureWeights(t)),
+    "x44_dup_spans" -> (t => dupSpans(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -2200,6 +2288,39 @@ object TextQueries {
       FROM dfp d LEFT JOIN cfp c ON c.fp = d.fp
       JOIN fd f ON f.fp = d.fp
       LEFT JOIN near n ON n.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
+    // x43: sums feeding p_alpha are doubles reduced over ≤|sources|
+    // rows on both engines; ROUND(_,6) absorbs association-order ULPs
+    "x43_mixture_weights" -> s"""
+      WITH t AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+      per AS (SELECT source, COUNT(*) AS n_docs, SUM(n) AS n_tokens
+              FROM t GROUP BY source),
+      tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tt,
+                SUM(pow(CAST(n_tokens AS DOUBLE), $MixAlpha)) AS ta FROM per)
+      SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        ROUND(CAST(n_tokens AS DOUBLE) / tt, 6) AS p_raw,
+        ROUND(pow(CAST(n_tokens AS DOUBLE), $MixAlpha) / ta, 6) AS p_alpha,
+        ROUND((pow(CAST(n_tokens AS DOUBLE), $MixAlpha) / ta) /
+              (CAST(n_tokens AS DOUBLE) / tt), 6) AS boost
+      FROM per CROSS JOIN tot ORDER BY source""",
+    "x44_dup_spans" -> s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      win AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS hs
+              FROM (SELECT doc_id, unnest(CASE WHEN len(tk) >= $DupSpanW
+                  THEN list_transform(range(1, len(tk) - ${DupSpanW - 2}),
+                    i -> array_to_string(tk[i:i + ${DupSpanW - 1}], ' '))
+                  ELSE [] END) AS s FROM toks)),
+      cnt AS (SELECT hs, COUNT(*) AS tot FROM win GROUP BY hs),
+      pd AS (SELECT w.doc_id, COUNT(*) AS n_windows,
+               CAST(SUM(CASE WHEN c.tot >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+             FROM win w JOIN cnt c ON c.hs = w.hs GROUP BY w.doc_id)
+      SELECT d.doc_id,
+        COALESCE(pd.n_windows, 0) AS n_windows,
+        COALESCE(pd.n_dup, 0) AS n_dup_windows,
+        CASE WHEN pd.n_windows > 0 THEN
+          ROUND(CAST(pd.n_dup AS DOUBLE) / CAST(pd.n_windows AS DOUBLE), 6)
+        END AS dup_frac
+      FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
       ORDER BY d.doc_id""",
   )
 }

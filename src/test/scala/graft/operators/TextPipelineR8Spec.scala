@@ -72,4 +72,41 @@ class TextPipelineR8Spec extends SparkSpec {
     val restMax = (got - 20L).values.max
     assert(got(20L) > restMax + 1.0)
   }
+
+  test("x43 mixtureWeights: alpha<1 boosts the small source above its raw share, and both distributions sum to 1") {
+    // srcSmall: 1 doc x 10 tokens; srcBig: 9 docs x 10 tokens = 90
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val t = Tables(spark, docsDir(
+      Seq((0L, ten, "srcSmall")) ++ (1 to 9).map(i => (i.toLong, ten, "srcBig"))))
+    val got = TextQueries.mixtureWeights(t).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("srcSmall")._1 == 10L && got("srcBig")._1 == 90L)
+    // hand numbers: p_alpha(small) = 10^0.7 / (10^0.7 + 90^0.7)
+    val ta = math.pow(10, 0.7) + math.pow(90, 0.7)
+    assert(got("srcSmall")._2 == 0.1 && got("srcBig")._2 == 0.9)
+    assert(math.abs(got("srcSmall")._3 - math.pow(10, 0.7) / ta) < 1e-6)
+    // the small source is boosted (>1), the big one damped (<1)
+    assert(got("srcSmall")._4 > 1.0 && got("srcBig")._4 < 1.0)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-5)
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-5)
+  }
+
+  test("x44 dupSpans: cross-doc and within-doc repeated 8-token windows are both counted; short docs report zero windows") {
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")   // shared 8-window
+    val rep = (1 to 8).map(i => s"s$i").mkString(" ")    // self-repeat
+    val t = Tables(spark, docsDir(Seq(
+      (0L, s"$span a1 a2", "s0"),   // 10 toks -> 3 windows, window 1 shared with doc 1
+      (1L, s"$span b1 b2", "s0"),
+      (2L, s"$rep $rep", "s0"),     // 16 toks -> 9 windows, i=1 and i=9 identical
+      (3L, "x1 x2", "s0"))))        // < 8 tokens -> no windows
+    val got = TextQueries.dupSpans(t).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got(0L) == ((3L, 1L, Some(0.333333))))
+    assert(got(1L) == ((3L, 1L, Some(0.333333))))
+    assert(got(2L) == ((9L, 2L, Some(0.222222))))
+    assert(got(3L) == ((0L, 0L, None)))
+  }
 }
