@@ -1,0 +1,131 @@
+package graft.ml
+
+import graft.functions.TextFunctions.{hash60, tokens}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** fastText-style document quality classifier — the third standard
+  * quality-filter family beside the heuristic rules (x10/x37) and the
+  * LM perplexity signal (x39/x40): a logistic-regression model over
+  * hashed bag-of-tokens features, trained to separate a curated
+  * positive slice from the raw corpus, scoring every document with a
+  * keep probability. This is the GPT-3 appendix-A / LLaMA "classify
+  * pages used as references in Wikipedia" recipe (Brown et al. 2020;
+  * Touvron et al. 2023), re-expressed Spark-first.
+  *
+  * Scale split (the IVF-quantizer discipline, `Similarity.scala:299`):
+  * TRAINING is corpus-size-independent — a bounded, deterministic,
+  * value-hashed sample per class (≤ maxTrain docs total) is featurized
+  * distributed, collected, and fitted on the driver by full-batch
+  * gradient descent (model = `buckets`+1 doubles, sample ≤ a few MB).
+  * SCORING is one distributed pass: tokenize → hash-bucket explode →
+  * broadcast-join the ≤`buckets`-row weight table → per-doc dot by
+  * map-side-combined groupBy → sigmoid. Nothing driver-side touches
+  * the corpus; nothing executor-side holds more than the weight table.
+  *
+  * Features are L1-normalized term frequencies (count / doc length)
+  * over `hash60(token) % buckets` — the same md5-derived hash column
+  * (native or fallback) on the train and score paths, so a model
+  * trained under one wiring scores identically under the other.
+  * Determinism: the sample is value-hash-ordered, per-doc features are
+  * bucket-sorted before the driver fold, and the fit has no random
+  * state (w₀ = 0) — train twice, get bitwise-equal weights.
+  */
+object QualityClassifier {
+
+  /** Trained model: `weights(b)` for bucket b, plus bias. */
+  final case class Model(weights: Array[Double], bias: Double, buckets: Int)
+
+  private val DefaultBuckets = 4096
+  private val DefaultMaxTrain = 20000
+
+  /** `(doc_id, n_toks, bucket, v)` — one row per (doc, bucket) with the
+    * L1-normalized term frequency. Docs with zero tokens vanish here
+    * (they carry no evidence; [[score]] re-attaches them at bias-only
+    * probability). */
+  private def bucketTf(docs: DataFrame, buckets: Int): DataFrame =
+    graft.core.Fanout.widen(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("n_toks"),
+        (hash60(col("tok")) % buckets).as("bucket"))
+      .groupBy("doc_id", "n_toks", "bucket")
+      .agg((count(lit(1)).cast("double") / col("n_toks")).as("v"))
+
+  /** Fit on a bounded per-class sample. `positive` is the curation
+    * predicate (e.g. `col("source") === "src0"` — the in-domain slice
+    * x36/x39 also treat as target). Each class contributes ≤
+    * maxTrain/2 docs chosen by value hash — deterministic, and immune
+    * to class imbalance in the corpus (a rare curated slice still
+    * fills its half). */
+  def train(docs: DataFrame, positive: Column,
+            buckets: Int = DefaultBuckets, iters: Int = 200,
+            lr: Double = 2.0, l2: Double = 1e-6,
+            maxTrain: Int = DefaultMaxTrain, seed: Long = 42L): Model = {
+    def classSample(pred: Column) = docs.filter(pred)
+      .orderBy(xxhash64(col("text"), lit(seed)), col("doc_id"))
+      .limit(maxTrain / 2)
+    val sample = classSample(positive).withColumn("y", lit(1.0))
+      .unionByName(classSample(!positive).withColumn("y", lit(0.0)))
+      .select("doc_id", "text", "y")
+    // featurize distributed, collect ≤maxTrain sparse rows to the driver
+    val feats = bucketTf(sample, buckets)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("bucket"), col("v"))).as("f"))
+      .join(sample.select("doc_id", "y"), "doc_id")
+      .select("y", "f").collect()
+      .map { r =>
+        val f = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0).toInt, x.getDouble(1)))
+          .sortBy(_._1).toArray // fixed fold order -> bitwise-stable fit
+        (r.getDouble(0), f)
+      }
+    require(feats.nonEmpty, "quality classifier: empty training sample")
+
+    val w = new Array[Double](buckets)
+    var b = 0.0
+    val n = feats.length.toDouble
+    for (_ <- 1 to iters) {
+      val gw = new Array[Double](buckets)
+      var gb = 0.0
+      feats.foreach { case (y, f) =>
+        var m = b
+        f.foreach { case (j, v) => m += w(j) * v }
+        val err = 1.0 / (1.0 + math.exp(-m)) - y
+        f.foreach { case (j, v) => gw(j) += err * v }
+        gb += err
+      }
+      var j = 0
+      while (j < buckets) {
+        w(j) -= lr * (gw(j) / n + l2 * w(j)); j += 1
+      }
+      b -= lr * gb / n
+    }
+    Model(w, b, buckets)
+  }
+
+  /** Score every document: `(doc_id, quality_prob)` = σ(w·x + bias).
+    * One tokenize pass; the weight table (≤ `buckets` rows) broadcasts
+    * onto the bucket explode; the per-doc dot is a map-side-combined
+    * groupBy on doc_id. Token-less docs score at the bias via the
+    * left join's zero dot. */
+  def score(docs: DataFrame, m: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = m.weights.zipWithIndex.collect {
+      case (w, j) if w != 0.0 => (j.toLong, w)
+    }.toSeq.toDF("bucket", "w")
+    val dots = bucketTf(docs, m.buckets)
+      .join(broadcast(wdf), Seq("bucket"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("w"), lit(0.0)) * col("v")).as("dot"))
+    docs.select("doc_id")
+      .join(dots, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) +
+          exp(-(coalesce(col("dot"), lit(0.0)) + lit(m.bias)))))
+          .as("quality_prob"))
+      .orderBy("doc_id")
+  }
+}
