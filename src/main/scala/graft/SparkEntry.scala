@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.operators.{Bpe, Similarity, StarQueries, TextQueries}
+import graft.operators.{Bpe, QualityQueries, Similarity, StarQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +20,8 @@ object SparkEntry {
   /** One entry per implemented operator: the §2.10 gate set plus the
     * training-data-pipeline extensions (dedup / similarity / text). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (StarQueries.all ++ TextQueries.all ++ Similarity.all ++ Bpe.all).map {
+    (StarQueries.all ++ TextQueries.all ++ Similarity.all ++ Bpe.all ++
+      QualityQueries.all).map {
       case (name, fn) =>
         name -> ((s: SparkSession, dir: String) => fn(Tables(s, dir)))
     }.toMap
@@ -29,5 +30,5 @@ object SparkEntry {
     * adapter). Keys absent here get the driver's rows-only check. */
   def oracleSql: Map[String, String] =
     StarQueries.oracles ++ TextQueries.oracles ++ Similarity.oracles ++
-      Bpe.oracles
+      Bpe.oracles ++ QualityQueries.oracles
 }
