@@ -1641,6 +1641,110 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---- x46 TF-IDF keyword extraction --------------------------------------
+
+  /** Keywords kept per document. */
+  private val TfidfK = 5
+
+  /** x46 TF-IDF top-k keywords per document — the classic salience
+    * score (tf · ln(N/df), Sparck Jones 1972) that corpus tooling uses
+    * for topic tagging, index hints, and cluster labeling. Distinct
+    * from x04 (global token frequency) and x32 (BM25 retrieval against
+    * a query set): this is a per-document extraction over the whole
+    * corpus vocabulary.
+    *
+    * Scale shape: one tokenize pass into per-(doc, token) counts;
+    * document frequency is a map-side-combined groupBy on the token;
+    * tf joins df by token — a plain shuffle join (the x27/x44 choice:
+    * a stopword appearing in every doc skews a token-partitioned
+    * window but hash-joins fine); the corpus doc count is a 1-row
+    * broadcast. Top-k is a window PARTITIONED BY doc_id — per-group
+    * heap, no global order. */
+  def tfidfKeywords(t: Tables, k: Int = TfidfK): DataFrame = {
+    val tf = withToks(graft.core.Fanout.widen(t.documents))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nd = t.documents.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf_raw").desc, col("tok"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(nd))
+      .withColumn("tfidf_raw",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("tok"),
+        col("tf"), round(col("tfidf_raw"), 6).as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  // ---- x47 token-entropy lexical diversity --------------------------------
+
+  /** x47 token-entropy — the information-theoretic lexical-diversity
+    * signal (Shannon entropy of the within-document token
+    * distribution, plus its ln(n)-normalized form): low-entropy
+    * documents are template/spam/repetition candidates the way x16's
+    * top-fraction flags them, but entropy ranks the WHOLE distribution
+    * rather than its mode, so it separates "one token repeated" from
+    * "five tokens cycled" at equal top-fraction. Uses the identity
+    * H = ln(n) − (Σ c·ln c)/n so one (doc, token)-count pass and one
+    * per-doc reduction suffice — no p=c/n intermediate, no second
+    * join. Per-row/per-group only: shuffle-free beyond the two
+    * map-side-combined aggs at any corpus size. */
+  def tokenEntropy(t: Tables): DataFrame = {
+    val per = withToks(graft.core.Fanout.widen(t.documents))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+    t.documents.select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        when(col("n_tokens") > 0,
+          round(log(col("n_tokens").cast("double")) -
+            col("clc") / col("n_tokens"), 6)).as("entropy"),
+        when(col("n_tokens") > 1,
+          round((log(col("n_tokens").cast("double")) -
+            col("clc") / col("n_tokens")) /
+            log(col("n_tokens").cast("double")), 6)).as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
+  // ---- x48 deterministic shard assignment ---------------------------------
+
+  /** Training shards written by the gate query. */
+  private val NumShards = 8
+
+  /** x48 deterministic shard assignment — the LAST stage of corpus
+    * prep: a global, salt-keyed hash shuffle of the kept documents
+    * into `shards` balanced output files in a reproducible order
+    * (dataloader-ready; re-running the pipeline bit-reproduces every
+    * shard). `shard = h60(doc_id·salt) % shards` spreads adjacent ids,
+    * `pos` orders within the shard by the same hash — so the written
+    * order is also a deterministic permutation, the "global shuffle"
+    * LLM training wants without any global sort: the only window is
+    * PARTITIONED BY shard (shard count ≈ output files, each a
+    * fraction of the corpus; at 100 TB shards are sized to the
+    * dataloader, thousands of partitions, none global). */
+  def shardAssign(t: Tables, shards: Int = NumShards,
+                  salt: String = "shard0"): DataFrame = {
+    val keyed = t.documents
+      .select(col("doc_id"),
+        hash60(concat(col("doc_id").cast("string"), lit("|" + salt)))
+          .as("hk"))
+      .withColumn("shard", col("hk") % shards)
+    val w = Window.partitionBy("shard").orderBy(col("hk"), col("doc_id"))
+    keyed
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+      .orderBy("shard", "pos")
+  }
+
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x01_exactdedup" -> exactDedup _,
     "x02_textstats" -> textStats _,
@@ -1680,6 +1784,9 @@ object TextQueries {
     "x42_delta_dedup" -> (t => deltaDedup(t)),
     "x43_mixture_weights" -> (t => mixtureWeights(t)),
     "x44_dup_spans" -> (t => dupSpans(t)),
+    "x46_tfidf_keywords" -> (t => tfidfKeywords(t)),
+    "x47_token_entropy" -> tokenEntropy _,
+    "x48_shard_assign" -> (t => shardAssign(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -2322,5 +2429,49 @@ object TextQueries {
         END AS dup_frac
       FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
       ORDER BY d.doc_id""",
+    "x46_tfidf_keywords" -> s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+             FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+             GROUP BY doc_id, tok),
+      df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      sc AS (SELECT tf.doc_id, tf.tok, tf.tf,
+               tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / df.df) AS tfidf_raw
+             FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN nd),
+      rk AS (SELECT doc_id, tok, tf, tfidf_raw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf_raw DESC, tok) AS BIGINT) AS rk
+             FROM sc)
+      SELECT doc_id, rk, tok, tf, ROUND(tfidf_raw, 6) AS tfidf
+      FROM rk WHERE rk <= $TfidfK ORDER BY doc_id, rk""",
+    "x47_token_entropy" -> s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      cnt AS (SELECT doc_id, tok, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+              GROUP BY doc_id, tok),
+      per AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+                SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc
+              FROM cnt GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(per.n_tokens, 0) AS n_tokens,
+        COALESCE(per.n_types, 0) AS n_types,
+        CASE WHEN per.n_tokens > 0 THEN
+          ROUND(ln(CAST(per.n_tokens AS DOUBLE)) - per.clc / per.n_tokens, 6)
+        END AS entropy,
+        CASE WHEN per.n_tokens > 1 THEN
+          ROUND((ln(CAST(per.n_tokens AS DOUBLE)) - per.clc / per.n_tokens)
+            / ln(CAST(per.n_tokens AS DOUBLE)), 6)
+        END AS norm_entropy
+      FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
+    "x48_shard_assign" -> s"""
+      WITH k AS (SELECT doc_id,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|shard0'), 1, 15) AS BIGINT) AS hk
+        FROM documents)
+      SELECT doc_id, hk % $NumShards AS shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY hk % $NumShards
+          ORDER BY hk, doc_id) AS BIGINT) AS pos
+      FROM k ORDER BY shard, pos""",
   )
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import java.nio.file.Files
+
+/** Round-8 specs for x46 (TF-IDF keywords), x47 (token entropy) and
+  * x48 (shard assignment): hand-computed expectations on planted
+  * documents, plus the plan/partitioning properties the oracle cannot
+  * see (shard balance/determinism, per-doc window partitioning). */
+class TextStatsR8Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("r8stats").toString
+    rows.map { case (id, text) => (id, text, "en", "s0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("x46 tfidfKeywords: corpus-wide tokens score zero, rare tokens rank first") {
+    // 'the' in all 3 docs -> ln(3/3)=0; 'rare' only in doc 0 -> ln 3
+    val t = Tables(spark, docsDir(Seq(
+      (0L, "the the rare"),
+      (1L, "the shared word"),
+      (2L, "the shared word word"))))
+    val got = TextQueries.tfidfKeywords(t, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 0 rank 1: rare, tf=1, tfidf = ln(3)
+    assert(got((0L, 1L))._1 == "rare")
+    assert(math.abs(got((0L, 1L))._3 - math.log(3.0)) < 1e-6)
+    // doc 0 rank 2: 'the' at tfidf 0 (tf=2 * ln(1))
+    assert(got((0L, 2L)) == (("the", 2L, 0.0)))
+    // doc 2 rank 1: word twice, df=2 -> 2*ln(1.5)
+    assert(got((2L, 1L))._1 == "word")
+    assert(math.abs(got((2L, 1L))._3 - 2 * math.log(1.5)) < 1e-6)
+  }
+
+  test("x47 tokenEntropy: uniform > skewed > constant; empty doc nulls") {
+    val t = Tables(spark, docsDir(Seq(
+      (0L, "a b c d"),      // uniform over 4: H = ln 4, norm = 1
+      (1L, "a a a b"),      // skewed
+      (2L, "a a a a"),      // constant: H = 0
+      (3L, ""))))           // token-less
+    val got = TextQueries.tokenEntropy(t).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getLong(1) == 4 && got(0L).getLong(2) == 4)
+    assert(math.abs(got(0L).getDouble(3) - math.log(4.0)) < 1e-6)
+    assert(math.abs(got(0L).getDouble(4) - 1.0) < 1e-6)
+    // skewed: H = ln4 - (3 ln 3)/4
+    assert(math.abs(got(1L).getDouble(3) -
+      (math.log(4.0) - 3 * math.log(3.0) / 4)) < 1e-6)
+    assert(got(2L).getDouble(3) == 0.0 && got(2L).getDouble(4) == 0.0)
+    assert(got(3L).getLong(1) == 0 && got(3L).isNullAt(3) && got(3L).isNullAt(4))
+  }
+
+  test("x48 shardAssign: a permutation — every doc exactly once, contiguous pos per shard, deterministic") {
+    val t = Tables(spark, docsDir((0L until 200L).map(i => (i, s"doc $i"))))
+    val a = TextQueries.shardAssign(t).collect()
+    assert(a.map(_.getLong(0)).toSet == (0L until 200L).toSet)
+    a.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+      val pos = rows.map(_.getLong(2)).sorted.toSeq
+      assert(pos == (1L to rows.length).toSeq,
+        s"shard $shard positions not contiguous: $pos")
+    }
+    // balanced-ish under the hash (no shard empty, none > 3x mean)
+    val sizes = a.groupBy(_.getLong(1)).values.map(_.length)
+    assert(sizes.size == 8 && sizes.max < 3 * (200 / 8))
+    val b = TextQueries.shardAssign(t).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("x46/x48 plans: only doc-partitioned / shard-partitioned windows, no global window") {
+    val t = Tables(spark, docsDir((0L until 50L).map(i => (i, s"tok$i shared"))))
+    Seq(TextQueries.tfidfKeywords(t), TextQueries.shardAssign(t)).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      // a global window would plan a single-partition Exchange before WindowExec
+      assert(!p.contains("Exchange SinglePartition, [plan_id"),
+        s"unexpected single-partition exchange:\n${p.take(2000)}")
+    }
+  }
+}
