@@ -153,4 +153,37 @@ object DocStream {
           out.iterator
       }
   }
+
+  /** Streaming quality-classifier scoring — model serving for the
+    * batch-trained x45 model ([[graft.ml.QualityClassifier]]): score
+    * an unbounded document feed and flag admission at `threshold`.
+    *
+    * The batch scorer's shape (bucket explode → broadcast weight join
+    * → per-doc groupBy dot) would be a stateful aggregation in a
+    * stream; this uses the algebraic identity
+    * Σ_b w_b·(c_b/n) = (Σ_t w_{bucket(t)})/n to fold the dot
+    * ROW-LOCALLY over the token array (`transform` + `aggregate`
+    * HOFs over a single array-literal weight vector), so scoring is a
+    * stateless, shuffle-free projection — append-mode safe, no
+    * watermark, no state store, executor memory = one `buckets`-sized
+    * broadcast literal. Matches the batch scorer to float-sum
+    * reordering (exact same doubles, different addition order). */
+  def qualityScore(docs: DataFrame, m: graft.ml.QualityClassifier.Model,
+                   threshold: Double = 0.5): DataFrame = {
+    val wlit = typedlit(m.weights.toSeq)
+    val toks = TextFunctions.tokens(col("text"))
+    val dot = when(size(col("toks")) > 0,
+      aggregate(
+        transform(col("toks"), t =>
+          element_at(wlit,
+            (TextFunctions.hash60(t) % m.buckets).cast("int") + 1)),
+        lit(0.0), (acc, x) => acc + x) / size(col("toks")))
+      .otherwise(lit(0.0))
+    docs
+      .withColumn("toks", toks)
+      .withColumn("quality_prob",
+        lit(1.0) / (lit(1.0) + exp(-(dot + lit(m.bias)))))
+      .select(col("ts"), col("doc_id"), col("quality_prob"),
+        (col("quality_prob") >= threshold).as("kept"))
+  }
 }

@@ -183,4 +183,49 @@ class DocStreamSpec extends SparkSpec {
       assert(out(3L) == ((1L, true)) && out(5L) == ((2L, true)), out)
     } finally q.stop()
   }
+
+  test("streaming quality scoring matches the batch scorer and stays stateless") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // train on a planted separable corpus (the QualityClassifierSpec shape)
+    val good = Seq("theorem", "proof", "lemma", "axiom")
+    val bad = Seq("click", "free", "prize", "pills")
+    val corpus = (0 until 60).map { i =>
+      val (voc, src) = if (i % 2 == 0) (good, "src0") else (bad, "srcX")
+      (i.toLong, (0 until 8).map(j => voc((i + j) % voc.length)).mkString(" "),
+        "en", src, 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = graft.ml.QualityClassifier.train(
+      corpus, col("source") === "src0", buckets = 128, iters = 100,
+      maxTrain = 100)
+    val batch = graft.ml.QualityClassifier.score(corpus, m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val mem = MemoryStream[Doc]
+    val q = DocStream.qualityScore(mem.toDF(), m)
+      .writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").start()
+    try {
+      val rows = corpus.select("doc_id", "text").collect()
+      mem.addData(rows.take(30).map(r =>
+        Doc(ts(0), r.getLong(0), r.getString(1))).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(rows.drop(30).map(r =>
+        Doc(ts(1), r.getLong(0), r.getString(1))).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("quality_stream")
+        .select("doc_id", "quality_prob", "kept").collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+      assert(got.size == 60)
+      got.foreach { case (id, (p, kept)) =>
+        assert(math.abs(p - batch(id)) < 1e-9,
+          s"doc $id: stream $p vs batch ${batch(id)}")
+        assert(kept == (p >= 0.5))
+      }
+      // stateless: no state-store rows behind this query
+      val prog = q.lastProgress
+      assert(prog == null || prog.stateOperators.isEmpty ||
+        prog.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
 }
