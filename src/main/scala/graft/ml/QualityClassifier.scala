@@ -70,7 +70,7 @@ object QualityClassifier {
       .unionByName(classSample(!positive).withColumn("y", lit(0.0)))
       .select("doc_id", "text", "y")
     // featurize distributed, collect ≤maxTrain sparse rows to the driver
-    val feats = bucketTf(sample, buckets)
+    val collected = bucketTf(sample, buckets)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("bucket"), col("v"))).as("f"))
       .join(sample.select("doc_id", "y"), "doc_id")
@@ -78,29 +78,54 @@ object QualityClassifier {
       .map { r =>
         val f = r.getSeq[org.apache.spark.sql.Row](1)
           .map(x => (x.getLong(0).toInt, x.getDouble(1)))
-          .sortBy(_._1).toArray // fixed fold order -> bitwise-stable fit
+          .sortBy(_._1) // fixed fold order -> bitwise-stable fit
         (r.getDouble(0), f)
       }
-    require(feats.nonEmpty, "quality classifier: empty training sample")
+    require(collected.nonEmpty, "quality classifier: empty training sample")
+
+    // CSR layout + while-loops: the fold runs iters × nnz FMAs on the
+    // driver (≤ maxTrain docs, so bounded by construction — but at the
+    // cap that is ~10⁸ ops, where boxed-tuple iteration costs multiple
+    // seconds and this flat form milliseconds). Same summation order
+    // as the row form: docs in collect order, features bucket-sorted.
+    val nDocs = collected.length
+    val ys = collected.map(_._1)
+    val indptr = new Array[Int](nDocs + 1)
+    collected.zipWithIndex.foreach { case ((_, f), i) =>
+      indptr(i + 1) = indptr(i) + f.length
+    }
+    val idx = new Array[Int](indptr(nDocs))
+    val vals = new Array[Double](indptr(nDocs))
+    collected.zipWithIndex.foreach { case ((_, f), i) =>
+      var p = indptr(i)
+      f.foreach { case (j, v) => idx(p) = j; vals(p) = v; p += 1 }
+    }
 
     val w = new Array[Double](buckets)
     var b = 0.0
-    val n = feats.length.toDouble
-    for (_ <- 1 to iters) {
+    val n = nDocs.toDouble
+    var it = 0
+    while (it < iters) {
       val gw = new Array[Double](buckets)
       var gb = 0.0
-      feats.foreach { case (y, f) =>
+      var i = 0
+      while (i < nDocs) {
         var m = b
-        f.foreach { case (j, v) => m += w(j) * v }
-        val err = 1.0 / (1.0 + math.exp(-m)) - y
-        f.foreach { case (j, v) => gw(j) += err * v }
+        var p = indptr(i)
+        val end = indptr(i + 1)
+        while (p < end) { m += w(idx(p)) * vals(p); p += 1 }
+        val err = 1.0 / (1.0 + math.exp(-m)) - ys(i)
+        p = indptr(i)
+        while (p < end) { gw(idx(p)) += err * vals(p); p += 1 }
         gb += err
+        i += 1
       }
       var j = 0
       while (j < buckets) {
         w(j) -= lr * (gw(j) / n + l2 * w(j)); j += 1
       }
       b -= lr * gb / n
+      it += 1
     }
     Model(w, b, buckets)
   }
