@@ -1641,6 +1641,61 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---- x49 duplicate-span removal -----------------------------------------
+
+  /** x49 duplicate-span removal — the ACTION to x44's measure: the
+    * Lee et al. 2022 exact-substring dedup itself. Every positional
+    * w-token window is hashed; the globally FIRST occurrence of each
+    * window (min (doc_id, pos), deterministic) is kept, every later
+    * occurrence marks its w token positions for removal; overlapping
+    * marked ranges union naturally (distinct covered indices — no
+    * interval-merge pass needed); each document's surviving tokens are
+    * reassembled in order. Output is (doc_id, n_tokens, n_kept,
+    * cleaned_md5) — text hashed, the x34 convention.
+    *
+    * Scale shape: window hashing is the x44 pass; first-occurrence is
+    * a map-side-combined min(struct(doc_id, pos)) groupBy on the hash
+    * — NOT a rank window (a boilerplate window duplicated 10⁶× would
+    * pile one hash-partition; min-struct combines map-side, and the
+    * dup check is then a hash join). Coverage explode is bounded by
+    * w × corpus windows; reassembly groups per doc_id (collect_list
+    * of (idx, tok) bounded by doc length, the x26-style per-doc
+    * array). No global order anywhere except the oracle-mandated
+    * final doc_id sort. */
+  def spanRemoval(t: Tables, w: Int = DupSpanW): DataFrame = {
+    val td = withToks(graft.core.Fanout.widen(t.documents))
+    val win = td
+      .select(col("doc_id"),
+        posexplode(wordShingles(col("toks"), w)).as(Seq("p0", "s")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        hash60(col("s")).as("hs"))
+    val first = win.groupBy("hs")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val dup = win.join(first, "hs")
+      .filter(!(col("doc_id") === col("f.doc_id") &&
+        col("pos") === col("f.pos")))
+    val rem = dup
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("idx"))
+      .distinct()
+    val kept = td
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).as("idx"), col("tok"))
+      .join(rem, Seq("doc_id", "idx"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
+            s => s.getField("tok"))).as("cleaned"))
+    t.documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
   // ---- x46 TF-IDF keyword extraction --------------------------------------
 
   /** Keywords kept per document. */
@@ -1787,6 +1842,7 @@ object TextQueries {
     "x46_tfidf_keywords" -> (t => tfidfKeywords(t)),
     "x47_token_entropy" -> tokenEntropy _,
     "x48_shard_assign" -> (t => shardAssign(t)),
+    "x49_span_removal" -> (t => spanRemoval(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -2473,5 +2529,36 @@ object TextQueries {
         CAST(ROW_NUMBER() OVER (PARTITION BY hk % $NumShards
           ORDER BY hk, doc_id) AS BIGINT) AS pos
       FROM k ORDER BY shard, pos""",
+    "x49_span_removal" -> s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      win AS (SELECT doc_id,
+          unnest(CASE WHEN len(tk) >= $DupSpanW
+            THEN range(1, len(tk) - ${DupSpanW - 2}) ELSE [] END) AS pos,
+          CAST('0x' || substr(md5(unnest(CASE WHEN len(tk) >= $DupSpanW
+            THEN list_transform(range(1, len(tk) - ${DupSpanW - 2}),
+              i -> array_to_string(tk[i:i + ${DupSpanW - 1}], ' '))
+            ELSE [] END)), 1, 15) AS BIGINT) AS hs
+        FROM toks),
+      f1 AS (SELECT hs, MIN(doc_id) AS fdoc FROM win GROUP BY hs),
+      f2 AS (SELECT w.hs, f1.fdoc, MIN(w.pos) AS fpos
+             FROM win w JOIN f1 ON f1.hs = w.hs AND w.doc_id = f1.fdoc
+             GROUP BY w.hs, f1.fdoc),
+      dup AS (SELECT w.doc_id, w.pos FROM win w JOIN f2 ON f2.hs = w.hs
+              WHERE NOT (w.doc_id = f2.fdoc AND w.pos = f2.fpos)),
+      rem AS (SELECT DISTINCT doc_id, pos + k.k AS idx
+              FROM dup, (SELECT unnest(range(0, $DupSpanW)) AS k) k),
+      tok AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS idx,
+                unnest(tk) AS tok FROM toks),
+      kept AS (SELECT t.doc_id, t.idx, t.tok FROM tok t
+               LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.idx = t.idx
+               WHERE r.doc_id IS NULL),
+      rb AS (SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY idx) AS cleaned
+             FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        COALESCE(rb.n_kept, 0) AS n_kept,
+        md5(COALESCE(rb.cleaned, '')) AS cleaned_md5
+      FROM toks t LEFT JOIN rb ON rb.doc_id = t.doc_id
+      ORDER BY t.doc_id""",
   )
 }

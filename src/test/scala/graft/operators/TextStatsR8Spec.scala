@@ -73,6 +73,35 @@ class TextStatsR8Spec extends SparkSpec {
       b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
 
+  test("x49 spanRemoval: later copies of a span are removed, first kept; overlaps union") {
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")      // the shared 8-token span
+    val t = Tables(spark, docsDir(Seq(
+      (0L, s"$span a1 a2"),                  // first occurrence — intact
+      (1L, s"b1 $span b2"),                  // later copy — span removed
+      (2L, s"c1 c2 c3"),                     // untouched (no 8-token window)
+      (3L, s"$span $span"))))                // within-doc repeat + overlap windows
+    val got = TextQueries.spanRemoval(t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0L) == ((10L, 10L, m(s"$span a1 a2"))), got(0L))
+    assert(got(1L) == ((10L, 2L, m("b1 b2"))), got(1L))
+    assert(got(2L) == ((3L, 3L, m("c1 c2 c3"))), got(2L))
+    // doc 3: its first window (pos 1) is a LATER copy of doc 0's span, and
+    // every other window (the wrap-around + the repeat) is also a dup of an
+    // earlier occurrence -> all 16 tokens covered
+    assert(got(3L) == ((16L, 0L, m(""))), got(3L))
+  }
+
+  test("x49 spanRemoval: tokens outside the duplicated window survive at both ends") {
+    val span = (1 to 8).map(i => s"t$i").mkString(" ")
+    val t = Tables(spark, docsDir(Seq(
+      (0L, s"$span x1"), (1L, s"y1 $span"))))
+    val once = TextQueries.spanRemoval(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(once == Map(0L -> 9L, 1L -> 1L))
+  }
+
   test("x46/x48 plans: only doc-partitioned / shard-partitioned windows, no global window") {
     val t = Tables(spark, docsDir((0L until 50L).map(i => (i, s"tok$i shared"))))
     Seq(TextQueries.tfidfKeywords(t), TextQueries.shardAssign(t)).foreach { df =>
