@@ -1656,8 +1656,10 @@ object TextQueries {
     * Scale shape: window hashing is the x44 pass; first-occurrence is
     * a map-side-combined min(struct(doc_id, pos)) groupBy on the hash
     * — NOT a rank window (a boilerplate window duplicated 10⁶× would
-    * pile one hash-partition; min-struct combines map-side, and the
-    * dup check is then a hash join). Coverage explode is bounded by
+    * pile one hash-partition; min-struct combines map-side — as a
+    * partial SortAggregate, struct orderings not being
+    * hash-aggregable, so each map task pays one in-memory sort by
+    * hash — and the dup check is then a hash join). Coverage explode is bounded by
     * w × corpus windows; reassembly groups per doc_id (collect_list
     * of (idx, tok) bounded by doc length, the x26-style per-doc
     * array). No global order anywhere except the oracle-mandated

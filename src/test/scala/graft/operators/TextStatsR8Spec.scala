@@ -110,5 +110,17 @@ class TextStatsR8Spec extends SparkSpec {
       assert(!p.contains("Exchange SinglePartition, [plan_id"),
         s"unexpected single-partition exchange:\n${p.take(2000)}")
     }
+    // x46's top-k must keep Spark's rank-limit pushdown: a Partial
+    // WindowGroupLimit prunes each map task to k rows per doc BEFORE
+    // the doc_id shuffle (losing it would shuffle every (doc, token))
+    val p46 = TextQueries.tfidfKeywords(t).queryExecution.executedPlan.toString
+    assert(p46.contains("WindowGroupLimit") && p46.contains("Partial"),
+      s"x46 lost the partial rank-limit pushdown:\n${p46.take(2000)}")
+    // x49's first-occurrence agg must combine map-side (partial_min of
+    // the (doc_id,pos) struct), never a rank window over the hash
+    val p49 = TextQueries.spanRemoval(t).queryExecution.executedPlan.toString
+    assert(p49.contains("partial_min(struct(doc_id") &&
+      !p49.contains("windowspecdefinition(hs"),
+      s"x49 first-occurrence shape changed:\n${p49.take(2000)}")
   }
 }
