@@ -151,6 +151,7 @@ object QualityClassifier {
         (lit(1.0) / (lit(1.0) +
           exp(-(coalesce(col("dot"), lit(0.0)) + lit(m.bias)))))
           .as("quality_prob"))
-      .orderBy("doc_id")
+    // no ordering here: a global sort belongs to consumers that need
+    // one (the x45 gate adds its oracle-mandated doc_id order itself)
   }
 }

@@ -1676,10 +1676,29 @@ object TextQueries {
     val dup = win.join(first, "hs")
       .filter(!(col("doc_id") === col("f.doc_id") &&
         col("pos") === col("f.pos")))
+    // Coverage via per-doc interval merge, NOT a per-window index
+    // explode: at heavy duplicity nearly every window is a dup, and
+    // exploding w indices per dup window then DISTINCTing them pushes
+    // w× the corpus token count through a shuffle (measured 16× wall
+    // for 10× docs at the 5M soak — spill-bound). Fixed width makes
+    // island detection a lag: windows sorted by pos have monotone
+    // ends, so a new covered interval starts exactly when
+    // pos > prev_pos + w. Islands are disjoint, so exploding
+    // sequence(start, end) emits each covered index ONCE — the explode
+    // is bounded by the token count, and the only shuffle is the
+    // doc-partitioned sort (per-doc groups, no hash-key skew).
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
     val rem = dup
+      .select(col("doc_id"), col("pos"))
+      .withColumn("newIsland",
+        when(lag(col("pos"), 1).over(wd).isNull ||
+          col("pos") > lag(col("pos"), 1).over(wd) + w, 1L).otherwise(0L))
+      .withColumn("island", sum(col("newIsland")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("start"), (max(col("pos")) + (w - 1)).as("end"))
       .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (w - 1))).as("idx"))
-      .distinct()
+        explode(sequence(col("start"), col("end"))).as("idx"))
     val kept = td
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "tok")))
       .select(col("doc_id"), (col("i0") + 1).as("idx"), col("tok"))
