@@ -1717,6 +1717,38 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---- x50 per-source calibrated quality filter ---------------------------
+
+  /** Keep documents at or above this per-source quality quantile. */
+  private val CalibKeepQuantile = 0.7
+
+  /** x50 per-source calibrated quality filtering — the FineWeb-recipe
+    * refinement of a global quality cut: a single corpus-wide
+    * threshold silently deletes entire low-scoring SOURCES (a
+    * low-resource domain whose whole distribution sits below the
+    * global bar), so the cut is a QUANTILE WITHIN EACH SOURCE —
+    * `percent_rank` of the x10 heuristic score partitioned by source,
+    * keep iff rank ≥ q. Token-less documents (null score) are excluded
+    * from the ranking and never kept.
+    *
+    * Scale shape: one tokenize scan for the scores; the only window is
+    * PARTITIONED BY source (sources ≈ domains — many groups, none
+    * corpus-sized; for a pathological mega-source the same cut can be
+    * phrased over approx_percentile instead, the q38Approx move). */
+  def calibratedQuality(t: Tables, q: Double = CalibKeepQuantile): DataFrame = {
+    val scored = withToks(t.documents)
+      .select(col("doc_id"), col("source"),
+        qualityCol(col("text"), col("toks")).as("quality"))
+    val wq = Window.partitionBy("source").orderBy(col("quality"), col("doc_id"))
+    val ranked = scored.filter(col("quality").isNotNull)
+      .withColumn("pr", round(percent_rank().over(wq), 6))
+    scored
+      .join(ranked.select("doc_id", "pr"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("quality"), col("pr"),
+        coalesce(col("pr") >= q, lit(false)).as("keep"))
+      .orderBy("doc_id")
+  }
+
   // ---- x46 TF-IDF keyword extraction --------------------------------------
 
   /** Keywords kept per document. */
@@ -1864,6 +1896,7 @@ object TextQueries {
     "x47_token_entropy" -> tokenEntropy _,
     "x48_shard_assign" -> (t => shardAssign(t)),
     "x49_span_removal" -> (t => spanRemoval(t)),
+    "x50_calibrated_quality" -> (t => calibratedQuality(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -2581,5 +2614,16 @@ object TextQueries {
         md5(COALESCE(rb.cleaned, '')) AS cleaned_md5
       FROM toks t LEFT JOIN rb ON rb.doc_id = t.doc_id
       ORDER BY t.doc_id""",
+    "x50_calibrated_quality" -> s"""
+      WITH t AS (SELECT doc_id, source, text, $toksSql AS tk FROM documents),
+      sc AS (SELECT doc_id, source, ${qualitySql("text", "tk")} AS quality FROM t),
+      r AS (SELECT doc_id,
+              ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                ORDER BY quality, doc_id), 6) AS pr
+            FROM sc WHERE quality IS NOT NULL)
+      SELECT sc.doc_id, sc.source, sc.quality, r.pr,
+        COALESCE(r.pr >= $CalibKeepQuantile, FALSE) AS keep
+      FROM sc LEFT JOIN r ON r.doc_id = sc.doc_id
+      ORDER BY sc.doc_id""",
   )
 }

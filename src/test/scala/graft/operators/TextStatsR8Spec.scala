@@ -102,6 +102,35 @@ class TextStatsR8Spec extends SparkSpec {
     assert(once == Map(0L -> 9L, 1L -> 1L))
   }
 
+  private def docsDirSrc(rows: Seq[(Long, String, String)]): String = {
+    val dir = Files.createTempDirectory("r8cal").toString
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("x50 calibratedQuality: the cut is per source — a weak source still keeps its best docs") {
+    // source A: rich-vocab docs; source B: repetitive docs that would all
+    // fall below a GLOBAL cut. The per-source quantile keeps B's best.
+    val a = (0 until 10).map(i => (i.toLong,
+      (0 until 20).map(j => s"a${i}w$j").mkString(" ") + " one two.", "A"))
+    val b = (10 until 20).map(i => (i.toLong,
+      ("dup " * (25 - i)).trim, "B"))
+    val t = Tables(spark, docsDirSrc(a ++ b :+ ((99L, "", "B"))))
+    val got = TextQueries.calibratedQuality(t).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.isNullAt(3), r.getBoolean(4)))).toMap
+    val keptB = got.filter { case (id, (s, _, k)) => s == "B" && k }
+    assert(keptB.nonEmpty, s"per-source cut must keep some of source B: $got")
+    val keptA = got.filter { case (_, (s, _, k)) => s == "A" && k }
+    assert(keptA.nonEmpty)
+    // token-less doc: null rank, never kept
+    assert(got(99L)._2 && !got(99L)._3)
+    // keep rate per source ≈ 1 - q: pr = (rank-1)/9 >= 0.7 -> top 3 of 10
+    assert(keptA.size == 3 && keptB.size <= 3, s"A=${keptA.size} B=${keptB.size}")
+  }
+
   test("x46/x48 plans: only doc-partitioned / shard-partitioned windows, no global window") {
     val t = Tables(spark, docsDir((0L until 50L).map(i => (i, s"tok$i shared"))))
     Seq(TextQueries.tfidfKeywords(t), TextQueries.shardAssign(t)).foreach { df =>
