@@ -1749,6 +1749,28 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Scale path of [[calibratedQuality]] (the q38Approx move): the
+    * per-source cut value from `percentile_approx` (a GK sketch —
+    * map-side-combined groupBy, O(accuracy) state per source) instead
+    * of a per-source rank window, then one broadcast join of the
+    * ≤|sources|-row cut table. NO window anywhere, so a mega-source
+    * whose rows exceed one task's sort capacity costs the same as any
+    * other. Boundary semantics differ from the exact form by at most
+    * the docs tied at the cut value (spec'd); the exact form is the
+    * gate. */
+  def calibratedQualityApprox(t: Tables, q: Double = CalibKeepQuantile,
+                              accuracy: Int = 10000): DataFrame = {
+    val scored = withToks(t.documents)
+      .select(col("doc_id"), col("source"),
+        qualityCol(col("text"), col("toks")).as("quality"))
+    val cuts = scored.filter(col("quality").isNotNull)
+      .groupBy("source")
+      .agg(percentile_approx(col("quality"), lit(q), lit(accuracy)).as("cut"))
+    scored.join(broadcast(cuts), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("quality"),
+        (col("quality").isNotNull && col("quality") >= col("cut")).as("keep"))
+  }
+
   // ---- x46 TF-IDF keyword extraction --------------------------------------
 
   /** Keywords kept per document. */

@@ -131,6 +131,33 @@ class TextStatsR8Spec extends SparkSpec {
     assert(keptA.size == 3 && keptB.size <= 3, s"A=${keptA.size} B=${keptB.size}")
   }
 
+  test("x50 approx (mega-source path): window-free plan, agrees with exact up to cut-boundary ties") {
+    // distinct token counts -> distinct qualities (the tolerance model
+    // below assumes no corpus-wide ties; full-tie behavior is the
+    // exact-vs-value-cut divergence the scaladoc documents)
+    val a = (0 until 10).map(i => (i.toLong,
+      (0 until 10 + 2 * i).map(j => s"a${i}w$j").mkString(" ") + " one two.", "A"))
+    val b = (10 until 20).map(i => (i.toLong,
+      ("dup " * (25 - i)).trim, "B"))
+    val t = Tables(spark, docsDirSrc(a ++ b :+ ((99L, "", "B"))))
+    val exact = TextQueries.calibratedQuality(t).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val approx = TextQueries.calibratedQualityApprox(t).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(approx.keySet == exact.keySet)
+    // agreement up to docs tied at the per-source cut: the fixture has
+    // distinct qualities, so allow at most one boundary doc per source
+    val disagree = exact.keys.filter(k => exact(k) != approx(k))
+    assert(disagree.size <= 2, s"too many keep-flag disagreements: $disagree")
+    // the approx form must never keep a token-less doc
+    assert(!approx(99L))
+    // and its plan must be window-free (that is the point)
+    val p = TextQueries.calibratedQualityApprox(t)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && p.contains("BroadcastHashJoin"),
+      s"approx path must be window-free + broadcast cut join:\n${p.take(1500)}")
+  }
+
   test("x46/x48 plans: only doc-partitioned / shard-partitioned windows, no global window") {
     val t = Tables(spark, docsDir((0L until 50L).map(i => (i, s"tok$i shared"))))
     Seq(TextQueries.tfidfKeywords(t), TextQueries.shardAssign(t)).foreach { df =>
