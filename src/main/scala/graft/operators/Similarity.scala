@@ -491,6 +491,114 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** x51 benchmark-membership rule: every 50th vector (10 of 500 at
+    * sf0.01) stands in for the held-out eval set; real pipelines load
+    * the benchmark embeddings from a side table of the same shape. */
+  private[operators] val DeconBenchMod = 50
+  private[operators] val DeconBenchRem = 3
+
+  /** x51 gate threshold — like [[SemDedupGateThreshold]], low enough
+    * that the synthetic embeddings (max pairwise cosine ≈ 0.51) flag a
+    * non-trivial contaminated set; real corpora use ~0.9+. */
+  private[operators] val SemDeconGateThreshold = 0.30
+
+  /** x51 SEMANTIC decontamination: flag corpus vectors whose maximum
+    * cosine against a (small) benchmark embedding set exceeds a
+    * threshold — the embedding-space member of the decontamination
+    * family (x26 = exact n-gram overlap, x31 = Bloom-prefiltered
+    * n-gram; this catches paraphrased benchmark leakage that lexical
+    * overlap misses — cf. the SemDeDup/D4 embedding-dedup line of work
+    * applied corpus-vs-benchmark instead of within-corpus as x33).
+    *
+    * Scale shape: eval sets are tiny (10²–10⁴ vectors) so the bench
+    * side broadcasts and the corpus makes ONE narrow pass — a
+    * BroadcastNestedLoopJoin costing |bench|·dim multiplies per corpus
+    * row, embarrassingly parallel, no shuffle of the big side; the
+    * per-vector argmax window partitions by vec_id (billions of
+    * 1-group partitions, never corpus-global). For benchmark sets too
+    * large to broadcast, route through [[buildIvfIndex]]/[[ivfQuery]]
+    * with the benchmark as the query batch instead. */
+  def semDecontaminate(t: Tables, threshold: Double = SemDeconGateThreshold,
+                       benchMod: Int = DeconBenchMod,
+                       benchRem: Int = DeconBenchRem): DataFrame = {
+    val bench = t.embeddings
+      .filter(col("vec_id") % benchMod === benchRem)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("be"))
+    val corpus = graft.core.Fanout.widen(t.embeddings)
+      .filter(col("vec_id") % benchMod =!= benchRem)
+    val scored = corpus.crossJoin(broadcast(bench))
+      .select(col("vec_id"), col("bench_id"),
+        (dotCols(col("embedding"), col("be")) /
+          (sqrt(dotCols(col("embedding"), col("embedding"))) *
+            sqrt(dotCols(col("be"), col("be"))))).as("cos_raw"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("cos_raw").desc, col("bench_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("bench_id"),
+        round(col("cos_raw"), 6).as("cos"),
+        (col("cos_raw") >= threshold).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  /** x53 coreset size (gate). Production data-pruning runs use k in
+    * the 10³–10⁵ range; the greedy is O(k) distributed passes. */
+  private[operators] val KcGateK = 8
+
+  /** x53 k-center coreset selection — greedy farthest-point traversal
+    * (Gonzalez 1985 2-approximation; the coreset rule behind
+    * diversity-based training-data pruning, cf. Sener & Savarese 2018
+    * active-learning coresets and the D4 pipeline's dedup-then-
+    * diversify stage). Starting from the minimum vec_id, each round
+    * adds the vector farthest (squared Euclidean) from the chosen set;
+    * the selected radius sequence is exactly the k-center coverage
+    * radius after each pick — monotone nonincreasing, the stopping
+    * signal real pruning runs watch.
+    *
+    * Scale shape: the chosen set lives on the driver (k × dim doubles,
+    * bounded by design); each round is ONE narrow corpus pass — the
+    * running min-distance column is updated incrementally against only
+    * the newest center (exact: min is associative over exact doubles),
+    * and the argmax is a TakeOrdered(1), never a global sort. Lineage
+    * is cut every 16 rounds with localCheckpoint so production k
+    * doesn't accumulate a k-deep plan. Total cost O(k · scan), the
+    * published algorithm's lower bound without sketching. */
+  def kcenterCoreset(t: Tables, k: Int = KcGateK): DataFrame = {
+    val spark = t.spark
+    val emb = graft.core.Fanout.widen(t.embeddings)
+      .select(col("vec_id"), col("embedding"))
+    val first = emb.orderBy("vec_id").limit(1).collect()(0)
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      (first.getLong(0), first.getSeq[Float](1).toArray.map(_.toDouble),
+        Option.empty[Double]))
+    var mind = emb.withColumn("mind",
+      dist2Cols(col("embedding"), lit(chosen.head._2)))
+    var round8 = 1
+    var exhausted = false
+    while (round8 < k && !exhausted) {
+      val ids = chosen.map(_._1).toSeq
+      val top = mind.filter(!col("vec_id").isInCollection(ids))
+        .orderBy(col("mind").desc, col("vec_id"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top(0)
+        val c = r.getSeq[Float](1).toArray.map(_.toDouble)
+        chosen += ((r.getLong(0), c, Some(r.getDouble(2))))
+        mind = mind.withColumn("mind",
+          least(col("mind"), dist2Cols(col("embedding"), lit(c))))
+        if (round8 % 16 == 0) mind = mind.localCheckpoint()
+      }
+      round8 += 1
+    }
+    import spark.implicits._
+    chosen.zipWithIndex.map { case ((id, _, rad), i) => (i, id, rad) }
+      .toSeq.toDF("step", "vec_id", "radius")
+      .select(col("step"), col("vec_id"), round(col("radius"), 6).as("radius"))
+      .orderBy("step")
+  }
+
   /** name → query, in declared order. The near-dup threshold is wired
     * at 0.15 for the gate: the synthetic embeddings have no true
     * near-dups (max pairwise cosine ≈ 0.51 at sf0.01), and a gate query
@@ -501,6 +609,8 @@ object Similarity {
     "x14_ivf_topk" -> (t => ivfTopK(t)), // oracle generated post-run from the trained quantizer
     "x17_kmeans_cells" -> (t => kmeansCells(t)), // same generated-oracle pattern
     "x33_semantic_dedup" -> (t => semanticDedup(t)), // same generated-oracle pattern
+    "x51_semantic_decon" -> (t => semDecontaminate(t)),
+    "x53_kcenter_coreset" -> (t => kcenterCoreset(t)),
   )
 
   /** DuckDB double cosine between two list columns — the exact probe
@@ -567,6 +677,39 @@ object Similarity {
       SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos, rk FROM r WHERE rk <= ${m.k} ORDER BY qid, rk"""
   }
 
+  /** Generated x53 oracle: the k greedy rounds unrolled as chained
+    * CTEs — each round recomputes every remaining vector's exact min
+    * squared distance to the chosen-so-far set (MIN over exact doubles
+    * is order-independent, so the incremental `least` maintenance on
+    * the Spark side reproduces it bit-for-bit) and picks the argmax
+    * with the same (mind DESC, vec_id) tie rule as the TakeOrdered. */
+  private def kcenterSql(k: Int): String = {
+    // both sides cast to DOUBLE: the corpus embeddings are FLOAT lists
+    // on each side of the distance here (unlike d2Sql, whose left side
+    // is an already-double centroid literal)
+    def d2(c: String, e: String) =
+      s"list_sum(list_transform(range(1, len($e) + 1), i -> (CAST($c[i] AS DOUBLE) - CAST($e[i] AS DOUBLE)) * (CAST($c[i] AS DOUBLE) - CAST($e[i] AS DOUBLE))))"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ch0 AS (SELECT CAST(0 AS INTEGER) AS step, vec_id, CAST(NULL AS DOUBLE) AS radius, embedding
+         FROM embeddings ORDER BY vec_id LIMIT 1),
+       all0 AS (SELECT * FROM ch0)""")
+    for (i <- 1 until k) {
+      sb.append(s""",
+       d$i AS (SELECT e.vec_id, MIN(${d2("c.embedding", "e.embedding")}) AS mind
+               FROM embeddings e CROSS JOIN all${i - 1} c
+               WHERE e.vec_id NOT IN (SELECT vec_id FROM all${i - 1})
+               GROUP BY e.vec_id),
+       ch$i AS (SELECT CAST($i AS INTEGER) AS step, d.vec_id, d.mind AS radius, e.embedding
+               FROM d$i d JOIN embeddings e USING (vec_id)
+               ORDER BY d.mind DESC, d.vec_id LIMIT 1),
+       all$i AS (SELECT * FROM all${i - 1} UNION ALL SELECT * FROM ch$i)""")
+    }
+    sb.append(s"""
+      SELECT step, vec_id, ROUND(radius, 6) AS radius FROM all${k - 1} ORDER BY step""")
+    sb.toString
+  }
+
   /** A `def`: the x14/x17 entries appear once a run has trained the
     * GATE-parameter quantizer (Verify runs every query before dumping
     * oracle_sql.json, so the emitted SQL reflects exactly that run's
@@ -589,6 +732,17 @@ object Similarity {
             FROM sk x JOIN sk y ON x.vec_id < y.vec_id
               AND (${(0 until NumBands).map(b => s"x.b$b = y.b$b").mkString(" OR ")}))
       SELECT v1, v2, ROUND(cos_raw, 6) AS cos FROM p WHERE cos_raw >= $NearDupGateThreshold ORDER BY v1, v2""",
+    "x51_semantic_decon" -> s"""
+      WITH b AS (SELECT vec_id AS bench_id, embedding AS be FROM embeddings WHERE vec_id % $DeconBenchMod = $DeconBenchRem),
+      s AS (SELECT e.vec_id, b.bench_id, ${cosSql("e.embedding", "b.be")} AS cos_raw
+            FROM embeddings e CROSS JOIN b WHERE e.vec_id % $DeconBenchMod <> $DeconBenchRem),
+      r AS (SELECT vec_id, bench_id, cos_raw,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_raw DESC, bench_id) AS rk
+            FROM s)
+      SELECT vec_id, bench_id, ROUND(cos_raw, 6) AS cos,
+        cos_raw >= $SemDeconGateThreshold AS contaminated
+      FROM r WHERE rk = 1 ORDER BY vec_id""",
+    "x53_kcenter_coreset" -> kcenterSql(KcGateK),
   ) ++ {
     val gate = Option(trainedQuantizers.get(
       QuantKey(GateNlist, GateSeed, GateMaxTrain)))

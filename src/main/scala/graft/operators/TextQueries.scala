@@ -212,6 +212,45 @@ object TextQueries {
     lshPairsFrom(withToks(graft.core.Fanout.widen(t.documents)),
       bandRows, numBands)
 
+  /** x52 banding: 2-row bands collide at jac² — a deliberately wide
+    * net, because the collisions that FAIL verification are the point
+    * (they are lexically-overlapping-yet-different docs, the textbook
+    * hard negative). */
+  private[operators] val CpBandRows = 2
+  private[operators] val CpNumBands = 8
+
+  /** x52 pair-type cuts over the verified (rounded) Jaccard. */
+  private[operators] val CpPosThreshold = 0.5
+  private[operators] val CpNegThreshold = 0.2
+
+  /** x52 contrastive pair mining — weak supervision for embedding-
+    * model training (the E5/SimCSE recipe: positives from near-
+    * duplicate pairs, hard negatives from lexically-close-but-
+    * different pairs). Candidates come from a deliberately WIDE
+    * MinHash banding ([[CpBandRows]]×[[CpNumBands]]): pairs that
+    * collide and verify at jac ≥ 0.5 are positives; pairs that collide
+    * yet verify at jac ≤ 0.2 are hard negatives — they share enough
+    * shingles to hash together, which is exactly what makes them hard.
+    * Mid-band pairs (0.2, 0.5) are ambiguous and dropped, per the
+    * standard recipe.
+    *
+    * Scale shape: identical to x07 (one exploded band self-join, one
+    * shared shingle exchange, verification only on candidates) — the
+    * band-width knob trades candidate volume for net width exactly as
+    * documented on [[lshPairs]]; random same-band collisions stay
+    * bounded because each 2-row key space still has ~MinHashP² values. */
+  def contrastivePairs(t: Tables, bandRows: Int = CpBandRows,
+                       numBands: Int = CpNumBands,
+                       posThr: Double = CpPosThreshold,
+                       negThr: Double = CpNegThreshold): DataFrame =
+    lshPairsFrom(withToks(graft.core.Fanout.widen(t.documents)),
+      bandRows, numBands)
+      .filter(col("jac") >= posThr || col("jac") <= negThr)
+      .withColumn("pair_type",
+        when(col("jac") >= posThr, lit("positive"))
+          .otherwise(lit("hard_negative")))
+      .orderBy("d1", "d2")
+
   private def lshPairsFrom(td: DataFrame, bandRows: Int = 4,
                            numBands: Int = 4): DataFrame = {
     require(bandRows * numBands <= MinHashCoeffs.length,
@@ -1875,6 +1914,59 @@ object TextQueries {
       .orderBy("shard", "pos")
   }
 
+  /** x54 holdout share (per-mille) and hash salt. */
+  private[operators] val SplitPerMille = 100
+  private[operators] val SplitSalt = "split_v1"
+
+  /** x54 leakage-free train/holdout split: duplicate GROUPS are the
+    * unit of assignment, never single documents — a random per-doc
+    * split puts one copy of a duplicated document in train and its
+    * twin in the eval set, silently inflating held-out scores (the
+    * standard contamination failure Lee et al. 2022 §5 measure). Group
+    * key = the x11 normalized fingerprint, so trivially-mutated exact
+    * dups land together; the whole group goes to holdout iff a salted
+    * hash of the group key falls under the per-mille cut — i.e. the
+    * split is a pure function of CONTENT, reproducible across runs and
+    * immune to re-partitioning/re-ingestion order.
+    *
+    * Scale shape: one row-local fingerprint pass, one map-side-combined
+    * groupBy(fp) for group size, one equi-join back on fp (the x27
+    * skew-safe shape — a hot fingerprint is a hash-join key, not a
+    * window partition). The split column itself is recomputable
+    * row-locally from fp, so consumers that don't need `group_size`
+    * can drop the join entirely.
+    *
+    * For NEAR-dup closure (paraphrase leakage), use
+    * [[leakageSplitByCluster]]: same rule keyed by the x21 connected-
+    * component label instead of the exact fingerprint. */
+  def leakageSplit(t: Tables, perMille: Int = SplitPerMille,
+                   salt: String = SplitSalt): DataFrame = {
+    val docs = graft.core.Fanout.widen(t.documents)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val groups = docs.groupBy("fp").agg(count(lit(1)).as("group_size"))
+      .withColumn("split",
+        when(hash60(concat(col("fp"), lit("_" + salt))) % 1000 < perMille,
+          lit("holdout")).otherwise(lit("train")))
+    docs.join(groups, "fp")
+      .select(col("doc_id"), col("fp"), col("group_size"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** The near-dup-closure form of [[leakageSplit]]: assignment keyed by
+    * the x21 SimHash connected-component label, so even paraphrased
+    * near-duplicates (ham ≤ 6) cannot straddle the split. Not oracle-
+    * gated (CC labels are the x21/check_cc territory); the spec pins
+    * the no-straddle invariant against dupEdges directly. */
+  def leakageSplitByCluster(t: Tables, perMille: Int = SplitPerMille,
+                            salt: String = SplitSalt): DataFrame =
+    dupClusters(t)
+      .withColumn("split",
+        when(hash60(concat(col("cluster_id").cast("string"),
+          lit("_" + salt))) % 1000 < perMille,
+          lit("holdout")).otherwise(lit("train")))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x01_exactdedup" -> exactDedup _,
     "x02_textstats" -> textStats _,
@@ -1919,6 +2011,8 @@ object TextQueries {
     "x48_shard_assign" -> (t => shardAssign(t)),
     "x49_span_removal" -> (t => spanRemoval(t)),
     "x50_calibrated_quality" -> (t => calibratedQuality(t)),
+    "x52_contrastive_pairs" -> (t => contrastivePairs(t)),
+    "x54_leakage_split" -> (t => leakageSplit(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -2003,12 +2097,17 @@ object TextQueries {
 
   /** DuckDB CTEs ending in `jacp(d1, d2, jac)` — every LSH candidate
     * pair with its verified (rounded) Jaccard; shared by x07 and x19. */
-  private val lshCtes: String = s"""${shingleCtes("")}, $sigSql,
-      banded AS (SELECT doc_id, ${(0 until 4).map(b =>
-        s"concat_ws('_', ${(0 until 4).map(r => f"m${b * 4 + r}%02d").mkString(", ")}) AS band$b").mkString(", ")}
+  /** DuckDB CTEs ending in `jacp(d1, d2, jac)` for an arbitrary
+    * `numBands` × `bandRows` banding of the k=16 signature — the
+    * parameterized form of the x07 4×4 chain (x52 mines with 8×2 to
+    * widen the candidate net deliberately). */
+  private def lshCtesW(bandRows: Int, numBands: Int): String =
+    s"""${shingleCtes("")}, $sigSql,
+      banded AS (SELECT doc_id, ${(0 until numBands).map(b =>
+      s"concat_ws('_', ${(0 until bandRows).map(r => f"m${b * bandRows + r}%02d").mkString(", ")}) AS band$b").mkString(", ")}
         FROM sig),
-      cand AS (SELECT DISTINCT d1, d2 FROM (${(0 until 4).map(b =>
-        s"SELECT x.doc_id AS d1, y.doc_id AS d2 FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id").mkString(" UNION ALL ")})),
+      cand AS (SELECT DISTINCT d1, d2 FROM (${(0 until numBands).map(b =>
+      s"SELECT x.doc_id AS d1, y.doc_id AS d2 FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id").mkString(" UNION ALL ")})),
       sz AS (SELECT doc_id, COUNT(*) AS sz FROM h GROUP BY doc_id),
       inter AS (SELECT c.d1, c.d2, COUNT(*) AS i FROM cand c
                 JOIN h a ON a.doc_id = c.d1 JOIN h b ON b.doc_id = c.d2 AND b.hm = a.hm
@@ -2017,6 +2116,8 @@ object TextQueries {
         ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) / CAST(s1.sz + s2.sz - COALESCE(i.i, 0) AS DOUBLE), 6) AS jac
       FROM cand c LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
       JOIN sz s1 ON s1.doc_id = c.d1 JOIN sz s2 ON s2.doc_id = c.d2)"""
+
+  private val lshCtes: String = lshCtesW(4, 4)
 
   private val simhashSql: String = s"""
       tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
@@ -2062,6 +2163,20 @@ object TextQueries {
     "x07_lshpairs" -> s"""
       WITH $lshCtes
       SELECT d1, d2, jac FROM jacp ORDER BY d1, d2""",
+    "x52_contrastive_pairs" -> s"""
+      WITH ${lshCtesW(CpBandRows, CpNumBands)}
+      SELECT d1, d2, jac,
+        CASE WHEN jac >= $CpPosThreshold THEN 'positive' ELSE 'hard_negative' END AS pair_type
+      FROM jacp WHERE jac >= $CpPosThreshold OR jac <= $CpNegThreshold
+      ORDER BY d1, d2""",
+    "x54_leakage_split" -> raw"""
+      WITH f AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents),
+      g AS (SELECT fp, COUNT(*) AS group_size,
+              CASE WHEN CAST('0x' || substr(md5(fp || '_$SplitSalt'), 1, 15) AS BIGINT) % 1000 < $SplitPerMille
+                THEN 'holdout' ELSE 'train' END AS split
+            FROM f GROUP BY fp)
+      SELECT f.doc_id, f.fp, g.group_size, g.split
+      FROM f JOIN g USING (fp) ORDER BY doc_id""",
     "x10_quality" -> s"""
       WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents)
       SELECT doc_id, ${qualitySql("text", "tk")} AS quality
