@@ -1967,6 +1967,111 @@ object TextQueries {
       .select(col("doc_id"), col("cluster_id"), col("split"))
       .orderBy("doc_id")
 
+  /** x55 corpus report — the dataset-card statistics table every
+    * released training corpus publishes (per-source × per-language
+    * rollup of volume, token mass, quality, and exact-dup incidence).
+    * All aggregated measures are INTEGER sums (token/char counts, the
+    * x10 quality micro-quantized to a long, dup-doc indicator), so the
+    * corpus-wide totals are immune to distributed float-sum ordering —
+    * the q34 discipline applied to floats via fixed-point. Dup
+    * incidence joins the x01-style fingerprint group size back per doc
+    * (skew-safe equi-join, never a window).
+    *
+    * Scale shape: one tokenize scan feeding a map-side-combined rollup
+    * (|sources| × |langs| + margins output rows) plus the fingerprint
+    * groupBy — two shuffles total, output bounded by the label-space
+    * product at any corpus size. */
+  def corpusReport(t: Tables): DataFrame = {
+    val base = withToks(graft.core.Fanout.widen(t.documents))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("toks"), fingerprint(col("text")).as("fp"))
+    val dupSizes = base.groupBy("fp").agg(count(lit(1)).as("gs"))
+    val perDoc = base.join(dupSizes, "fp")
+      .select(col("source"), col("lang"),
+        size(col("toks")).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"),
+        coalesce(round(qualityCol(col("text"), col("toks")) * 1e6)
+          .cast("long"), lit(0L)).as("q_micro"),
+        (col("gs") > 1).cast("long").as("is_dup"))
+    perDoc.rollup(col("source"), col("lang"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum("n_chars").as("sum_chars"),
+        sum("q_micro").as("q_micro_sum"),
+        sum("is_dup").as("n_dup_docs"))
+      .orderBy(col("gid"), col("source"), col("lang"))
+  }
+
+  /** x56 sketch size (gate). Production overlap audits use k in the
+    * 10³–10⁴ range per corpus pair. */
+  private[operators] val OvK = 64
+
+  /** x56 sketched corpus-pair overlap — dataset-governance auditing
+    * (did snapshot B re-crawl snapshot A? how much of corpus X leaked
+    * into Y?) without ever joining the corpora: each side keeps only
+    * the k minimum 60-bit shingle hashes (the x20 KMV sketch applied
+    * to the n-gram SET of a whole corpus), and the Broder k-min
+    * estimator reads Jaccard off the merged sketch — |{k smallest of
+    * A∪B} present in both sketches| / |merged|. Sketches are mergeable
+    * and tiny (k longs), so cross-datacenter audits ship kilobytes.
+    * Sides here: doc_id parity (the gate's stand-in for two corpus
+    * snapshots; production passes two real tables through the same
+    * shape).
+    *
+    * Scale shape: the two-stage salted k-min of x20 per side (no
+    * window partition ever holds more than 64·k rows), then every
+    * post-sketch step is over ≤ 2k rows: the merge is a TakeOrdered(k)
+    * over the union of two k-row frames, the estimates are 1-row
+    * aggregates cross-joined back (broadcast of scalar frames). When a
+    * side has fewer than k distinct shingles the sketch IS the set and
+    * every estimate is exact — pinned in the spec. */
+  def corpusOverlap(t: Tables, k: Int = OvK): DataFrame = {
+    val twoPow60 = 1152921504606846976.0 // 2^60, exactly representable
+    val sh = withToks(graft.core.Fanout.widen(t.documents))
+      .select(pmod(col("doc_id"), lit(2L)).as("side"),
+        explode(wordShingles(col("toks"), 3)).as("s"))
+      .select(col("side"), hash60(col("s")).as("hs"))
+      .distinct()
+    val stage1 = sh
+      .withColumn("rk1", row_number().over(
+        Window.partitionBy(col("side"), pmod(col("hs"), lit(64L)))
+          .orderBy(col("hs"))))
+      .filter(col("rk1") <= k)
+    val sk = stage1
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("side").orderBy("hs")).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("side"), col("hs"), col("rk"))
+    val sideAgg = sk.groupBy("side")
+      .agg(max("rk").as("n"), max(when(col("rk") === k, col("hs"))).as("hk"))
+    def est(n: Column, hk: Column): Column =
+      round(when(n < k, n.cast("double"))
+        .otherwise(lit((k - 1).toDouble) / (hk.cast("double") / lit(twoPow60))), 6)
+    val a = sideAgg.filter(col("side") === 0)
+      .select(col("n").as("n_a"), col("hk").as("hk_a"))
+    val b = sideAgg.filter(col("side") === 1)
+      .select(col("n").as("n_b"), col("hk").as("hk_b"))
+    // merged sketch: k smallest of the UNION of the two sketches, with
+    // per-side membership flags — TakeOrdered over <= 2k rows
+    val merged = sk
+      .groupBy("hs")
+      .agg(max(when(col("side") === 0, 1L).otherwise(0L)).as("ina"),
+        max(when(col("side") === 1, 1L).otherwise(0L)).as("inb"))
+      .orderBy("hs").limit(k)
+    val uAgg = merged.agg(
+      count(lit(1)).as("n_u"), max("hs").as("u_k"),
+      sum(col("ina") * col("inb")).as("nboth"))
+    uAgg.crossJoin(broadcast(a)).crossJoin(broadcast(b))
+      .select(lit(k.toLong).as("k"),
+        col("n_a"), col("n_b"),
+        est(col("n_a"), col("hk_a")).as("est_a"),
+        est(col("n_b"), col("hk_b")).as("est_b"),
+        est(col("n_u"), col("u_k")).as("est_union"),
+        round(col("nboth").cast("double") / col("n_u").cast("double"), 6)
+          .as("jac_est"))
+  }
+
   val all: Seq[(String, Tables => DataFrame)] = Seq(
     "x01_exactdedup" -> exactDedup _,
     "x02_textstats" -> textStats _,
@@ -2013,6 +2118,8 @@ object TextQueries {
     "x50_calibrated_quality" -> (t => calibratedQuality(t)),
     "x52_contrastive_pairs" -> (t => contrastivePairs(t)),
     "x54_leakage_split" -> (t => leakageSplit(t)),
+    "x55_corpus_report" -> (t => corpusReport(t)),
+    "x56_corpus_overlap" -> (t => corpusOverlap(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -2177,6 +2284,50 @@ object TextQueries {
             FROM f GROUP BY fp)
       SELECT f.doc_id, f.fp, g.group_size, g.split
       FROM f JOIN g USING (fp) ORDER BY doc_id""",
+    "x55_corpus_report" -> raw"""
+      WITH t AS (SELECT doc_id, source, lang, text, $toksSql AS tk FROM documents),
+      b AS (SELECT doc_id, source, lang, text, tk,
+              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM t),
+      g AS (SELECT fp, COUNT(*) AS gs FROM b GROUP BY fp),
+      p AS (SELECT b.source, b.lang,
+              CAST(len(b.tk) AS BIGINT) AS n_toks,
+              CAST(length(b.text) AS BIGINT) AS n_chars,
+              CAST(COALESCE(ROUND((${qualitySql("b.text", "b.tk")}) * 1000000.0), 0) AS BIGINT) AS q_micro,
+              CASE WHEN g.gs > 1 THEN 1 ELSE 0 END AS is_dup
+            FROM b JOIN g USING (fp))
+      SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(q_micro) AS BIGINT) AS q_micro_sum,
+        CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs
+      FROM p GROUP BY ROLLUP(source, lang)
+      ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""",
+    "x56_corpus_overlap" -> {
+      val k = OvK
+      def estSql(n: String, hk: String) =
+        s"ROUND(CASE WHEN $n < $k THEN CAST($n AS DOUBLE) ELSE ${k - 1}.0 / (CAST($hk AS DOUBLE) / 1152921504606846976.0) END, 6)"
+      s"""
+      WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+      sh AS (SELECT DISTINCT doc_id % 2 AS side, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS hs
+             FROM (SELECT doc_id, unnest($shinglesSql) AS s FROM toks)),
+      r AS (SELECT side, hs, CAST(ROW_NUMBER() OVER (PARTITION BY side ORDER BY hs) AS BIGINT) AS rk FROM sh),
+      sk AS (SELECT side, hs, rk FROM r WHERE rk <= $k),
+      sides AS (SELECT side, MAX(rk) AS n, MAX(CASE WHEN rk = $k THEN hs END) AS hk FROM sk GROUP BY side),
+      m AS (SELECT hs, MAX(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ina,
+                   MAX(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS inb
+            FROM sk GROUP BY hs ORDER BY hs LIMIT $k),
+      u AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_u, MAX(hs) AS u_k,
+                   CAST(SUM(ina * inb) AS BIGINT) AS nboth FROM m),
+      sa AS (SELECT n AS n_a, hk AS hk_a FROM sides WHERE side = 0),
+      sb AS (SELECT n AS n_b, hk AS hk_b FROM sides WHERE side = 1)
+      SELECT CAST($k AS BIGINT) AS k, n_a, n_b,
+        ${estSql("n_a", "hk_a")} AS est_a,
+        ${estSql("n_b", "hk_b")} AS est_b,
+        ${estSql("n_u", "u_k")} AS est_union,
+        ROUND(CAST(nboth AS DOUBLE) / CAST(n_u AS DOUBLE), 6) AS jac_est
+      FROM u CROSS JOIN sa CROSS JOIN sb"""
+    },
     "x10_quality" -> s"""
       WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents)
       SELECT doc_id, ${qualitySql("text", "tk")} AS quality

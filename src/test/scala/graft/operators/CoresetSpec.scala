@@ -219,6 +219,78 @@ class CoresetSpec extends SparkSpec {
     }
   }
 
+  test("x55 corpus report: integer margins consistent across rollup levels, dup incidence from twins") {
+    val t = Tables(spark, cpDir())
+    val rows = TextQueries.corpusReport(t).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val leaf = rows.filter(_._3 == 0)
+    val bySource = rows.filter(_._3 == 1)
+    val total = rows.filter(_._3 == 3)
+    assert(total.length == 1)
+    // margins: every measure sums leaf -> source -> grand total
+    def sums(rs: Array[(Option[String], Option[String], Long, Long, Long, Long, Long, Long)]) =
+      (rs.map(_._4).sum, rs.map(_._5).sum, rs.map(_._6).sum,
+        rs.map(_._7).sum, rs.map(_._8).sum)
+    assert(sums(leaf) == sums(bySource) && sums(leaf) == sums(total))
+    // fixture is all (s0, en): one leaf row, 52 docs, 12 twin-dup docs
+    assert(leaf.length == 1 && leaf.head._1.contains("s0") &&
+      leaf.head._2.contains("en"))
+    assert(total.head._4 == 52 && total.head._8 == 12)
+    // token mass cross-checked against a direct count
+    val direct = t.documents
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .count()
+    assert(total.head._5 == direct)
+  }
+
+  /** small two-side corpus for x56's exact path: even doc_ids = side
+    * 0, odd = side 1; each doc one 5-token line (3 shingles), with a
+    * planted shared doc across sides. */
+  private def ovDir(): String = {
+    val dir = Files.createTempDirectory("r8ov").toString
+    val rows = Seq(
+      (0L, "a b c d e"), (2L, "c d e f g"), (4L, "p q r s t"),
+      (1L, "a b c d e"), (3L, "x y z w v"))
+    rows.map { case (i, text) => (i, text, "en", "s0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("x56 overlap: sketches below k are exact — estimates equal true counts and Jaccard") {
+    val t = Tables(spark, ovDir())
+    val r = TextQueries.corpusOverlap(t, k = 64).collect()(0)
+    // ground truth via direct shingle sets
+    val sets = spark.read.parquet(s"${t.dir}/documents.parquet")
+      .select((col("doc_id") % 2).as("side"),
+        explode(graft.functions.TextFunctions.wordShingles(
+          graft.functions.TextFunctions.tokens(col("text")), 3)).as("s"))
+      .distinct().collect().map(x => (x.getLong(0), x.getString(1)))
+    val sa = sets.filter(_._1 == 0).map(_._2).toSet
+    val sb = sets.filter(_._1 == 1).map(_._2).toSet
+    assert(r.getLong(1) == sa.size && r.getLong(2) == sb.size)
+    assert(r.getDouble(3) == sa.size.toDouble)
+    assert(r.getDouble(4) == sb.size.toDouble)
+    assert(r.getDouble(5) == (sa ++ sb).size.toDouble)
+    val truth = (sa & sb).size.toDouble / (sa ++ sb).size.toDouble
+    // jac_est is ROUND(...,6): exact up to the emitted precision
+    assert(math.abs(r.getDouble(6) - truth) < 5e-7)
+  }
+
+  test("x56 overlap: estimator path lands near truth on a real corpus") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val r = TextQueries.corpusOverlap(t, k = 64).collect()(0)
+    val truthUnion = t.documents
+      .select(explode(graft.functions.TextFunctions.wordShingles(
+        graft.functions.TextFunctions.tokens(col("text")), 3)).as("s"))
+      .distinct().count().toDouble
+    // KMV relative error ~ 1/sqrt(k) = 12.5%; allow 3 sigma
+    assert(r.getLong(1) == 64 && r.getLong(2) == 64) // both sketches full
+    assert(math.abs(r.getDouble(5) - truthUnion) / truthUnion < 0.4,
+      s"union est ${r.getDouble(5)} vs $truthUnion")
+  }
+
   test("x52 output is a filtered subset of the wide-band lshPairs") {
     val t = Tables(spark, cpDir())
     val wide = TextQueries.lshPairs(t, bandRows = 2, numBands = 8)
