@@ -99,6 +99,51 @@ object EventStream {
     * (the flush marks "this total is now final"), flagged
     * `evicted = true` so an update-stream consumer can distinguish or
     * drop it instead of double-counting. */
+  final case class KmvEvent(ts: java.sql.Timestamp, event_type: String,
+                            user_id: String)
+  final case class KmvEstimate(event_type: String, sketch_n: Long,
+                               kmv_est: Double)
+
+  /** The x20 KMV distinct-count sketch as a STREAMING accumulator: per
+    * event type the state is the k minimum 60-bit user-id hashes — k
+    * longs FOREVER, regardless of stream length, the textbook bounded-
+    * state cardinality counter — and each trigger emits the updated
+    * estimate. KMV is mergeable and insert-only, so the streaming fold
+    * equals batch `TextQueries.kmvDistinct` over the same prefix
+    * EXACTLY (same h60 hash, same (k−1)/u_k estimator, same rounding —
+    * pinned in StreamingSpec): a dashboard reading the update stream
+    * matches any offline recomputation bit-for-bit. Deliberately no
+    * timeout: the sketch IS the product, not a session — state is
+    * k longs per group by construction and eviction would only destroy
+    * it. */
+  def kmvSketch(events: Dataset[KmvEvent], k: Int = 32): Dataset[KmvEstimate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (etype: String, batch: Iterator[KmvEvent],
+         state: GroupState[Array[Long]]) =>
+          val set = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(set ++= _)
+          batch.foreach { e =>
+            val h = graft.functions.Hash60.h60(
+              org.apache.spark.unsafe.types.UTF8String.fromString(e.user_id))
+            if (set.size < k) set += h
+            else if (h < set.last && !set.contains(h)) {
+              set += h; set -= set.last
+            }
+          }
+          val arr = set.toArray
+          state.update(arr)
+          val est =
+            if (arr.length < k) arr.length.toDouble
+            else (k - 1).toDouble /
+              (arr.last.toDouble / 1152921504606846976.0 /* 2^60 */)
+          KmvEstimate(etype, arr.length.toLong,
+            BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
+      }
+  }
+
   def runningTotals(events: Dataset[Event],
                     ttlMs: Long = 3600L * 1000): Dataset[UserTotal] = {
     import events.sparkSession.implicits._

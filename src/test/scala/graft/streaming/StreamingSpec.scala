@@ -194,4 +194,56 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getDouble(3)))
     assert(out.toSeq == Seq(("u1", "2026-01-01 09:30:00.0", 1.0)))
   }
+
+  test("streaming KMV sketch equals the batch x20 estimate over the same prefix") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    // the real events table, fed through the stream in three chunks
+    val evs = t.events
+      .select(col("ts"), col("event_type"), col("user_id").cast("string"))
+      .as[EventStream.KmvEvent].collect()
+    val mem = MemoryStream[EventStream.KmvEvent]
+    val q = EventStream.kmvSketch(mem.toDS())
+      .writeStream.format("memory").queryName("kmv_sketch")
+      .outputMode("update").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // latest emission per type (update mode re-emits on every trigger)
+      val streamed = spark.table("kmv_sketch").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .zipWithIndex
+        .groupBy(_._1._1).view.mapValues(_.maxBy(_._2)._1._3).toMap
+      val batch = graft.operators.TextQueries.kmvDistinct(t).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(streamed.keySet == batch.keySet)
+      batch.foreach { case (k, v) =>
+        assert(streamed(k) == v, s"type $k: streamed ${streamed(k)} vs batch $v")
+      }
+    } finally q.stop()
+  }
+
+  test("KMV sketch state is bounded at k regardless of stream length") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[EventStream.KmvEvent]
+    val q = EventStream.kmvSketch(mem.toDS(), k = 8)
+      .writeStream.format("memory").queryName("kmv_bounded")
+      .outputMode("update").start()
+    try {
+      // 500 distinct users in one type: sketch_n must clamp at 8
+      (0 until 5).foreach { b =>
+        mem.addData((0 until 100).map(i =>
+          EventStream.KmvEvent(ts(9, 0), "view", s"user${b * 100 + i}")): _*)
+        q.processAllAvailable()
+      }
+      val last = spark.table("kmv_bounded").collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).last
+      assert(last._1 == 8L)
+      // 500 distinct at k=8: crude estimate must land the right decade
+      assert(last._2 > 100 && last._2 < 2500, last)
+    } finally q.stop()
+  }
 }
