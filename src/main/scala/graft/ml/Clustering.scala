@@ -72,7 +72,7 @@ object Clustering {
     val sym = edges.select(col("src"), col("dst"), col("weight"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val m2Row = sym.agg(sum("weight")).head
+    val m2Row = sym.agg(sum("weight")).head()
     if (m2Row.isNullAt(0)) { sym.unpersist(); return renumber(init) }
     val m2 = m2Row.getDouble(0) // = 2m
     val deg = sym.groupBy(col("src").as("cells_id"))
@@ -83,7 +83,7 @@ object Clustering {
     // labels are offset above init's namespace — init is typically
     // renumbered 0..C-1, so a raw cells_id could collide with an
     // existing community and silently absorb the vertex into it
-    val maxLabelRow = init.agg(max("label")).head
+    val maxLabelRow = init.agg(max("label")).head()
     val labelBase = (if (maxLabelRow.isNullAt(0)) -1L
                      else maxLabelRow.getLong(0)) + 1L
     var labels = init.select("cells_id", "label")

@@ -43,7 +43,7 @@ object Doublets {
         .toDF("sample", "barcode", "doublet_scores", "doublet_class")
     // independent per-sample pipelines submitted concurrently (each is
     // seeded by sample name — order of completion cannot change scores)
-    Concurrency.mapSamples(samples)(s =>
+    Concurrency.mapSamples(samples.toIndexedSeq)(s =>
         scoreSample(expr.filter(col("sample") === s), s, k, numHvg, numPcs,
           seed, probabilityThreshold))
       .reduce(_ unionByName _)

@@ -201,7 +201,7 @@ object Embed {
     // deterministic and on the layout's own coordinate scale (raw PC
     // coordinates would be on a different scale than either kernel's
     // output)
-    val centroid = layout.agg(avg("x"), avg("y")).head
+    val centroid = layout.agg(avg("x"), avg("y")).head()
     val (cx, cy) = (centroid.getDouble(0), centroid.getDouble(1))
     val restPlaced = rest
       .join(placed, Seq("cells_id"), "left")

@@ -50,7 +50,7 @@ object EmptyDrops {
     // reference loops them serially — SURVEY §4.1 names per-sample
     // parallelism the single biggest speedup over it). Results keyed
     // by sample, so completion order cannot affect the output.
-    val perSample = Concurrency.mapSamples(samples) { s =>
+    val perSample = Concurrency.mapSamples(samples.toIndexedSeq) { s =>
       s -> runSample(expr.filter(col("sample") === s), s, lower, nIters, minAmbient)
     }
     val flagged = perSample.collect { case (s, None) => s }

@@ -320,7 +320,7 @@ object Similarity {
         call_function("graft_nearest_centroid", col("embedding"),
           typedLit(centroids.map(_.toSeq).toSeq))
       else {
-        val scoreArr = array(centroids.map { c =>
+        val scoreArr = array(centroids.toIndexedSeq.map { c =>
           dotCols(col("embedding"), lit(c)) * 2.0 - lit(c.map(x => x * x).sum)
         }: _*)
         (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
