@@ -141,6 +141,27 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(2000))
   }
 
+  test("x55: corpus report is ONE Expand (rollup) and never a window") {
+    val p = plan(TextQueries.corpusReport(t))
+    assert("Expand".r.findAllIn(p).length == 1, p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("x54: leakage split is two hash exchanges (group + join), no window") {
+    val p = plan(TextQueries.leakageSplit(t))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("Exchange hashpartitioning(fp"), p.take(3000))
+  }
+
+  test("x52: contrastive mining reuses the shared shingle exchange like x07") {
+    val df = TextQueries.contrastivePairs(t)
+    df.collect() // AQE finalizes exchange reuse only during execution
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"), p.take(3000))
+    assert("Scan parquet".r.findAllIn(p).length <= 1, p.take(3000))
+  }
+
   test("q35: declared pivot values avoid a distinct-discovery job") {
     val p = plan(StarQueries.q35(t))
     // a single grouped aggregation — no extra shuffle from collecting
