@@ -1967,6 +1967,74 @@ object TextQueries {
       .select(col("doc_id"), col("cluster_id"), col("split"))
       .orderBy("doc_id")
 
+  /** x57 MinHash-side agreement cut (over the verified rounded jac). */
+  private[operators] val ConsensusJacThreshold = 0.5
+
+  /** x57 consensus near-dup audit — the sketch-family AGREEMENT table:
+    * every pair flagged by MinHash-LSH (verified jac ≥ cut) or by
+    * banded SimHash (ham ≤ 6), labeled `both` / `minhash_only` /
+    * `simhash_only`. The two families have different blind spots
+    * (MinHash sees set overlap and misses reordered-but-same-bag docs
+    * less; SimHash weights token frequency and catches bag-identical
+    * permutations MinHash shingles miss), so production dedup tunes
+    * band widths until the `*_only` tails are understood — this query
+    * IS that tuning read-out, the disagreement rate between sketches.
+    *
+    * Scale shape: the two pair sets are each banded-candidate-verified
+    * (never all-pairs, x07/x13 machinery unchanged); the audit join is
+    * pair-keyed. CAVEAT (measured, 500k soak): under heavy bag-level
+    * duplicity the TRUE pair set is quadratic in group size (a
+    * 100-copy group owns C(100,2) genuine ham=0 pairs — ~25M pairs at
+    * 500k docs on the soak fixture), so at corpus scale use
+    * [[consensusNearDupCollapsed]], which audits one representative
+    * per distinct SimHash and carries the collapsed counts. */
+  def consensusNearDup(t: Tables,
+                       jacThr: Double = ConsensusJacThreshold): DataFrame = {
+    val mh = lshPairs(t).filter(col("jac") >= jacThr)
+    val sp = simhashPairs(t)
+    mh.join(sp, Seq("d1", "d2"), "full_outer")
+      .select(col("d1"), col("d2"), col("jac"), col("ham"),
+        when(col("jac").isNotNull && col("ham").isNotNull, lit("both"))
+          .when(col("jac").isNotNull, lit("minhash_only"))
+          .otherwise(lit("simhash_only")).as("found_by"))
+      .orderBy("d1", "d2")
+  }
+
+  /** The scale form of [[consensusNearDup]]: audit at SimHash-
+    * fingerprint-REPRESENTATIVE grain. Raw pair enumeration is
+    * quadratic in duplicate-group size by SEMANTICS (a 100-copy bag
+    * group contributes C(100,2) = 4,950 genuine ham=0 pairs — the
+    * 500k soak measured ~25M true pairs and killed the run), the same
+    * wall x21 hit before its fingerprint collapse. Here each distinct
+    * SimHash keeps its min-doc_id representative (`bag_dups` counts
+    * the collapsed members), both sketch families run on the rep-only
+    * corpus, and the audit compares their verdicts on that universe —
+    * member-level pairs are recoverable by expanding the bag groups,
+    * exactly as in [[dupClusters]]. */
+  def consensusNearDupCollapsed(t: Tables,
+                                jacThr: Double = ConsensusJacThreshold): DataFrame = {
+    val sims = simhashDf(graft.core.Fanout.widen(t.documents))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = sims.groupBy("sim")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("bag_dups"))
+    val repIds = reps.select(col("doc_id"), col("bag_dups"))
+    val repDocs = graft.core.Fanout.widen(t.documents)
+      .join(repIds.select("doc_id"), "doc_id")
+    val mh = lshPairsFrom(withToks(repDocs)).filter(col("jac") >= jacThr)
+    val sp = simhashPairsFromSims(sims.join(repIds.select("doc_id"), "doc_id"))
+    val audit = mh.join(sp, Seq("d1", "d2"), "full_outer")
+      .select(col("d1"), col("d2"), col("jac"), col("ham"),
+        when(col("jac").isNotNull && col("ham").isNotNull, lit("both"))
+          .when(col("jac").isNotNull, lit("minhash_only"))
+          .otherwise(lit("simhash_only")).as("found_by"))
+      .join(repIds.select(col("doc_id").as("d1"), col("bag_dups").as("dups1")), "d1")
+      .join(repIds.select(col("doc_id").as("d2"), col("bag_dups").as("dups2")), "d2")
+      .select(col("d1"), col("d2"), col("jac"), col("ham"), col("found_by"),
+        col("dups1"), col("dups2"))
+      .orderBy("d1", "d2")
+    unpersistAfterFirstUse(audit, sims)
+  }
+
   /** x55 corpus report — the dataset-card statistics table every
     * released training corpus publishes (per-source × per-language
     * rollup of volume, token mass, quality, and exact-dup incidence).
@@ -2120,6 +2188,7 @@ object TextQueries {
     "x54_leakage_split" -> (t => leakageSplit(t)),
     "x55_corpus_report" -> (t => corpusReport(t)),
     "x56_corpus_overlap" -> (t => corpusOverlap(t)),
+    "x57_consensus_neardup" -> (t => consensusNearDup(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -2328,6 +2397,23 @@ object TextQueries {
         ROUND(CAST(nboth AS DOUBLE) / CAST(n_u AS DOUBLE), 6) AS jac_est
       FROM u CROSS JOIN sa CROSS JOIN sb"""
     },
+    "x57_consensus_neardup" -> s"""
+      WITH $lshCtes, $simhashSql,
+      sbanded AS (SELECT doc_id, sim, ${(0 until 4).map(b =>
+      s"((sim >> ${b * 15}) & 32767) AS sband$b").mkString(", ")} FROM sims),
+      scand AS (SELECT DISTINCT d1, d2 FROM (${(0 until 4).map(b =>
+      s"SELECT x.doc_id AS d1, y.doc_id AS d2 FROM sbanded x JOIN sbanded y ON x.sband$b = y.sband$b AND x.doc_id < y.doc_id").mkString(" UNION ALL ")})),
+      mh AS (SELECT d1, d2, jac FROM jacp WHERE jac >= $ConsensusJacThreshold),
+      sp AS (SELECT c.d1, c.d2, CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS ham
+             FROM scand c JOIN sims x ON x.doc_id = c.d1 JOIN sims y ON y.doc_id = c.d2
+             WHERE bit_count(xor(x.sim, y.sim)) <= 6)
+      SELECT COALESCE(mh.d1, sp.d1) AS d1, COALESCE(mh.d2, sp.d2) AS d2,
+        mh.jac, sp.ham,
+        CASE WHEN mh.d1 IS NOT NULL AND sp.d1 IS NOT NULL THEN 'both'
+             WHEN mh.d1 IS NOT NULL THEN 'minhash_only'
+             ELSE 'simhash_only' END AS found_by
+      FROM mh FULL JOIN sp ON mh.d1 = sp.d1 AND mh.d2 = sp.d2
+      ORDER BY d1, d2""",
     "x10_quality" -> s"""
       WITH t AS (SELECT doc_id, text, $toksSql AS tk FROM documents)
       SELECT doc_id, ${qualitySql("text", "tk")} AS quality

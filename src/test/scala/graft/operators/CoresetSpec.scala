@@ -291,6 +291,77 @@ class CoresetSpec extends SparkSpec {
       s"union est ${r.getDouble(5)} vs $truthUnion")
   }
 
+  test("x57 consensus audit: twins are found by BOTH sketch families, labels match null pattern") {
+    val t = Tables(spark, cpDir())
+    val got = TextQueries.consensusNearDup(t).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getString(4)))).toMap
+    (0 until 6).foreach { g =>
+      val p = got.get((2L * g, 2L * g + 1))
+      assert(p.isDefined, s"twin pair $g missing from the audit")
+      val (jac, ham, by) = p.get
+      assert(by == "both" && jac.contains(1.0) && ham.contains(0L), p)
+    }
+    got.values.foreach { case (jac, ham, by) =>
+      by match {
+        case "both"         => assert(jac.isDefined && ham.isDefined)
+        case "minhash_only" => assert(jac.isDefined && ham.isEmpty)
+        case "simhash_only" => assert(jac.isEmpty && ham.isDefined)
+        case other          => fail(s"unknown label $other")
+      }
+      jac.foreach(j => assert(j >= 0.5))
+      ham.foreach(h => assert(h <= 6))
+    }
+  }
+
+  test("x57 collapsed audit equals the raw audit over the representative corpus") {
+    // heavy bag duplicity: rotations share a token bag (same SimHash)
+    val dir = Files.createTempDirectory("r8cons").toString
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rows = (0 until 4).flatMap { d =>
+      val toks = (0 until 8).map(i => words((d * 3 + i * 2) % words.length))
+      (0 until 6).map { c =>
+        val rot = toks.drop(c % toks.length) ++ toks.take(c % toks.length)
+        ((d * 6 + c).toLong, rot.mkString(" "))
+      }
+    } ++ (0 until 5).map(i => ((24 + i).toLong, s"single unique doc number$i payload"))
+    rows.map { case (id, tx) => (id, tx, "en", "s0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t = Tables(spark, dir)
+    val collapsed = TextQueries.consensusNearDupCollapsed(t).collect()
+    // every rotated group collapses to its min doc_id with bag_dups=6
+    val dups = collapsed.flatMap(r => Seq(r.getLong(0) -> r.getLong(5),
+      r.getLong(1) -> r.getLong(6))).toMap
+    dups.foreach { case (id, n) =>
+      if (id < 24) { assert(id % 6 == 0, s"rep $id not group min"); assert(n == 6) }
+      else assert(n == 1)
+    }
+    // equivalence: raw audit over the rep-only corpus gives the same rows
+    val repIds = collapsed.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val repDir = Files.createTempDirectory("r8consrep").toString
+    // reps = min doc per distinct simhash INCLUDING pairless ones; filter
+    // from the simhash table directly to get the full rep universe
+    val allReps = TextQueries.simhashDf(t.documents)
+      .groupBy("sim").agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repIds.subsetOf(allReps))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id").isInCollection(allReps))
+      .write.mode("overwrite").parquet(s"$repDir/documents.parquet")
+    val raw = TextQueries.consensusNearDup(Tables(spark, repDir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getString(4))).toSet
+    val collapsedKeys = collapsed.map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getString(4))).toSet
+    assert(collapsedKeys == raw)
+  }
+
   test("x52 output is a filtered subset of the wide-band lshPairs") {
     val t = Tables(spark, cpDir())
     val wide = TextQueries.lshPairs(t, bandRows = 2, numBands = 8)
