@@ -2035,6 +2035,35 @@ object TextQueries {
     unpersistAfterFirstUse(audit, sims)
   }
 
+  /** x58 quality-based survivorship — the FineWeb/RefinedWeb keep
+    * policy: within each NEAR-dup cluster (the x21 SimHash connected
+    * component), keep the highest-quality member, not the lowest id —
+    * x23 answers "which copy is canonical" for exact dups by hash
+    * rank; this answers "which near-duplicate is worth training on"
+    * by the x10 quality score (ties by doc_id). Docs outside any
+    * cluster are their own cluster and keep themselves.
+    *
+    * Scale shape: cluster labels come from the size-routed CC of x21;
+    * the quality pass is row-local; the keep rank is a window
+    * PARTITIONED BY cluster (groups are near-dup clusters — bounded,
+    * never corpus-sized); the label join is doc_id-keyed. */
+  def qualitySurvivors(t: Tables): DataFrame = {
+    val labels = dupClusters(t).select(col("doc_id"), col("cluster_id"))
+    val docs = withToks(graft.core.Fanout.widen(t.documents))
+    val q = docs.select(col("doc_id"),
+      qualityCol(col("text"), col("toks")).as("quality"))
+    q.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("quality"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(desc_nulls_last("quality"), col("doc_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("rk") === 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** x55 corpus report — the dataset-card statistics table every
     * released training corpus publishes (per-source × per-language
     * rollup of volume, token mass, quality, and exact-dup incidence).
@@ -2189,6 +2218,7 @@ object TextQueries {
     "x55_corpus_report" -> (t => corpusReport(t)),
     "x56_corpus_overlap" -> (t => corpusOverlap(t)),
     "x57_consensus_neardup" -> (t => consensusNearDup(t)),
+    "x58_quality_survivors" -> (t => qualitySurvivors(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -2294,6 +2324,24 @@ object TextQueries {
       JOIN sz s1 ON s1.doc_id = c.d1 JOIN sz s2 ON s2.doc_id = c.d2)"""
 
   private val lshCtes: String = lshCtesW(4, 4)
+
+  /** DuckDB CTEs ending in recursive `walk(v, lbl)` — the x21 min-label
+    * connected-components chain over ham≤6 SimHash edges, shared by the
+    * x21 and x58 oracles (callers add `WITH RECURSIVE` and the final
+    * per-vertex MIN(lbl) aggregation). */
+  private lazy val ccWalkCtes: String = s"""$simhashSql,
+      banded AS (SELECT doc_id, sim, ${(0 until 4).map(b =>
+    s"((sim >> ${b * 15}) & 32767) AS band$b").mkString(", ")} FROM sims),
+      cand AS (SELECT DISTINCT d1, d2 FROM (${(0 until 4).map(b =>
+    s"SELECT x.doc_id AS d1, y.doc_id AS d2 FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id").mkString(" UNION ALL ")})),
+      p AS (SELECT c.d1, c.d2 FROM cand c JOIN sims x ON x.doc_id = c.d1 JOIN sims y ON y.doc_id = c.d2
+            WHERE bit_count(xor(x.sim, y.sim)) <= 6),
+      e AS (SELECT d1 AS s, d2 AS d FROM p UNION ALL SELECT d2 AS s, d1 AS d FROM p),
+      n AS (SELECT DISTINCT s AS v FROM e),
+      walk(v, lbl) AS (
+        SELECT v, v FROM n
+        UNION
+        SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.v)"""
 
   private val simhashSql: String = s"""
       tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
@@ -2511,21 +2559,21 @@ object TextQueries {
                    ELSE 31.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0) END, 6) AS kmv_est
       FROM g ORDER BY event_type""",
     "x21_dupclusters" -> s"""
-      WITH RECURSIVE $simhashSql,
-      banded AS (SELECT doc_id, sim, ${(0 until 4).map(b =>
-        s"((sim >> ${b * 15}) & 32767) AS band$b").mkString(", ")} FROM sims),
-      cand AS (SELECT DISTINCT d1, d2 FROM (${(0 until 4).map(b =>
-        s"SELECT x.doc_id AS d1, y.doc_id AS d2 FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id").mkString(" UNION ALL ")})),
-      p AS (SELECT c.d1, c.d2 FROM cand c JOIN sims x ON x.doc_id = c.d1 JOIN sims y ON y.doc_id = c.d2
-            WHERE bit_count(xor(x.sim, y.sim)) <= 6),
-      e AS (SELECT d1 AS s, d2 AS d FROM p UNION ALL SELECT d2 AS s, d1 AS d FROM p),
-      n AS (SELECT DISTINCT s AS v FROM e),
-      walk(v, lbl) AS (
-        SELECT v, v FROM n
-        UNION
-        SELECT e.d, w.lbl FROM walk w JOIN e ON e.s = w.v)
+      WITH RECURSIVE $ccWalkCtes
       SELECT v AS doc_id, MIN(lbl) AS cluster_id, (v = MIN(lbl)) AS is_rep
       FROM walk GROUP BY v ORDER BY doc_id""",
+    "x58_quality_survivors" -> s"""
+      WITH RECURSIVE $ccWalkCtes,
+      lab AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY v),
+      tq AS (SELECT doc_id, ${qualitySql("text", "tk")} AS quality
+             FROM (SELECT doc_id, text, $toksSql AS tk FROM documents)),
+      fl AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id, tq.quality
+             FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+             JOIN tq ON tq.doc_id = d.doc_id),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+              ORDER BY quality DESC NULLS LAST, doc_id) AS rk FROM fl)
+      SELECT doc_id, cluster_id, quality, rk = 1 AS keep
+      FROM r ORDER BY doc_id""",
     "x23_dedup_survivors" -> s"""
       WITH RECURSIVE $simhashSql,
       banded AS (SELECT doc_id, sim, ${(0 until 4).map(b =>

@@ -362,6 +362,31 @@ class CoresetSpec extends SparkSpec {
     assert(collapsedKeys == raw)
   }
 
+  test("x58 quality survivors: one keep per cluster, keep is the quality argmax, singletons keep themselves") {
+    val t = Tables(spark, cpDir())
+    val got = TextQueries.qualitySurvivors(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+    assert(got.length == 52) // full corpus covered
+    got.groupBy(_._2).foreach { case (cluster, members) =>
+      assert(members.count(_._4) == 1, s"cluster $cluster keep count")
+      val keeper = members.filter(_._4).head
+      val best = members.maxBy { case (id, _, q, _) =>
+        (q.getOrElse(Double.NegativeInfinity), -id.toDouble)
+      }
+      assert(keeper._1 == best._1, s"cluster $cluster kept ${keeper._1}, best $best")
+      if (members.length == 1) assert(members.head._2 == members.head._1)
+    }
+    // twins are ham=0: always the same cluster (which may absorb more
+    // members via SimHash chaining on this small-vocab fixture); at
+    // most one of an identical pair can be kept, never both
+    (0 until 6).foreach { g =>
+      val pair = got.filter(p => p._1 == 2L * g || p._1 == 2L * g + 1)
+      assert(pair.map(_._2).distinct.length == 1)
+      assert(pair.count(_._4) <= 1)
+    }
+  }
+
   test("x52 output is a filtered subset of the wide-band lshPairs") {
     val t = Tables(spark, cpDir())
     val wide = TextQueries.lshPairs(t, bandRows = 2, numBands = 8)
