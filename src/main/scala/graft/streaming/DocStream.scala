@@ -26,6 +26,24 @@ object DocStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark(Seq("fp"))
 
+  /** Streaming corpus statistics — the LIVE form of the x55 dataset
+    * card: running per-(source, lang) document/token/char totals over
+    * an unbounded ingest feed, emitted in update mode so a mixture
+    * dashboard sees every source's share move as crawl batches land
+    * (the monitoring loop behind per-domain caps and mixture weights —
+    * x38/x43 decide, this watches). Stateful aggregation WITHOUT a
+    * watermark is deliberate and safe here: the state key space is the
+    * (source, lang) label product — bounded by the corpus's provenance
+    * vocabulary, not the stream length — so state is one small row per
+    * label pair forever, the same bounded-by-construction argument as
+    * [[graft.streaming.EventStream.kmvSketch]]. Works identically on
+    * batch frames (same agg, no state). */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFunctions.tokens(col("text"))).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+
   /** Streaming chunk-level (span) dedup — the incremental form of the
     * batch x35 operator, sharing its [[TextFunctions.wordChunks]]
     * grain: each document explodes into 20-token chunks; the FIRST

@@ -228,4 +228,40 @@ class DocStreamSpec extends SparkSpec {
         prog.stateOperators.forall(_.numRowsTotal == 0))
     } finally q.stop()
   }
+
+  test("streaming corpus stats: running totals equal the batch aggregation, state bounded by label space") {
+    implicit val ctx = spark.sqlContext
+    import DocStreamSpec.SDoc
+    val rows = (0 until 120).map { i =>
+      SDoc(i.toLong, (0 to i % 7).map(j => s"w$j").mkString(" "),
+        s"src${i % 3}", if (i % 2 == 0) "en" else "de")
+    }
+    val mem = MemoryStream[SDoc]
+    val q = DocStream.corpusStats(mem.toDF())
+      .writeStream.format("memory").queryName("corpus_stats")
+      .outputMode("update").start()
+    try {
+      rows.grouped(40).foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable()
+      }
+      // latest emission per (source, lang) must equal one batch agg
+      val streamed = spark.table("corpus_stats").collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4))))
+        .zipWithIndex.groupBy(_._1._1).view.mapValues(_.maxBy(_._2)._1._2)
+        .toMap
+      val batch = DocStream.corpusStats(rows.toDF()).collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(streamed == batch)
+      // 3 sources x 2 langs: six state rows, full stop
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 6)
+    } finally q.stop()
+  }
+}
+
+object DocStreamSpec {
+  /** Top-level so spark.implicits can derive its Encoder. */
+  final case class SDoc(doc_id: Long, text: String, source: String,
+                        lang: String)
 }
