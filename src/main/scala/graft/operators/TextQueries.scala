@@ -1573,8 +1573,19 @@ object TextQueries {
       .select(col("doc_id"), col("sim"),
         col("band.b").as("b"), col("band.key").as("key"))
     val sims = simhashDf(docs)
+    // corpus side banded at DISTINCT-SimHash grain (the x57 collapse,
+    // prescribed by the 12M soak): members of a bag-identical group
+    // share sim, hence bands and ham — so min(matched members) equals
+    // min over matched groups' minima, and banding one min-doc_id rep
+    // per distinct sim leaves `near_id` EXACTLY unchanged while
+    // cutting candidate volume by the bag-duplicity factor (~2,160x
+    // at the 12M fixture, where the uncollapsed join ground through
+    // ~2.6e9 in-bucket rows).
+    val corpusSimReps = sims.filter(col("doc_id") % mod =!= 0)
+      .groupBy("sim").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), col("sim"))
     val near = bands(sims.filter(col("doc_id") % mod === 0)).as("d")
-      .join(bands(sims.filter(col("doc_id") % mod =!= 0)).as("c"),
+      .join(bands(corpusSimReps).as("c"),
         col("d.b") === col("c.b") && col("d.key") === col("c.key") &&
           bit_count(col("d.sim").bitwiseXOR(col("c.sim"))) <= 6)
       .groupBy(col("d.doc_id").as("doc_id"))
