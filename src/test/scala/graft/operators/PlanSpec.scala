@@ -162,6 +162,13 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length <= 1, p.take(3000))
   }
 
+  test("x42: corpus side collapses to distinct-sim reps before banding (the 13x 12M fix)") {
+    val p = plan(TextQueries.deltaDedup(t))
+    // the rep collapse is a sim-keyed aggregation feeding the band
+    // explode — without it the banded join pairs every bag member
+    assert(p.contains("Exchange hashpartitioning(sim"), p.take(4000))
+  }
+
   test("q35: declared pivot values avoid a distinct-discovery job") {
     val p = plan(StarQueries.q35(t))
     // a single grouped aggregation — no extra shuffle from collecting
