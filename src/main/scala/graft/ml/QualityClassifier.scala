@@ -3,6 +3,7 @@ package graft.ml
 import graft.functions.TextFunctions.{hash60, tokens}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** fastText-style document quality classifier — the third standard
   * quality-filter family beside the heuristic rules (x10/x37) and the
@@ -134,7 +135,14 @@ object QualityClassifier {
     * One tokenize pass; the weight table (≤ `buckets` rows) broadcasts
     * onto the bucket explode; the per-doc dot is a map-side-combined
     * groupBy on doc_id. Token-less docs score at the bias via the
-    * left join's zero dot. */
+    * left join's zero dot.
+    *
+    * The dot is a rounded-term DECIMAL(28,9) sum (the x25/x47
+    * order-independence discipline): each w·v term is rounded to 9 dp
+    * before the distributed reduction, so the per-doc dot — which
+    * feeds σ then ROUND(·,6) at the gate — cannot drift with
+    * partition order. 9 dp keeps term-rounding error ≤ buckets·5e-10,
+    * three orders below the gate's 6-dp output grain. */
   def score(docs: DataFrame, m: Model): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -144,12 +152,13 @@ object QualityClassifier {
     val dots = bucketTf(docs, m.buckets)
       .join(broadcast(wdf), Seq("bucket"), "left")
       .groupBy("doc_id")
-      .agg(sum(coalesce(col("w"), lit(0.0)) * col("v")).as("dot"))
+      .agg(sum(round(coalesce(col("w"), lit(0.0)) * col("v"), 9)
+        .cast(DecimalType(28, 9))).as("dot"))
     docs.select("doc_id")
       .join(dots, Seq("doc_id"), "left")
       .select(col("doc_id"),
         (lit(1.0) / (lit(1.0) +
-          exp(-(coalesce(col("dot"), lit(0.0)) + lit(m.bias)))))
+          exp(-(coalesce(col("dot").cast("double"), lit(0.0)) + lit(m.bias)))))
           .as("quality_prob"))
     // no ordering here: a global sort belongs to consumers that need
     // one (the x45 gate adds its oracle-mandated doc_id order itself)

@@ -84,11 +84,13 @@ object QualityQueries {
                CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % ${m.buckets} AS bucket,
                CAST(COUNT(*) AS DOUBLE) / n_toks AS v
              FROM tok GROUP BY doc_id, n_toks, bucket),
-      dots AS (SELECT tf.doc_id, SUM(COALESCE(w.wt, 0.0) * tf.v) AS dot
+      dots AS (SELECT tf.doc_id,
+                 SUM(CAST(ROUND(COALESCE(w.wt, 0.0) * tf.v, 9)
+                   AS DECIMAL(28,9))) AS dot
                FROM tf LEFT JOIN w ON w.bucket = tf.bucket
                GROUP BY tf.doc_id)
       SELECT d.doc_id,
-        ROUND(1.0 / (1.0 + exp(-(COALESCE(dots.dot, 0.0) + ${java.lang.Double.toString(m.bias)}))), 6) AS quality_prob
+        ROUND(1.0 / (1.0 + exp(-(COALESCE(CAST(dots.dot AS DOUBLE), 0.0) + ${java.lang.Double.toString(m.bias)}))), 6) AS quality_prob
       FROM documents d LEFT JOIN dots ON dots.doc_id = d.doc_id
       ORDER BY d.doc_id"""
   }

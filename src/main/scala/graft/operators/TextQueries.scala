@@ -1118,11 +1118,15 @@ object TextQueries {
              (col("tt") + lit(DsirBuckets.toDouble))) -
          log((col("cr") + lit(1.0)) /
              (col("tr") + lit(DsirBuckets.toDouble)))).as("lr"))
+    // per-(doc, bucket) terms rounded then decimal-summed (the x25/x47
+    // order-independence discipline): sum-of-doubles into ROUND(·,6)
+    // is partition-order-dependent; DECIMAL(18,6) is exact
     val out = docBucket.filter(col("source") =!= DsirTarget)
       .join(broadcast(lr), "b")
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_bigrams"),
-        round(sum(col("cnt") * col("lr")), 6).as("dsir_w"))
+        round(sum(round(col("cnt") * col("lr"), 6).cast(DecimalType(18, 6)))
+          .cast("double"), 6).as("dsir_w"))
       .orderBy("doc_id")
     unpersistAfterFirstUse(out, docBucket)
   }
@@ -1558,40 +1562,65 @@ object TextQueries {
     * The banded join shuffles on the 15-bit band key exactly like x13;
     * duplicity blowup cannot occur because the corpus side never
     * self-joins. */
-  def deltaDedup(t: Tables, mod: Long = DeltaMod): DataFrame = {
-    val docs = graft.core.Fanout.widen(t.documents)
-    val fps = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
-    val corpusFp = fps.filter(col("doc_id") % mod =!= 0)
+  /** The 4×15-bit SimHash band explode shared by the x13/x42 family. */
+  private def simBands(sims: DataFrame): DataFrame = sims
+    .select(col("doc_id"), col("sim"), explode(array((0 until 4).map(b =>
+      struct(lit(b).as("b"),
+        (shiftright(col("sim"), b * 15) bitwiseAND lit(0x7fffL)).as("key"))): _*))
+      .as("band"))
+    .select(col("doc_id"), col("sim"),
+      col("band.b").as("b"), col("band.key").as("key"))
+
+  /** A built standing-corpus dedup index — the build-once/ingest-many
+    * artifact of [[deltaDedup]] (the buildIvfIndex pattern): `fp` is
+    * the (fingerprint → min surviving doc_id) exact table, `bands` the
+    * banded DISTINCT-SimHash representatives (the x57 rep-grain
+    * collapse, prescribed by the 12M soak: bag-identical docs share
+    * sim, hence bands and ham, so one min-doc_id rep per distinct sim
+    * leaves `near_id` exactly unchanged while cutting candidate volume
+    * by the bag-duplicity factor — ~2,160× at the 12M fixture). Both
+    * frames are persisted by [[buildDedupIndex]]; callers own the
+    * release. In production these ARE the materialized tables a
+    * pipeline keeps between ingests — per batch, the corpus is never
+    * re-fingerprinted, never re-banded, never self-joined. */
+  final case class DedupIndex(fp: DataFrame, bands: DataFrame) {
+    def release(): Unit = {
+      fp.unpersist(blocking = false)
+      bands.unpersist(blocking = false)
+    }
+  }
+
+  /** Build the standing index from a corpus frame (needs `doc_id`,
+    * `text`): one fingerprint projection + one distinct-SimHash band
+    * table, both linear, both persisted. */
+  def buildDedupIndex(corpus: DataFrame): DedupIndex = {
+    val fp = corpus
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .groupBy("fp").agg(min("doc_id").as("corpus_id"))
-    val deltaFp = fps.filter(col("doc_id") % mod === 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = simBands(
+      simhashDf(corpus)
+        .groupBy("sim").agg(min("doc_id").as("doc_id"))
+        .select(col("doc_id"), col("sim")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    DedupIndex(fp, bands)
+  }
+
+  /** Dedup a delta batch (needs `doc_id`, `text`) against a built
+    * index and within itself — the query half of [[deltaDedup]]. Cost
+    * per ingest is O(delta + matches): the index side is consumed
+    * as-is, only the delta is fingerprinted/SimHashed/banded. */
+  def deltaDedupAgainst(index: DedupIndex, delta: DataFrame): DataFrame = {
+    val deltaFp = delta.select(col("doc_id"), fingerprint(col("text")).as("fp"))
     val firstDelta = deltaFp.groupBy("fp").agg(min("doc_id").as("first_delta"))
-    def bands(sims: DataFrame) = sims
-      .select(col("doc_id"), col("sim"), explode(array((0 until 4).map(b =>
-        struct(lit(b).as("b"),
-          (shiftright(col("sim"), b * 15) bitwiseAND lit(0x7fffL)).as("key"))): _*))
-        .as("band"))
-      .select(col("doc_id"), col("sim"),
-        col("band.b").as("b"), col("band.key").as("key"))
-    val sims = simhashDf(docs)
-    // corpus side banded at DISTINCT-SimHash grain (the x57 collapse,
-    // prescribed by the 12M soak): members of a bag-identical group
-    // share sim, hence bands and ham — so min(matched members) equals
-    // min over matched groups' minima, and banding one min-doc_id rep
-    // per distinct sim leaves `near_id` EXACTLY unchanged while
-    // cutting candidate volume by the bag-duplicity factor (~2,160x
-    // at the 12M fixture, where the uncollapsed join ground through
-    // ~2.6e9 in-bucket rows).
-    val corpusSimReps = sims.filter(col("doc_id") % mod =!= 0)
-      .groupBy("sim").agg(min("doc_id").as("doc_id"))
-      .select(col("doc_id"), col("sim"))
-    val near = bands(sims.filter(col("doc_id") % mod === 0)).as("d")
-      .join(bands(corpusSimReps).as("c"),
+    val near = simBands(simhashDf(delta)).as("d")
+      .join(index.bands.as("c"),
         col("d.b") === col("c.b") && col("d.key") === col("c.key") &&
           bit_count(col("d.sim").bitwiseXOR(col("c.sim"))) <= 6)
       .groupBy(col("d.doc_id").as("doc_id"))
       .agg(min(col("c.doc_id")).as("near_id"))
     deltaFp
-      .join(corpusFp, Seq("fp"), "left")
+      .join(index.fp, Seq("fp"), "left")
       .join(firstDelta, "fp")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1603,6 +1632,45 @@ object TextQueries {
           .when(col("doc_id") > col("first_delta"), col("first_delta"))
           .otherwise(col("near_id")).as("dup_of"))
       .orderBy("doc_id")
+  }
+
+  /** Fold an ingested delta into the index, emitting the updated
+    * index for the NEXT batch — incremental, O(delta): only
+    * fingerprints/sims the index has not seen are appended, keyed to
+    * the delta's own first occurrence. This equals a from-scratch
+    * rebuild over corpus+delta when delta ids exceed corpus ids (the
+    * ingestion-stream invariant: ids are assigned in arrival order);
+    * for out-of-order ids the rebuild could elect a different —
+    * equally valid — survivor for an already-indexed key, which
+    * absorb deliberately does NOT do (survivors stay stable across
+    * ingests, the property downstream `dup_of` consumers want). The
+    * returned frames are persisted; releasing the input index after
+    * the first materialization of the new one is the caller's choice
+    * (they share no storage). */
+  def absorbDelta(index: DedupIndex, delta: DataFrame): DedupIndex = {
+    val newFp = delta
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("corpus_id"))
+      .join(index.fp.select("fp"), Seq("fp"), "left_anti")
+    val newBands = simBands(
+      simhashDf(delta)
+        .groupBy("sim").agg(min("doc_id").as("doc_id"))
+        .select(col("doc_id"), col("sim")))
+      .join(index.bands.select(col("sim")).distinct(), Seq("sim"), "left_anti")
+      // a using-column join surfaces the key FIRST; re-project before
+      // the positional union (caught by Round9Spec: sim landed in
+      // doc_id and the appended reps never matched)
+      .select(col("doc_id"), col("sim"), col("b"), col("key"))
+    DedupIndex(
+      index.fp.union(newFp).persist(StorageLevel.MEMORY_AND_DISK),
+      index.bands.union(newBands).persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  def deltaDedup(t: Tables, mod: Long = DeltaMod): DataFrame = {
+    val docs = graft.core.Fanout.widen(t.documents)
+    val index = buildDedupIndex(docs.filter(col("doc_id") % mod =!= 0))
+    val out = deltaDedupAgainst(index, docs.filter(col("doc_id") % mod === 0))
+    unpersistAfterFirstUse(unpersistAfterFirstUse(out, index.fp), index.bands)
   }
 
   // ---- x43 temperature-scaled mixture weights ----------------------------
@@ -1810,15 +1878,22 @@ object TextQueries {
     * gate. */
   def calibratedQualityApprox(t: Tables, q: Double = CalibKeepQuantile,
                               accuracy: Int = 10000): DataFrame = {
+    // persist the scored frame: both the cut sketch and the final join
+    // consume it, and without the persist the tokenize+score subtree
+    // plans (and runs) twice — measured 153 s vs 84 s at 12M docs for
+    // the two-pass form (SOAK_corpus.md); released after the first
+    // materialization like x19/x30/x36
     val scored = withToks(t.documents)
       .select(col("doc_id"), col("source"),
         qualityCol(col("text"), col("toks")).as("quality"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cuts = scored.filter(col("quality").isNotNull)
       .groupBy("source")
       .agg(percentile_approx(col("quality"), lit(q), lit(accuracy)).as("cut"))
-    scored.join(broadcast(cuts), Seq("source"), "left")
+    val out = scored.join(broadcast(cuts), Seq("source"), "left")
       .select(col("doc_id"), col("source"), col("quality"),
         (col("quality").isNotNull && col("quality") >= col("cut")).as("keep"))
+    unpersistAfterFirstUse(out, scored)
   }
 
   // ---- x46 TF-IDF keyword extraction --------------------------------------
@@ -1846,16 +1921,21 @@ object TextQueries {
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val nd = t.documents.agg(count(lit(1)).as("n_docs"))
+    // the rank key is the ROUNDED score, not the raw double: the raw
+    // tf·ln(N/df) is a libm value, and a last-ulp ln() difference
+    // between runtimes would flip near-tied ranks — at 6 dp ties break
+    // on tok, deterministically on every platform (the x47 discipline
+    // applied to an ordering key rather than a sum)
     val w = Window.partitionBy("doc_id")
-      .orderBy(col("tfidf_raw").desc, col("tok"))
+      .orderBy(col("tfidf").desc, col("tok"))
     tf.join(df, "tok")
       .crossJoin(broadcast(nd))
-      .withColumn("tfidf_raw",
-        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("rk").cast("long").as("rk"), col("tok"),
-        col("tf"), round(col("tfidf_raw"), 6).as("tfidf"))
+        col("tf"), col("tfidf"))
       .orderBy("doc_id", "rk")
   }
 
@@ -1871,7 +1951,13 @@ object TextQueries {
     * H = ln(n) − (Σ c·ln c)/n so one (doc, token)-count pass and one
     * per-doc reduction suffice — no p=c/n intermediate, no second
     * join. Per-row/per-group only: shuffle-free beyond the two
-    * map-side-combined aggs at any corpus size. */
+    * map-side-combined aggs at any corpus size.
+    *
+    * The Σ c·ln c reduction follows the x25/x55 order-independence
+    * discipline: each per-(doc, token) term is rounded to 6 dp and
+    * summed as DECIMAL(18,6), so the distributed sum is exact and
+    * partition-order-invariant — a plain double sum feeding ROUND(·,6)
+    * was the r8 red gate's one remaining reorder channel. */
   def tokenEntropy(t: Tables): DataFrame = {
     val per = withToks(graft.core.Fanout.widen(t.documents))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
@@ -1879,7 +1965,8 @@ object TextQueries {
       .groupBy("doc_id")
       .agg(sum("c").as("n_tokens"),
         count(lit(1)).as("n_types"),
-        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+        sum(round(col("c").cast("double") * log(col("c").cast("double")), 6)
+          .cast(DecimalType(18, 6))).as("clc"))
     t.documents.select("doc_id")
       .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1887,10 +1974,10 @@ object TextQueries {
         coalesce(col("n_types"), lit(0L)).as("n_types"),
         when(col("n_tokens") > 0,
           round(log(col("n_tokens").cast("double")) -
-            col("clc") / col("n_tokens"), 6)).as("entropy"),
+            col("clc").cast("double") / col("n_tokens"), 6)).as("entropy"),
         when(col("n_tokens") > 1,
           round((log(col("n_tokens").cast("double")) -
-            col("clc") / col("n_tokens")) /
+            col("clc").cast("double") / col("n_tokens")) /
             log(col("n_tokens").cast("double")), 6)).as("norm_entropy"))
       .orderBy("doc_id")
   }
@@ -2808,7 +2895,8 @@ object TextQueries {
                ln((COALESCE(r.cr, 0) + 1.0) / (tr + $DsirBuckets.0)) AS lr
              FROM tgt t FULL JOIN raw r ON t.b = r.b CROSS JOIN tot)
       SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
-        ROUND(SUM(d.cnt * lr.lr), 6) AS dsir_w
+        ROUND(CAST(SUM(CAST(ROUND(d.cnt * lr.lr, 6) AS DECIMAL(18,6)))
+          AS DOUBLE), 6) AS dsir_w
       FROM db d JOIN lr ON lr.b = d.b
       WHERE d.source <> '$DsirTarget'
       GROUP BY d.doc_id ORDER BY d.doc_id""",
@@ -2980,13 +3068,13 @@ object TextQueries {
       df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
       nd AS (SELECT COUNT(*) AS n_docs FROM documents),
       sc AS (SELECT tf.doc_id, tf.tok, tf.tf,
-               tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / df.df) AS tfidf_raw
+               ROUND(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / df.df), 6) AS tfidf
              FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN nd),
-      rk AS (SELECT doc_id, tok, tf, tfidf_raw,
+      rk AS (SELECT doc_id, tok, tf, tfidf,
                CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
-                 ORDER BY tfidf_raw DESC, tok) AS BIGINT) AS rk
+                 ORDER BY tfidf DESC, tok) AS BIGINT) AS rk
              FROM sc)
-      SELECT doc_id, rk, tok, tf, ROUND(tfidf_raw, 6) AS tfidf
+      SELECT doc_id, rk, tok, tf, tfidf
       FROM rk WHERE rk <= $TfidfK ORDER BY doc_id, rk""",
     "x47_token_entropy" -> s"""
       WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
@@ -2994,16 +3082,19 @@ object TextQueries {
               FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
               GROUP BY doc_id, tok),
       per AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
-                SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc
+                SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 6)
+                  AS DECIMAL(18,6))) AS clc
               FROM cnt GROUP BY doc_id)
       SELECT d.doc_id,
         COALESCE(per.n_tokens, 0) AS n_tokens,
         COALESCE(per.n_types, 0) AS n_types,
         CASE WHEN per.n_tokens > 0 THEN
-          ROUND(ln(CAST(per.n_tokens AS DOUBLE)) - per.clc / per.n_tokens, 6)
+          ROUND(ln(CAST(per.n_tokens AS DOUBLE))
+            - CAST(per.clc AS DOUBLE) / per.n_tokens, 6)
         END AS entropy,
         CASE WHEN per.n_tokens > 1 THEN
-          ROUND((ln(CAST(per.n_tokens AS DOUBLE)) - per.clc / per.n_tokens)
+          ROUND((ln(CAST(per.n_tokens AS DOUBLE))
+            - CAST(per.clc AS DOUBLE) / per.n_tokens)
             / ln(CAST(per.n_tokens AS DOUBLE)), 6)
         END AS norm_entropy
       FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
