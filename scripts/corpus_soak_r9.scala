@@ -1,0 +1,127 @@
+// Corpus soak, round-9: the r8-verdict tasks measured at scale.
+//  1. x30 STAGED curation at 12M docs — the r8d fifth leg DNF'd on
+//     this box's ~77 GB scratch (four branches spilling additively at
+//     p=64); curationPipelineStaged bounds peak scratch to max(stage).
+//     Claim: completes at 12M AT THE SAME p=64 that DNF'd.
+//  2. Staging overhead at gate scale: x30 plain vs staged on the 5M
+//     leg — claim: staged costs <15% (the lost inter-branch
+//     parallelism) where scratch is not binding.
+//  3. x42 build-once index, 2-batch: buildDedupIndex on the standing
+//     corpus, batch-1 query, absorbDelta, batch-2 query — claim:
+//     batch-2 pays query cost only (no corpus re-fingerprint/re-band),
+//     statuses consistent with the r8d single-shot counts.
+//  4. x50 approx path re-measure at 12M after the persist fix (it
+//     planned the score subtree twice: 153.2 s vs 83.7 s exact).
+//
+// Fixtures regenerated if absent (tmp/ is not kept across rounds):
+//   sf100_corpus = 5M docs (1000 bag-identical token-shuffled copies
+//   per sf0.1 doc), sf240_corpus = 12M (2400 copies) — the r8 recipe.
+//
+// Run (box otherwise idle, inside tmux):
+//   sbt -batch package
+//   /opt/spark/bin/spark-shell --master local[32] --driver-memory 48g \
+//     --conf spark.ui.enabled=false \
+//     --conf spark.sql.shuffle.partitions=64 \
+//     --conf spark.sql.extensions=graft.functions.GraftExtensions \
+//     --conf spark.sql.session.timeZone=UTC \
+//     --jars target/scala-2.13/dataingestspark_2.13-0.1.0.jar \
+//     -I scripts/corpus_soak_r9.scala
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.TextQueries
+
+spark.sparkContext.setLogLevel("WARN")
+
+{
+  val dir5m = "/root/repo/tmp/sf100_corpus"
+  val dir12m = "/root/repo/tmp/sf240_corpus"
+
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"$label%-34s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+    r
+  }
+  def noop(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  // deterministic bag-identical corpus: g token-shuffled copies per
+  // sf0.1 doc (permutation = sort tokens by xxhash64(token, pos,
+  // copy, base_id) — same multiset, different order per copy)
+  def gen(dir: String, g: Int): Unit =
+    if (!new java.io.File(dir + "/documents.parquet").exists()) {
+      time(s"gen $dir (g=$g)") {
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+          .select(col("doc_id").as("base_id"), col("text"),
+            col("source"), col("lang"))
+          .withColumn("copy", explode(sequence(lit(0), lit(g - 1))))
+          .repartition(64)
+          .select(
+            (col("base_id") * g + col("copy")).as("doc_id"),
+            array_join(transform(
+              array_sort(transform(
+                filter(split(col("text"), "\\s+"), t => t =!= ""),
+                t => struct(xxhash64(t, col("copy"), col("base_id")).as("h"),
+                  t.as("t")))),
+              s => s("t")), " ").as("text"),
+            col("lang"), col("source"),
+            length(col("text")).cast("long").as("n_chars"))
+          .write.mode("overwrite").parquet(dir + "/documents.parquet")
+      }
+    }
+  gen(dir5m, 1000)
+  gen(dir12m, 2400)
+  val t5 = Tables(spark, dir5m)
+  val t12 = Tables(spark, dir12m)
+  println("docs5m=" + t5.documents.count() + " docs12m=" + t12.documents.count())
+
+  // ---- leg 2 first (cheaper): staging overhead at 5M, p=64 ---------------
+  spark.conf.set("spark.sql.shuffle.partitions", "64")
+  val plain5 = time("x30 plain 5M p64") { noop(TextQueries.curationPipeline(t5)); 1 }
+  val staged5 = time("x30 STAGED 5M p64") { noop(TextQueries.curationPipelineStaged(t5)); 1 }
+
+  // ---- leg 1: the 12M wall crossing, same p=64 that DNF'd ----------------
+  time("x30 STAGED 12M p64") { noop(TextQueries.curationPipelineStaged(t12)) }
+  println("X30_12M_STAGED_DONE")
+
+  // ---- leg 3: x42 build-once, 2 batches at 12M ---------------------------
+  spark.conf.set("spark.sql.shuffle.partitions", "256")
+  val docs12 = t12.documents
+  val corpus = docs12.filter(col("doc_id") % 10 =!= 0)
+  val b1 = docs12.filter(col("doc_id") % 20 === 0)
+  val b2 = docs12.filter(col("doc_id") % 20 === 10)
+  val idx = time("x42 buildDedupIndex 10.8M") {
+    val i = TextQueries.buildDedupIndex(corpus)
+    i.fp.count(); i.bands.count() // materialize the build
+    i
+  }
+  val s1 = time("x42 batch1 query 600k") {
+    TextQueries.deltaDedupAgainst(idx, b1)
+      .groupBy("status").count().collect()
+  }
+  println("batch1: " + s1.map(r => r.getString(0) + "=" + r.getLong(1)).sorted.mkString(" "))
+  val idx2 = time("x42 absorbDelta 600k") {
+    val i = TextQueries.absorbDelta(idx, b1)
+    i.fp.count(); i.bands.count()
+    i
+  }
+  val s2 = time("x42 batch2 query 600k (reused index)") {
+    TextQueries.deltaDedupAgainst(idx2, b2)
+      .groupBy("status").count().collect()
+  }
+  println("batch2: " + s2.map(r => r.getString(0) + "=" + r.getLong(1)).sorted.mkString(" "))
+  idx2.release(); idx.release()
+
+  // ---- leg 4: x50 approx after the persist fix, 12M p=256 ----------------
+  val keptApprox = time("x50 approx 12M (persist fix)") {
+    TextQueries.calibratedQualityApprox(t12).filter(col("keep")).count()
+  }
+  println(s"x50 approx keeps=$keptApprox")
+  val keptExact = time("x50 exact 12M (reference)") {
+    TextQueries.calibratedQuality(t12).filter(col("keep")).count()
+  }
+  println(s"x50 exact keeps=$keptExact")
+
+  println("DONE_R9_SOAK")
+}
+sys.exit(0)

@@ -36,10 +36,9 @@ object Bench {
     // while iterating (the driver never sets it → full set)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (0 until reps).map { _ =>
+    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                n: Int): Seq[Double] =
+      (0 until n).map { _ =>
         // x19/x30 persist their shared tokenization internally; drop it
         // between reps so every rep pays the full build (cached repeats
         // would fake a ~3x speedup on exactly the slowest queries)
@@ -47,8 +46,24 @@ object Bench {
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> (times(times.length / 2), times.last - times.head)
+      }
+    val queryFns = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val firstPass = queryFns.map { case (name, fn) => name -> measure(fn, reps) }
+    // the worst-10 by first-pass median get 2 extra reps (r8 verdict:
+    // their spreads reach ~50% of median at 3 reps, too wide for
+    // regression calls — 5 samples + the raw arrays below let the
+    // next verdict compare min-of-reps instead of noisy medians)
+    val worst10 = firstPass
+      .sortBy { case (_, ts) => -ts.sorted.apply(ts.length / 2) }
+      .take(10).map(_._1).toSet
+    val fnByName = queryFns.toMap
+    val allTimes = firstPass.map { case (name, ts0) =>
+      val ts = if (worst10(name)) ts0 ++ measure(fnByName(name), 2) else ts0
+      name -> ts.sorted
+    }
+    val results = allTimes.map { case (name, ts) =>
+      name -> (ts(ts.length / 2), ts.last - ts.head)
     }
     def json(kv: Seq[(String, Double)]) =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -62,7 +77,13 @@ object Bench {
     // The compact per_query line below is the tail-safe median record.
     val note = "queries=medians,spread=max-min; pre-r8 tails cut this " +
       "line mid-object and exposed spread values as medians"
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop_write","note":"$note","queries":$qs,"spread":$spread,"sf":"$sfDir","reps":$reps}"""
+    def repsJson(names: Seq[String]) = names.map { k =>
+      "\"" + k + "\":[" + allTimes.toMap.apply(k)
+        .map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
+        .mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val worstNames = results.sortBy(-_._2._1).take(10).map(_._1)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop_write","note":"$note","queries":$qs,"spread":$spread,"rep_samples":${repsJson(worstNames)},"sf":"$sfDir","reps":$reps}"""
     println(full)
     // the full per-query JSON also lands on disk: stdout goes through
     // sbt's logger, whose "[info] " prefix keeps any line from parsing
@@ -85,6 +106,15 @@ object Bench {
       s"\"${k.takeWhile(_ != '_')}\":" + String.format(
         java.util.Locale.ROOT, "%.3f", Double.box(med))
     }.mkString("{", ",", "}")
+    // raw 5-rep sample arrays for the worst-10 (shortened ids, 3 dp)
+    // BEFORE per_query, so a tight tail truncates the samples' head
+    // rather than the medians or the totals
+    val compactReps = worstNames.map { k =>
+      "\"" + k.takeWhile(_ != '_') + "\":[" + allTimes.toMap.apply(k)
+        .map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
+        .mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"worst10_reps","unit":"sec","queries":$compactReps,"sf":"$sfDir"}""")
     println(s"""{"metric":"per_query","unit":"sec","queries":$compact,"sf":"$sfDir","reps":$reps}""")
     val worst = json(results.sortBy(-_._2._1).take(5)
       .map { case (k, (med, _)) => k -> med })

@@ -279,13 +279,27 @@ object Similarity {
   private[operators] val GateSeed = 42L
   private[operators] val GateMaxTrain = 20000
   private val GateNQueries = 10
+
+  /** x59 media-ANN gate parameters: 32-bin byte-histogram features,
+    * a smaller cell count than x14 (the feature space is coarser),
+    * every 10th media item as the query batch. */
+  private val MediaDim = 32
+  private val MediaNlist = 8
+  private val MediaQMod = 10L
+  private val MediaK = 5
+  private val MediaNprobe = 3
   private val GateK = 10
   private val GateNprobe = 4
 
-  /** Centroids keyed by the parameters that determine them (for fixed
-    * input data — Verify trains and dumps within one run over one SF
-    * dir, so data identity is given). */
-  private[operators] final case class QuantKey(nlist: Int, seed: Long, maxTrain: Int)
+  /** Centroids keyed by the parameters that determine them PLUS the
+    * input-frame tag (for fixed input data — Verify trains and dumps
+    * within one run over one SF dir, so data identity is given). The
+    * tag keeps x59's media-feature quantizer from clobbering x14's
+    * embedding quantizer if their (nlist, seed, maxTrain) ever
+    * coincide. */
+  private[operators] final case class QuantKey(nlist: Int, seed: Long,
+                                               maxTrain: Int,
+                                               tag: String = "embeddings")
   private val trainedQuantizers =
     new java.util.concurrent.ConcurrentHashMap[QuantKey, Array[Array[Double]]]()
 
@@ -296,17 +310,27 @@ object Similarity {
     * nearest-centroid), each dot a codegen'd graft_dot against a
     * literal array — one narrow pass, no MLlib jobs. */
   private def trainAndAssign(t: Tables, nlist: Int, seed: Long,
-                             maxTrain: Int): (DataFrame, Array[Array[Double]]) = {
+                             maxTrain: Int): (DataFrame, Array[Array[Double]]) =
+    trainAndAssignFrom(graft.core.Fanout.widen(t.embeddings),
+      nlist, seed, maxTrain, tag = "embeddings")
+
+  /** [[trainAndAssign]] over an arbitrary `(vec_id, embedding:
+    * array<float>)` frame — the seam that lets any feature source
+    * (x59: media byte-histograms) feed the same quantizer/assignment
+    * machinery the embeddings table does. */
+  private def trainAndAssignFrom(emb: DataFrame, nlist: Int, seed: Long,
+                                 maxTrain: Int, tag: String)
+  : (DataFrame, Array[Array[Double]]) = {
     // quantizer trained on a bounded, deterministic (value-hashed)
     // sample — the corpus never iterates, so fit cost is O(maxTrain)
     // regardless of corpus size
-    val sample = graft.core.Fanout.widen(t.embeddings)
+    val sample = emb
       .orderBy(xxhash64(col("embedding"), lit(seed)), col("vec_id"))
       .limit(maxTrain)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val centroids = trainQuantizer(sample, nlist, iters = 5, seed = seed)
-    trainedQuantizers.put(QuantKey(nlist, seed, maxTrain), centroids)
+    trainedQuantizers.put(QuantKey(nlist, seed, maxTrain, tag), centroids)
     // Centroid argmax is nlist x dim multiplies per vector — the
     // amplifying step a single-split scan would serialize (hence the
     // widen). With the extensions the whole argmax is ONE native
@@ -329,7 +353,7 @@ object Similarity {
     // by contract), so downstream equi-joins on `cell` don't inject an
     // `isnotnull(cell)` filter that would re-evaluate the whole argmax
     // a second time below the exchange (observed in the x14 1M plan)
-    val assigned = graft.core.Fanout.widen(t.embeddings)
+    val assigned = emb
       .withColumn("cell", coalesce(cellCol, lit(-1)))
       .select(col("vec_id"), col("embedding"), col("cell"))
     (assigned, centroids)
@@ -358,6 +382,56 @@ object Similarity {
     IvfIndex(
       assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       centroids)
+  }
+
+  /** [[buildIvfIndex]] over an arbitrary `(vec_id, embedding:
+    * array<float>)` frame — any feature source (x59's media
+    * byte-histograms, a text-embedding join, …) gets the same
+    * build-once index artifact. `tag` namespaces the trained-quantizer
+    * snapshot (oracle generation) per input source. */
+  def buildIvfIndexFrom(emb: DataFrame, nlist: Int = GateNlist,
+                        seed: Long = GateSeed,
+                        maxTrain: Int = GateMaxTrain,
+                        tag: String = "custom"): IvfIndex = {
+    val (assigned, centroids) =
+      trainAndAssignFrom(emb, nlist, seed, maxTrain, tag)
+    IvfIndex(
+      assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      centroids)
+  }
+
+  /** x59 media-similarity top-k — multimodal wired into the ANN path
+    * end-to-end: the documents table's text payloads stand in as
+    * opaque binary media (`media_id` = doc_id, bytes = UTF-8 payload,
+    * the sanctioned codec boundary), [[Multimodal.extractFeatures]]
+    * featurizes them with the deterministic byte-histogram stand-in,
+    * and the features flow through [[buildIvfIndexFrom]] →
+    * [[ivfQuery]] exactly as corpus embeddings would. Every 10th
+    * media item queries the index for its `MediaK` nearest neighbors.
+    *
+    * Scale shape: featurize is one partition-preserving pass (widened
+    * — it amplifies bytes into `MediaDim` bins), index build is the
+    * bounded-sample quantizer + one argmax pass, each query batch
+    * touches ~nprobe/nlist of the corpus. Swapping the stand-in
+    * featurizer for a real CNN/CLIP decoder changes none of this
+    * plumbing. */
+  def mediaIvfTopK(t: Tables): DataFrame = {
+    val media = t.documents.select(
+      col("doc_id").as("media_id"),
+      lit("text/plain").as("media_type"),
+      col("text").cast("binary").as("bytes"),
+      lit(null).cast(Multimodal.mediaSchema("meta").dataType).as("meta"))
+    val feats = Multimodal.extractFeatures(
+      graft.core.Fanout.widen(media), MediaDim)
+    val emb = feats.select(
+      col("media_id").as("vec_id"), col("feature").as("embedding"))
+    val index = buildIvfIndexFrom(emb, MediaNlist, GateSeed, GateMaxTrain,
+      tag = "media")
+    // query batch reads the cached index, not a re-featurize pass
+    val queries = index.assigned.filter(col("vec_id") % MediaQMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val out = ivfQuery(index, queries, MediaK, MediaNprobe)
+    TextQueries.unpersistAfterFirstUse(out, index.assigned)
   }
 
   /** Query a built index with an arbitrary (qid, qe) batch: nprobe
@@ -517,7 +591,14 @@ object Similarity {
     * per-vector argmax window partitions by vec_id (billions of
     * 1-group partitions, never corpus-global). For benchmark sets too
     * large to broadcast, route through [[buildIvfIndex]]/[[ivfQuery]]
-    * with the benchmark as the query batch instead. */
+    * with the benchmark as the query batch instead.
+    *
+    * Contract: embeddings are non-zero-norm (the corpus tables
+    * guarantee it; a real pipeline's embedder never emits zeros). A
+    * zero-norm vector on either side would make `cos_raw` NaN — its
+    * `contaminated` flag silently false and its argmax NaN-ordering-
+    * dependent — so feed pre-filtered embeddings if zeros can occur
+    * upstream (r8 ADVICE). */
   def semDecontaminate(t: Tables, threshold: Double = SemDeconGateThreshold,
                        benchMod: Int = DeconBenchMod,
                        benchRem: Int = DeconBenchRem): DataFrame = {
@@ -568,7 +649,20 @@ object Similarity {
     val spark = t.spark
     val emb = graft.core.Fanout.widen(t.embeddings)
       .select(col("vec_id"), col("embedding"))
-    val first = emb.orderBy("vec_id").limit(1).collect()(0)
+    val seed = emb.orderBy("vec_id").limit(1).collect()
+    if (seed.isEmpty)
+      // empty corpus → empty coreset with the declared schema, not an
+      // ArrayIndexOutOfBounds from the seed pick (r8 ADVICE)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("step",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("radius",
+            org.apache.spark.sql.types.DoubleType))))
+    val first = seed(0)
     val chosen = scala.collection.mutable.ArrayBuffer(
       (first.getLong(0), first.getSeq[Float](1).toArray.map(_.toDouble),
         Option.empty[Double]))
@@ -611,6 +705,7 @@ object Similarity {
     "x33_semantic_dedup" -> (t => semanticDedup(t)), // same generated-oracle pattern
     "x51_semantic_decon" -> (t => semDecontaminate(t)),
     "x53_kcenter_coreset" -> (t => kcenterCoreset(t)),
+    "x59_media_ivf_topk" -> (t => mediaIvfTopK(t)), // generated oracle (media-tagged quantizer)
   )
 
   /** DuckDB double cosine between two list columns — the exact probe
@@ -675,6 +770,47 @@ object Similarity {
               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS rk
             FROM s)
       SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos, rk FROM r WHERE rk <= ${m.k} ORDER BY qid, rk"""
+  }
+
+  /** Generated x59 oracle: byte-histogram features recomputed in SQL
+    * (documents.text is ASCII in every fixture, so `unicode(char)` IS
+    * the payload byte; counts and lengths are exact ints whose REAL
+    * division bit-matches the JVM's float division — double-rounding
+    * is innocuous for division at 24-in-53 bits), then the x14
+    * assignment/probe/score/top-k machinery over the feature CTE with
+    * the trained centroids as literals. */
+  private def mediaIvfSql(centroids: Array[Array[Double]]): String = {
+    val cvals = centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}])"
+    }.mkString(", ")
+    s"""
+      WITH ch AS (SELECT doc_id AS media_id,
+            list_transform(range(1, length(text) + 1), i -> unicode(text[i])) AS codes
+          FROM documents),
+      f AS (SELECT media_id,
+            list_transform(range(0, $MediaDim), b ->
+              CAST(CAST(CAST(len(list_filter(codes, cc -> (cc % $MediaDim) = b)) AS REAL)
+                 / CAST(greatest(1, len(codes)) AS REAL) AS REAL) AS DOUBLE)) AS fe
+          FROM ch),
+      c AS (SELECT * FROM (VALUES $cvals) AS t(ci, cv)),
+      sc AS (SELECT f.media_id, f.fe, c.ci,
+               2 * ${dotSql("f.fe", "c.cv")} - ${norm2Sql("c.cv")} AS s
+             FROM f CROSS JOIN c),
+      a AS (SELECT media_id AS vec_id, fe AS embedding, ci AS cell FROM
+              (SELECT *, ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY s DESC, ci) AS rn FROM sc)
+            WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM a WHERE vec_id % $MediaQMod = 0),
+      qd AS (SELECT q.qid, c.ci, ${d2Sql("c.cv", "q.qe")} AS d2 FROM q CROSS JOIN c),
+      p AS (SELECT qid, ci AS cell FROM
+              (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, ci) AS pr FROM qd)
+            WHERE pr <= $MediaNprobe),
+      s AS (SELECT q.qid, a.vec_id, ${cosSql("a.embedding", "q.qe")} AS cos_raw
+            FROM a JOIN p ON a.cell = p.cell JOIN q ON p.qid = q.qid
+            WHERE a.vec_id <> q.qid),
+      r AS (SELECT qid, vec_id, cos_raw,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS rk
+            FROM s)
+      SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos, rk FROM r WHERE rk <= $MediaK ORDER BY qid, rk"""
   }
 
   /** Generated x53 oracle: the k greedy rounds unrolled as chained
@@ -763,5 +899,8 @@ object Similarity {
         COALESCE(m.mc >= $SemDedupGateThreshold, FALSE) AS is_dup
       FROM a LEFT JOIN m ON m.v = a.vec_id
       ORDER BY a.vec_id""").toMap
-  }
+  } ++
+    Option(trainedQuantizers.get(
+      QuantKey(MediaNlist, GateSeed, GateMaxTrain, "media")))
+      .map(cs => "x59_media_ivf_topk" -> mediaIvfSql(cs)).toMap
 }

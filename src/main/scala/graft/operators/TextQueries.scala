@@ -34,8 +34,8 @@ object TextQueries {
     * is declared but never materialized keeps its (data-free)
     * cacheManager registration — persist() registers eagerly — but
     * holds no blocks. */
-  private def unpersistAfterFirstUse(result: DataFrame,
-                                     cached: DataFrame): DataFrame = {
+  private[operators] def unpersistAfterFirstUse(result: DataFrame,
+                                                cached: DataFrame): DataFrame = {
     val session = result.sparkSession
     val target = cached.queryExecution.analyzed
     val listener: QueryExecutionListener = new QueryExecutionListener {
@@ -1258,11 +1258,24 @@ object TextQueries {
       .select(col("doc_id"), col("n_hits"))
     val boiler = boilerplateFrom(b.td, BoilerMaxDocs)
       .select(col("doc_id"), col("boiler_frac"))
-    val out = b.base
+    val out = x30Status(b.base
       .join(b.rep, Seq("doc_id"), "left")
       .join(b.nearDups, Seq("doc_id"), "left")
       .join(cont, Seq("doc_id"), "left")
-      .join(boiler, Seq("doc_id"), "left")
+      .join(boiler, Seq("doc_id"), "left"),
+      minTokens, langs, minQuality, maxDupFrac, maxBoilerFrac)
+    unpersistAfterFirstUse(out, b.td)
+  }
+
+  /** The x30 precedence chain over the assembled branch columns —
+    * shared by [[curationPipeline]] and [[curationPipelineStaged]] so
+    * the two forms can only differ in branch SCHEDULING, never in
+    * status semantics. */
+  private def x30Status(joined: DataFrame, minTokens: Long,
+                        langs: Seq[String], minQuality: Double,
+                        maxDupFrac: Double, maxBoilerFrac: Double)
+  : DataFrame =
+    joined
       .withColumn("status",
         when(col("hash_rank") > 1, "exact_dup")
           .when(col("doc_id") % DecontamMod === 0, "benchmark")
@@ -1276,6 +1289,53 @@ object TextQueries {
           .otherwise("kept"))
       .select("doc_id", "status")
       .orderBy("doc_id")
+
+  /** The bounded-PEAK-SCRATCH form of [[curationPipeline]] — byte-
+    * identical statuses (Round9Spec pins it), different branch
+    * scheduling: Catalyst evaluates the one-query form's four
+    * shuffling branches concurrently, so their shuffle spill is
+    * ADDITIVE on local scratch — ~77 GB at 12M docs on the soak box,
+    * which is what DNF'd the r8 fifth leg (SOAK_corpus.md: transient
+    * spill, linear footprint, returned on JVM exit). Here the two
+    * widest spill producers (LSH banding, benchmark shingle join) run
+    * to completion FIRST and collapse to per-doc flag rows pinned as
+    * an eager localCheckpoint; their plans are then dereferenced so
+    * ContextCleaner can drop the stage-1 shuffle files (the explicit
+    * gc is Spark's own periodicGC move, taken at the moment it pays)
+    * before the repetition/boilerplate pass spills. Peak scratch
+    * becomes max(stage), not sum(branches).
+    *
+    * The trade is lost inter-branch parallelism — measured on the 5M
+    * soak leg (SOAK_corpus.md round-9 addendum) to bound the overhead
+    * at gate scale; at the 12M wall it is the difference between
+    * completing and not. */
+  def curationPipelineStaged(t: Tables, minTokens: Long = 20,
+                             langs: Seq[String] = Seq("en"),
+                             minQuality: Double = 0.3,
+                             maxDupFrac: Double = 0.6,
+                             nearDupJaccard: Double = 0.8,
+                             maxBoilerFrac: Double = 0.5): DataFrame = {
+    val b = curationBranches(t, nearDupJaccard)
+    val cont = decontaminateFrom(b.td, DecontamMod)
+      .select(col("doc_id"), col("n_hits"))
+    // stage 1: LSH near-dup + decontamination, materialized + released
+    val s1 = b.nearDups
+      .join(cont, Seq("doc_id"), "full_outer")
+      .localCheckpoint(true)
+    System.gc() // let ContextCleaner reap the stage-1 shuffle files now
+    // stage 2: repetition + boilerplate, materialized + released
+    val boiler = boilerplateFrom(b.td, BoilerMaxDocs)
+      .select(col("doc_id"), col("boiler_frac"))
+    val s2 = b.rep
+      .join(boiler, Seq("doc_id"), "full_outer")
+      .localCheckpoint(true)
+    System.gc()
+    // final assembly: the fused per-row pass + exact-dup window joins
+    // the two checkpointed flag frames — the only remaining shuffle
+    val out = x30Status(b.base
+      .join(s2, Seq("doc_id"), "left")
+      .join(s1, Seq("doc_id"), "left"),
+      minTokens, langs, minQuality, maxDupFrac, maxBoilerFrac)
     unpersistAfterFirstUse(out, b.td)
   }
 
@@ -2106,9 +2166,13 @@ object TextQueries {
     * wall x21 hit before its fingerprint collapse. Here each distinct
     * SimHash keeps its min-doc_id representative (`bag_dups` counts
     * the collapsed members), both sketch families run on the rep-only
-    * corpus, and the audit compares their verdicts on that universe —
-    * member-level pairs are recoverable by expanding the bag groups,
-    * exactly as in [[dupClusters]]. */
+    * corpus, and the audit compares their verdicts on that universe.
+    * Member-level PAIRS are recoverable by expanding the bag groups;
+    * the expansion is exact for `sim`/`ham` (bag-identical docs share
+    * SimHash by construction) but only approximate for the MinHash
+    * `jac` column — a reordered bag member has the same token multiset
+    * yet different 3-gram shingle set, so its true Jaccard against a
+    * counterpart can differ from the representative's (r8 ADVICE). */
   def consensusNearDupCollapsed(t: Tables,
                                 jacThr: Double = ConsensusJacThreshold): DataFrame = {
     val sims = simhashDf(graft.core.Fanout.widen(t.documents))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
@@ -169,6 +169,107 @@ object DocStream {
           }
           state.update(cohort)
           out.iterator
+      }
+  }
+
+  final case class DeltaStatus(ts: java.sql.Timestamp, doc_id: Long,
+                               status: String, dup_of: Option[Long])
+
+  /** Streaming delta dedup — the incremental twin of the batch x42
+    * ([[graft.operators.TextQueries.deltaDedup]]): an unbounded ingest
+    * feed is deduplicated against a standing
+    * [[graft.operators.TextQueries.DedupIndex]] (built once, refreshed
+    * between [[graft.operators.TextQueries.absorbDelta]] batches) and
+    * within itself, emitting the x42 status precedence
+    * (`exact_dup_corpus` > `exact_dup_delta` > `near_dup_corpus` >
+    * `new`) per document in APPEND mode.
+    *
+    * Shape: the corpus lookups are STREAM-STATIC equi-joins — one on
+    * the fingerprint table, four on per-band (key → candidate list)
+    * lookup tables — so the corpus contributes no stream state at all.
+    * The per-band candidate collapse (Hamming-filter the cohort, take
+    * the min survivor) runs ROW-LOCALLY via array HOFs over the
+    * collected candidate struct list (bucket cohorts are |distinct
+    * sims|·4 / 2^15 rows on average — hundreds at 12M docs), which
+    * keeps every doc ONE row through the joins and avoids the
+    * windowed aggregation an explode would force in append mode. The
+    * only stream state is the within-delta fingerprint-first map
+    * (one `(fp → first doc_id)` per fingerprint active within the
+    * watermark horizon, evicted by event-time timeout — the
+    * domainCapAdmission bound). A corpus-known fingerprint never
+    * touches state: its copies are `exact_dup_corpus` by precedence,
+    * exactly as the batch operator resolves them. */
+  def deltaDedupStream(docs: DataFrame,
+                       index: graft.operators.TextQueries.DedupIndex,
+                       maxHamming: Int = 6, horizon: String = "1 hour",
+                       horizonMs: Long = 3600L * 1000L): Dataset[DeltaStatus] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // a stream-static join re-executes the static plan every micro-
+    // batch — persist the lookup tables so each trigger pays an
+    // in-memory scan, not a fresh per-band aggregation of the index
+    // (released with the session / index refresh; they are derived
+    // state, rebuilt from the index on restart)
+    val lookups = (0 until Bands).map { b =>
+      index.bands.filter(col("b") === b)
+        .groupBy(col("key").as(s"key$b"))
+        .agg(collect_list(struct(col("sim"), col("doc_id"))).as(s"cands$b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    def bandMin(cands: Column, sim: Column): Column =
+      array_min(transform(
+        filter(cands, x =>
+          bit_count(x("sim").bitwiseXOR(sim)) <= maxHamming),
+        x => x("doc_id")))
+    var enriched = docs
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("sim",
+        coalesce(TextFunctions.simhash60("text"), lit((1L << 60) - 1)))
+      .join(index.fp, Seq("fp"), "left")
+    for (b <- 0 until Bands)
+      enriched = enriched
+        .withColumn(s"key$b",
+          shiftright(col("sim"), b * BandBits) bitwiseAND BandMask)
+        .join(lookups(b), Seq(s"key$b"), "left")
+    enriched
+      .select(col("ts"), col("doc_id"), col("fp"), col("corpus_id"),
+        least((0 until Bands).map(b =>
+          bandMin(col(s"cands$b"), col("sim"))): _*).as("near_id"))
+      .withWatermark("ts", horizon)
+      .as[(java.sql.Timestamp, Long, String, Option[Long], Option[Long])]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (_: String,
+         rows: Iterator[(java.sql.Timestamp, Long, String, Option[Long], Option[Long])],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var first = state.getOption
+            val batch = rows.toSeq.sortBy(r => (r._1.getTime, r._2))
+            val out = batch.map { case (ts, id, _, corpusId, nearId) =>
+              if (corpusId.nonEmpty)
+                DeltaStatus(ts, id, "exact_dup_corpus", corpusId)
+              else if (first.nonEmpty)
+                DeltaStatus(ts, id, "exact_dup_delta", first)
+              else {
+                first = Some(id)
+                if (nearId.nonEmpty) DeltaStatus(ts, id, "near_dup_corpus", nearId)
+                else DeltaStatus(ts, id, "new", None)
+              }
+            }
+            // only corpus-unknown fingerprints carry state
+            if (first.nonEmpty) {
+              state.update(first.get)
+              val newest = batch.map(_._1.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(newest, state.getCurrentWatermarkMs()) + horizonMs)
+            }
+            out.iterator
+          }
       }
   }
 

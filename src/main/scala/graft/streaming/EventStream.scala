@@ -112,10 +112,14 @@ object EventStream {
     * equals batch `TextQueries.kmvDistinct` over the same prefix
     * EXACTLY (same h60 hash, same (k−1)/u_k estimator, same rounding —
     * pinned in StreamingSpec): a dashboard reading the update stream
-    * matches any offline recomputation bit-for-bit. Deliberately no
-    * timeout: the sketch IS the product, not a session — state is
-    * k longs per group by construction and eviction would only destroy
-    * it. */
+    * matches any offline recomputation bit-for-bit, up to one caveat —
+    * this TreeSet dedups HASH values while the batch kmvDistinct ranks
+    * rows of distinct user_ids, so if two distinct users ever collide
+    * in the 60-bit hash (P ≈ n²/2⁶¹ — astronomically unlikely at any
+    * real key count) sketch_n and the k-th-smallest value can differ
+    * by the collided entry (r8 ADVICE). Deliberately no timeout: the
+    * sketch IS the product, not a session — state is k longs per group
+    * by construction and eviction would only destroy it. */
   def kmvSketch(events: Dataset[KmvEvent], k: Int = 32): Dataset[KmvEstimate] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.event_type)

@@ -73,6 +73,38 @@ class Round9Spec extends SparkSpec {
     idx.release()
   }
 
+  test("x59: media bytes -> features -> IVF -> top-k, end-to-end on the fixture") {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    val df = Similarity.mediaIvfTopK(t)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // query batch is every 10th media item; ranks are 1..5 per query
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet.forall(_ % 10 == 0))
+    byQ.values.foreach { rs =>
+      val rks = rs.map(_.getLong(3)).sorted
+      assert(rks.head == 1L && rks.length <= 5 && rks.last == rks.length)
+    }
+    // byte-histogram features are non-negative: cosines in [0, 1]
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= 0.0 && c <= 1.0 + 1e-9, r.toString)
+    }
+    // neighbors never include the query itself
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("x30 staged: byte-identical statuses to the one-query form") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val t = graft.core.Tables(spark, s"/root/testdata/$sf")
+      val plain = TextQueries.curationPipeline(t).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val staged = TextQueries.curationPipelineStaged(t).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(staged.sameElements(plain), s"$sf diverged")
+    }
+  }
+
   test("x42 index: absorb is O(delta) — only unseen fingerprints/sims are appended") {
     val idx0 = TextQueries.buildDedupIndex(corpus)
     val idx1 = TextQueries.absorbDelta(idx0, batch1)

@@ -258,6 +258,52 @@ class DocStreamSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators(0).numRowsTotal == 6)
     } finally q.stop()
   }
+
+  test("streaming delta dedup: x42 statuses in append mode against a standing index") {
+    implicit val ctx = spark.sqlContext
+    val near = base.replace("tok7 ", "tok7x ") // 1 of 60 tokens changed
+    val fresh = (0 until 60).map(i => s"solo$i").mkString(" ")
+    val corpus = Seq(1L -> base, 2L -> ((0 until 50).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val index = graft.operators.TextQueries.buildDedupIndex(corpus)
+    index.fp.count(); index.bands.count() // build once, up front
+    val mem = MemoryStream[Doc]
+    val q = DocStream.deltaDedupStream(mem.toDF(), index)
+      .writeStream.format("memory").queryName("delta_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Doc(ts(0), 10L, s"  $base  "), // exact dup of corpus 1 (fp folds ws)
+        Doc(ts(1), 11L, near),         // near dup of corpus 1
+        Doc(ts(2), 12L, fresh))        // new
+      q.processAllAvailable()
+      mem.addData(
+        Doc(ts(3), 13L, fresh),        // exact dup of delta doc 12 (cross-batch state)
+        Doc(ts(4), 14L, base))         // corpus dup again — precedence over delta state
+      q.processAllAvailable()
+      val out = spark.table("delta_dedup")
+        .select("doc_id", "status", "dup_of").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      assert(out(10L) == (("exact_dup_corpus", 1L)), out)
+      assert(out(11L) == (("near_dup_corpus", 1L)), out)
+      assert(out(12L) == (("new", -1L)), out)
+      assert(out(13L) == (("exact_dup_delta", 12L)), out)
+      assert(out(14L) == (("exact_dup_corpus", 1L)), out)
+      // statuses match the batch operator over the same corpus+delta
+      val batch = graft.operators.TextQueries.deltaDedupAgainst(index,
+        Seq(10L -> s"  $base  ", 11L -> near, 12L -> fresh,
+          13L -> fresh, 14L -> base).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      assert(batch == out, s"batch=$batch stream=$out")
+      // state: TWO fp rows (the corpus-unknown `near` and `fresh`
+      // fingerprints — a later exact copy of either is exact_dup_delta,
+      // so both must be remembered); corpus-known fingerprints (docs
+      // 10/14) never enter the state store
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 2)
+    } finally { q.stop(); index.release() }
+  }
 }
 
 object DocStreamSpec {
