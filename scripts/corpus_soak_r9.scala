@@ -71,18 +71,51 @@ spark.sparkContext.setLogLevel("WARN")
     }
   gen(dir5m, 1000)
   gen(dir12m, 2400)
+  val dir125 = "/root/repo/tmp/sf25_corpus"
+  gen(dir125, 250)
+  val t125 = Tables(spark, dir125)
   val t5 = Tables(spark, dir5m)
   val t12 = Tables(spark, dir12m)
   println("docs5m=" + t5.documents.count() + " docs12m=" + t12.documents.count())
 
-  // ---- leg 2 first (cheaper): staging overhead at 5M, p=64 ---------------
-  spark.conf.set("spark.sql.shuffle.partitions", "64")
-  val plain5 = time("x30 plain 5M p64") { noop(TextQueries.curationPipeline(t5)); 1 }
-  val staged5 = time("x30 STAGED 5M p64") { noop(TextQueries.curationPipelineStaged(t5)); 1 }
+  // measured-peak-scratch monitor: the staged-pipeline claim is a DISK
+  // bound, so record the low-water mark of free space per leg instead
+  // of asserting it (first r9 attempt: x30 PLAIN at 5M exhausted the
+  // box's 78 GB free ~510 s in — right at r8's 478 s completion time,
+  // so plain-at-5M needs essentially ALL of this box's scratch and the
+  // r9 box sits just under it; legs are reordered staged-first and the
+  // plain/staged A/B moved to 1.25M where both forms fit)
+  val minFree = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
+  val mon = new Thread(() => while (true) {
+    val f = new java.io.File("/tmp").getUsableSpace
+    minFree.getAndAccumulate(f, (a: Long, b: Long) => math.min(a, b))
+    Thread.sleep(2000)
+  })
+  mon.setDaemon(true); mon.start()
+  def legScratch(label: String): Unit = {
+    val end = new java.io.File("/tmp").getUsableSpace
+    val mf = minFree.get()
+    println(f"$label scratch: min free ${mf / 1e9}%.1f GB during leg, ${end / 1e9}%.1f GB free at leg end")
+    minFree.set(Long.MaxValue)
+  }
 
-  // ---- leg 1: the 12M wall crossing, same p=64 that DNF'd ----------------
+  // ---- leg 1: staged at 5M, p=64 (r8 plain reference: 478 s) -------------
+  spark.conf.set("spark.sql.shuffle.partitions", "64")
+  minFree.set(Long.MaxValue)
+  val staged5 = time("x30 STAGED 5M p64") { noop(TextQueries.curationPipelineStaged(t5)); 1 }
+  legScratch("x30 staged 5M")
+
+  // ---- leg 2: the 12M wall crossing, same p=64 that DNF'd ----------------
   time("x30 STAGED 12M p64") { noop(TextQueries.curationPipelineStaged(t12)) }
+  legScratch("x30 staged 12M")
   println("X30_12M_STAGED_DONE")
+
+  // ---- leg 2b: staging overhead A/B at 1.25M (both forms fit here; r8
+  // measured plain 365.5 s at this scale) ----------------------------------
+  val plain125 = time("x30 plain 1.25M p64") { noop(TextQueries.curationPipeline(t125)); 1 }
+  legScratch("x30 plain 1.25M")
+  val staged125 = time("x30 STAGED 1.25M p64") { noop(TextQueries.curationPipelineStaged(t125)); 1 }
+  legScratch("x30 staged 1.25M")
 
   // ---- leg 3: x42 build-once, 2 batches at 12M ---------------------------
   spark.conf.set("spark.sql.shuffle.partitions", "256")
@@ -111,6 +144,7 @@ spark.sparkContext.setLogLevel("WARN")
   }
   println("batch2: " + s2.map(r => r.getString(0) + "=" + r.getLong(1)).sorted.mkString(" "))
   idx2.release(); idx.release()
+  legScratch("x42 build-once 2-batch")
 
   // ---- leg 4: x50 approx after the persist fix, 12M p=256 ----------------
   val keptApprox = time("x50 approx 12M (persist fix)") {
@@ -121,6 +155,7 @@ spark.sparkContext.setLogLevel("WARN")
     TextQueries.calibratedQuality(t12).filter(col("keep")).count()
   }
   println(s"x50 exact keeps=$keptExact")
+  legScratch("x50 both paths 12M")
 
   println("DONE_R9_SOAK")
 }

@@ -4,6 +4,7 @@ import graft.core.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Approximate-nearest-neighbor / similarity search over the
   * `embeddings` table (`vec_id, embedding: array<float>, label`).
@@ -693,6 +694,134 @@ object Similarity {
       .orderBy("step")
   }
 
+  // ---- x60 product quantization (ADC) --------------------------------------
+
+  /** x60 PQ geometry: the 64-dim embeddings split into [[PqM]] = 8
+    * subspaces of [[PqDsub]] = 8 dims, each coded against [[PqKsub]] =
+    * 16 per-subspace centroids (Jégou et al. 2011). Eight small codes
+    * replace 64 floats — 256 B/vector → 8 B packed — which is the
+    * compression that lets a 100 TB embedding corpus live in executor
+    * memory for ADC scans; the raw-vector scan variants (x08/x14) read
+    * 32× the bytes per candidate. */
+  private[operators] val PqM = 8
+  private[operators] val PqDsub = 8
+  private[operators] val PqKsub = 16
+  private val PqNQueries = 10
+  private val PqK = 10
+
+  /** Trained PQ codebooks ([m][ksub][dsub]), keyed by the parameters
+    * that determine them — the generated x60 oracle reads the
+    * gate-parameter entry specifically, like [[QuantKey]] for x14. */
+  private[operators] final case class PqKey(m: Int, ksub: Int, seed: Long,
+                                            maxTrain: Int)
+  private val trainedPq = new java.util.concurrent.ConcurrentHashMap[
+    PqKey, Array[Array[Array[Double]]]]()
+
+  /** Per-subspace code: nearest codebook centroid of the vector's
+    * `sub`-th 8-dim slice — the same argmax of 2·x·c − |c|² (first
+    * index wins ties) as coarse assignment, so the native expression
+    * and the [[assignCtes]]-style SQL mirror both apply unchanged. */
+  private def pqCodeCol(sub: Int, cents: Array[Array[Double]]): Column = {
+    val s = slice(col("embedding"), sub * PqDsub + 1, PqDsub)
+    if (graft.functions.GraftExtensions.active)
+      call_function("graft_nearest_centroid", s,
+        typedLit(cents.map(_.toSeq).toSeq))
+    else {
+      val scoreArr = array(cents.toIndexedSeq.map { c =>
+        dotCols(s, lit(c)) * 2.0 - lit(c.map(x => x * x).sum)
+      }: _*)
+      (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int")
+    }
+  }
+
+  /** x60 exhaustive PQ-ADC top-k (the faiss `IndexPQ` shape; IVF-PQ is
+    * this composed with [[buildIvfIndexFrom]]'s cell filter). The
+    * corpus is encoded ONCE into `PqM` codes per vector; each query
+    * precomputes an ADC lookup table (`PqM`×`PqKsub` subspace dots —
+    * driver math over the bounded codebooks) and every candidate then
+    * costs `PqM` table lookups + adds instead of a 64-dim dot. The
+    * reported score is the cosine of the query against the candidate's
+    * PQ RECONSTRUCTION — numerator and reconstruction norm are both
+    * code-determined, so they decompose into per-subspace terms.
+    *
+    * Order-independence discipline (the r8 x47 lesson, applied from
+    * birth): each subspace term is rounded to 9 dp and accumulated as
+    * DECIMAL(28,9) — exact, associative — so the 8-term fold cannot
+    * depend on evaluation order; the oracle SUMs the identically
+    * rounded terms as the same DECIMAL. Term error ≤ 8·5e-10, three
+    * orders under the 6-dp output grain.
+    *
+    * Scale shape: one bounded-sample codebook train (corpus never
+    * iterates), one encode pass (narrow: 8 ints out per vector), one
+    * broadcast of the ≤nQueries-row LUT frame against the codes table,
+    * per-query top-k window over k·|corpus| candidate rows. No
+    * all-pairs, no corpus-global window, shuffle only at the final
+    * per-query rank. */
+  def pqAdcTopK(t: Tables, nQueries: Int = PqNQueries, k: Int = PqK,
+                seed: Long = GateSeed, maxTrain: Int = GateMaxTrain): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val emb = graft.core.Fanout.widen(t.embeddings)
+      .select(col("vec_id"), col("embedding"))
+    // bounded deterministic (value-hashed) training sample, sliced per
+    // subspace; seeds decorrelate across subspaces
+    val sample = emb
+      .orderBy(xxhash64(col("embedding"), lit(seed)), col("vec_id"))
+      .limit(maxTrain)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val books: Array[Array[Array[Double]]] = Array.tabulate(PqM) { i =>
+      val sub = sample.map(v => v.slice(i * PqDsub, (i + 1) * PqDsub))
+      trainQuantizer(sub, PqKsub, iters = 5, seed = seed + i)
+    }
+    trainedPq.put(PqKey(PqM, PqKsub, seed, maxTrain), books)
+    val codes = emb.select(col("vec_id"),
+      array((0 until PqM).map(i => pqCodeCol(i, books(i))): _*)
+        .as("codes"))
+    // ADC is asymmetric: queries stay exact, only the corpus is coded.
+    // lut(i)(c) = ⟨q_sub_i, books(i)(c)⟩ with the same sequential double
+    // accumulation the oracle's list_sum recomputes.
+    val queries = t.embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val luts = queries.map { case (qid, q) =>
+      val lut = IndexedSeq.tabulate(PqM, PqKsub) { (i, c) =>
+        var s = 0.0; var j = 0
+        while (j < PqDsub) {
+          s += q(i * PqDsub + j).toDouble * books(i)(c)(j); j += 1
+        }
+        s
+      }.map(_.toSeq).toSeq
+      var qn2 = 0.0; var j = 0
+      while (j < q.length) { qn2 += q(j).toDouble * q(j).toDouble; j += 1 }
+      (qid, lut, qn2)
+    }.toIndexedSeq.toDF("qid", "lut", "qn2")
+    // reconstruction norm² terms are query-independent: |books(i)(c)|²
+    // as one nested literal (sequential sum, the oracle's norm2 order)
+    val normLut = typedLit(
+      books.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+    def termAt(table: Column, i: Int): Column =
+      round(element_at(element_at(table, i + 1),
+        element_at(col("codes"), i + 1) + 1), 9)
+        .cast(DecimalType(28, 9))
+    val num = (1 until PqM).foldLeft(termAt(col("lut"), 0))(
+      (acc, i) => acc + termAt(col("lut"), i))
+    val rn2 = (1 until PqM).foldLeft(termAt(normLut, 0))(
+      (acc, i) => acc + termAt(normLut, i))
+    codes.crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (num.cast("double") /
+          (sqrt(col("qn2")) * sqrt(rn2.cast("double")))).as("cos_raw"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("cos_raw").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"),
+        round(col("cos_raw"), 6).as("cos_pq"), col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** name → query, in declared order. The near-dup threshold is wired
     * at 0.15 for the gate: the synthetic embeddings have no true
     * near-dups (max pairwise cosine ≈ 0.51 at sf0.01), and a gate query
@@ -706,6 +835,7 @@ object Similarity {
     "x51_semantic_decon" -> (t => semDecontaminate(t)),
     "x53_kcenter_coreset" -> (t => kcenterCoreset(t)),
     "x59_media_ivf_topk" -> (t => mediaIvfTopK(t)), // generated oracle (media-tagged quantizer)
+    "x60_pq_adc_topk" -> (t => pqAdcTopK(t)), // generated oracle (trained PQ codebooks)
   )
 
   /** DuckDB double cosine between two list columns — the exact probe
@@ -902,5 +1032,52 @@ object Similarity {
   } ++
     Option(trainedQuantizers.get(
       QuantKey(MediaNlist, GateSeed, GateMaxTrain, "media")))
-      .map(cs => "x59_media_ivf_topk" -> mediaIvfSql(cs)).toMap
+      .map(cs => "x59_media_ivf_topk" -> mediaIvfSql(cs)).toMap ++
+    Option(trainedPq.get(PqKey(PqM, PqKsub, GateSeed, GateMaxTrain)))
+      .map(b => "x60_pq_adc_topk" -> pqSql(b)).toMap
+
+  /** Generated x60 oracle: the trained codebooks as a 128-row literal
+    * (sub, code, cv), per-subspace encode via the same 2·x·c − |c|²
+    * argmax (first-code ties) over the vector's 8-dim slice, then the
+    * ADC score recomputed from the SAME rounded-DECIMAL subspace terms
+    * the Spark plan folds — SUM over the 8 terms is exact decimal
+    * arithmetic, so the GROUP BY order is immaterial, and the final
+    * double division/sqrt chain is evaluated in the identical shape. */
+  private def pqSql(books: Array[Array[Array[Double]]]): String = {
+    val cb = books.zipWithIndex.flatMap { case (sub, i) =>
+      sub.zipWithIndex.map { case (c, ci) =>
+        s"($i, $ci, [${c.mkString(", ")}])"
+      }
+    }.mkString(", ")
+    val dim = PqM * PqDsub
+    def subDot(e: String, cv: String) =
+      s"list_sum(list_transform(range(1, ${PqDsub + 1}), j -> CAST($e[cb_sub * $PqDsub + j] AS DOUBLE) * $cv[j]))"
+    s"""
+      WITH cb AS (SELECT * FROM (VALUES $cb) AS t(cb_sub, cb_code, cv)),
+      enc0 AS (SELECT e.vec_id, cb.cb_sub, cb.cb_code, cb.cv,
+                 2 * ${subDot("e.embedding", "cb.cv")}
+                   - list_sum(list_transform(range(1, ${PqDsub + 1}), j -> cb.cv[j] * cb.cv[j])) AS s
+               FROM embeddings e CROSS JOIN cb),
+      enc AS (SELECT vec_id, cb_sub, cb_code, cv FROM
+                (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, cb_sub ORDER BY s DESC, cb_code) AS rn FROM enc0)
+              WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, embedding AS qe,
+              list_sum(list_transform(range(1, ${dim + 1}), j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))) AS qn2
+            FROM embeddings WHERE vec_id < $PqNQueries),
+      t AS (SELECT q.qid, enc.vec_id,
+              CAST(ROUND(${subDot("q.qe", "enc.cv")}, 9) AS DECIMAL(28,9)) AS term,
+              CAST(ROUND(list_sum(list_transform(range(1, ${PqDsub + 1}), j -> enc.cv[j] * enc.cv[j])), 9) AS DECIMAL(28,9)) AS nterm
+            FROM q CROSS JOIN enc WHERE enc.vec_id <> q.qid),
+      s AS (SELECT qid, vec_id, CAST(SUM(term) AS DOUBLE) AS num,
+              CAST(SUM(nterm) AS DOUBLE) AS rn2
+            FROM t GROUP BY qid, vec_id),
+      r AS (SELECT s.qid, s.vec_id,
+              s.num / (sqrt(q.qn2) * sqrt(s.rn2)) AS cos_raw
+            FROM s JOIN q ON s.qid = q.qid),
+      rk AS (SELECT qid, vec_id, cos_raw,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS rk
+            FROM r)
+      SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos_pq, rk
+      FROM rk WHERE rk <= $PqK ORDER BY qid, rk"""
+  }
 }

@@ -105,6 +105,34 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("x60: PQ-ADC top-k — shape, determinism, recall above the PQ floor") {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    val rows = Similarity.pqAdcTopK(t).collect()
+    // 10 queries x 10 ranks, contiguous ranks, never the query itself
+    assert(rows.length == 100)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).sorted.sameElements(1L to 10L))
+    }
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    // cosine of a reconstruction is still a cosine
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    // deterministic end-to-end (seeded sample, seeded per-subspace
+    // k-means, decimal ADC fold): a second full run is identical
+    val again = Similarity.pqAdcTopK(t).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+    // recall@10 vs the exact scan: i.i.d. random vectors are PQ's
+    // worst case (no subspace cluster structure), measured 0.21 at
+    // sf0.001 / 0.24 at sf0.01 against a 10/499 ≈ 0.02 random
+    // baseline; the floor asserts the ADC ranking carries real signal
+    val bf = Similarity.bruteForceTopK(t).select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & got).size.toDouble / bf.size
+    assert(recall >= 0.12, f"recall@10 = $recall%.3f")
+  }
+
   test("x42 index: absorb is O(delta) — only unseen fingerprints/sims are appended") {
     val idx0 = TextQueries.buildDedupIndex(corpus)
     val idx1 = TextQueries.absorbDelta(idx0, batch1)
