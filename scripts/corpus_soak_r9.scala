@@ -99,19 +99,28 @@ spark.sparkContext.setLogLevel("WARN")
     minFree.set(Long.MaxValue)
   }
 
-  // ---- leg 1: staged at 5M, p=64 (r8 plain reference: 478 s) -------------
+  // ---- leg 1: plain + staged at 5M, p=64 — after the row-local
+  // shingle refactor (shingleArraysFrom/MinHashSig/MultisetIntersect)
+  // both forms should fit easily: the per-branch probe measured the
+  // OLD exploded form's LSH branch alone exhausting 83 GB here, vs
+  // ~15 GB transient for the refactored branch (probe_branches2.log).
+  // r8 plain reference: 478 s at ~80 GB peak.
   spark.conf.set("spark.sql.shuffle.partitions", "64")
   minFree.set(Long.MaxValue)
+  val plain5 = time("x30 plain 5M p64") { noop(TextQueries.curationPipeline(t5)); 1 }
+  legScratch("x30 plain 5M")
   val staged5 = time("x30 STAGED 5M p64") { noop(TextQueries.curationPipelineStaged(t5)); 1 }
   legScratch("x30 staged 5M")
 
-  // ---- leg 2: the 12M wall crossing, same p=64 that DNF'd ----------------
+  // ---- leg 2: the 12M wall crossing, same p=64 that DNF'd in r8 ----------
+  time("x30 plain 12M p64") { noop(TextQueries.curationPipeline(t12)) }
+  legScratch("x30 plain 12M")
+  println("X30_12M_PLAIN_DONE")
   time("x30 STAGED 12M p64") { noop(TextQueries.curationPipelineStaged(t12)) }
   legScratch("x30 staged 12M")
   println("X30_12M_STAGED_DONE")
 
-  // ---- leg 2b: staging overhead A/B at 1.25M (both forms fit here; r8
-  // measured plain 365.5 s at this scale) ----------------------------------
+  // ---- leg 2b: staging overhead A/B at 1.25M (r8 plain: 365.5 s) ---------
   val plain125 = time("x30 plain 1.25M p64") { noop(TextQueries.curationPipeline(t125)); 1 }
   legScratch("x30 plain 1.25M")
   val staged125 = time("x30 STAGED 1.25M p64") { noop(TextQueries.curationPipelineStaged(t125)); 1 }

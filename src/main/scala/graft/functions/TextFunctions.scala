@@ -61,6 +61,27 @@ object TextFunctions {
     (lit(a) * hm + lit(b)) % MinHashP
   }
 
+  /** The k=16 MinHash signature (array<long>) of a pre-folded
+    * hashed-shingle array — row-local, no explode/aggregate. Native
+    * [[MinHashSig]] (one flat codegen loop) when the extensions are
+    * injected; the wiring-free fallback computes the identical integer
+    * math through k interpreted `array_min(transform(...))` passes. */
+  def minhashSigArr(hma: Column): Column =
+    if (GraftExtensions.active) call_function("graft_minhash_sig", hma)
+    else when(size(hma) === 0, array().cast("array<long>"))
+      .otherwise(array(MinHashCoeffs.indices.map(j =>
+        array_min(transform(hma, h => minHashJ(h, j)))): _*))
+
+  /** Multiset intersection size Σ_h mult_a(h)·mult_b(h) of two long
+    * arrays — the row count of a `JOIN ON hm` between the exploded
+    * relations, as a row-local expression. Native [[MultisetIntersect]]
+    * when injected; fallback is the equivalent (quadratic, interpreted)
+    * HOF — fine for bounded verification arrays. */
+  def multisetIntersect(a: Column, b: Column): Column =
+    if (GraftExtensions.active) call_function("graft_minter", a, b)
+    else aggregate(a, lit(0L),
+      (acc, h) => acc + size(filter(b, x => x === h)).cast("long"))
+
   /** Word n-gram shingles of the token array; empty array when the doc
     * has fewer than n tokens (guards Spark's descending `sequence`). */
   /** Fixed-width token chunks (c tokens each, last chunk partial),

@@ -238,6 +238,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_nearest_centroid expects (array, centroid-matrix literal)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a) => MinHashSig(a)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash_sig expects exactly 1 argument, got ${other.length}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minter"),
+      new ExpressionInfo(classOf[MultisetIntersect].getName, "graft_minter"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => MultisetIntersect(a, b)
+        case other => throw new IllegalArgumentException(
+          s"graft_minter expects exactly 2 arguments, got ${other.length}")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_band_keys"),
       new ExpressionInfo(classOf[BandKeys].getName, "graft_band_keys"),
       (children: Seq[Expression]) => children match {

@@ -770,6 +770,21 @@ object Similarity {
       .limit(maxTrain)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    if (sample.isEmpty)
+      // empty corpus → empty top-k with the declared schema, not a
+      // head-of-empty-sample crash in codebook training (the x53
+      // empty-seed lesson, applied here pre-emptively)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cos_pq",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rk",
+            org.apache.spark.sql.types.LongType))))
     val books: Array[Array[Array[Double]]] = Array.tabulate(PqM) { i =>
       val sub = sample.map(v => v.slice(i * PqDsub, (i + 1) * PqDsub))
       trainQuantizer(sub, PqKsub, iters = 5, seed = seed + i)

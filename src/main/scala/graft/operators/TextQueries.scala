@@ -160,31 +160,40 @@ object TextQueries {
   private def withToks(docs: DataFrame): DataFrame =
     docs.withColumn("toks", tokens(col("text")))
 
-  /** Distinct (doc_id, folded shingle hash) pairs — shared by the
-    * MinHash signature and LSH pair queries. */
-  private def shingleHashes(t: Tables): DataFrame =
-    shingleHashesFrom(withToks(graft.core.Fanout.widen(t.documents)))
-
-  private def shingleHashesFrom(td: DataFrame): DataFrame =
+  /** Per-doc DISTINCT hashed-shingle ARRAY `(doc_id, hma)` — the
+    * row-local form of the old exploded global `(doc_id, hm)` relation
+    * (round-9 scratch fix). A document's shingle SET is a function of
+    * the row alone, so the string-level distinct is `array_distinct`
+    * INSIDE the row and the global distinct exchange disappears — the
+    * per-branch disk probe measured the exploded form's LSH branch
+    * leaving ~19 GB of shuffle files at 1.25M docs and exhausting an
+    * 83 GB scratch volume at 5M BY ITSELF (SOAK_corpus.md round 9):
+    * the full shingle relation was crossing 3-4 exchanges (distinct,
+    * signature groupBy, both verification join sides). Hash order
+    * matches the old form exactly — distinct on STRINGS, then fold, so
+    * post-hash collision duplicates stay in the array and downstream
+    * multiset algebra is value-identical. Shingle-less docs are
+    * dropped, matching the exploded form where they had no rows. */
+  private def shingleArraysFrom(td: DataFrame): DataFrame =
     td
-      .select(col("doc_id"), explode(wordShingles(col("toks"), 3)).as("s"))
-      .distinct()
-      // coalesce is a no-op (s is never null) but marks hm non-nullable,
-      // so outer joins on hm don't inject an isnotnull filter into this
-      // subtree — keeping every consumer's exchange byte-identical and
-      // therefore reusable (one scan + tokenize for the whole query)
-      .select(col("doc_id"), coalesce(hashP(col("s")), lit(0L)).as("hm"))
+      .select(col("doc_id"),
+        transform(array_distinct(wordShingles(col("toks"), 3)),
+          s => coalesce(hashP(s), lit(0L))).as("hma"))
+      .filter(size(col("hma")) > 0)
 
   /** x06 MinHash signatures (k=16) — the scale path for near-dup at
-    * 100 TB: one shuffle keyed by doc_id, signature is 16 longs/doc.
-    * Deterministic affine family over the shared md5 hash, so the
-    * whole signature is oracle-checkable hash-exact. */
+    * 100 TB, now ZERO-shuffle: the signature is a row-local fold of
+    * the per-doc shingle array ([[graft.functions.MinHashSig]] — one
+    * codegen loop; previously a `min()` aggregation over the exploded
+    * shingle relation, whose exchange was the LSH branch's scratch
+    * hog). Deterministic affine family over the shared md5 hash, so
+    * the whole signature is oracle-checkable hash-exact. */
   def minhashSignatures(t: Tables): DataFrame = {
-    val aggs = MinHashCoeffs.indices.map(j =>
-      min(minHashJ(col("hm"), j)).as(f"m$j%02d"))
-    shingleHashes(t)
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
+    val sel = MinHashCoeffs.indices.map(j =>
+      element_at(col("sig"), j + 1).as(f"m$j%02d"))
+    shingleArraysFrom(withToks(graft.core.Fanout.widen(t.documents)))
+      .select(col("doc_id"), minhashSigArr(col("hma")).as("sig"))
+      .select(col("doc_id") +: sel: _*)
       .orderBy("doc_id")
   }
 
@@ -255,23 +264,26 @@ object TextQueries {
                            numBands: Int = 4): DataFrame = {
     require(bandRows * numBands <= MinHashCoeffs.length,
       s"banding $numBands x $bandRows exceeds k=${MinHashCoeffs.length}")
-    // ONE distinct hashed-shingle table feeds the signature aggregation
-    // AND both verification join sides: the (doc_id, s)-distinct
-    // exchange is identical in all three consumers, so Spark plans it
-    // once and ReusedExchange serves the rest — no re-tokenize/explode.
-    // Verification Jaccard runs over hashed shingles (the oracle hashes
-    // identically, so the two engines see the same set algebra).
-    val sh = shingleHashesFrom(td)
-    val aggs = MinHashCoeffs.indices.map(j =>
-      min(minHashJ(col("hm"), j)).as(f"m$j%02d"))
-    val sigSz = sh.groupBy("doc_id")
-      .agg(aggs.head, (aggs.tail :+ count(lit(1)).as("sz")): _*)
+    // ONE per-doc shingle-ARRAY table (row-local distinct, row-local
+    // signature — see [[shingleArraysFrom]]) feeds banding and both
+    // verification join sides. Every exchange in this query now moves
+    // ONE row per doc (plus one per candidate pair), never the
+    // exploded shingle relation: the round-9 disk probe measured the
+    // exploded form spending ~19 GB of scratch at 1.25M docs and
+    // exhausting 83 GB at 5M in this branch alone.
+    val sh = shingleArraysFrom(td)
+    val sigSz = sh.select(col("doc_id"), col("hma"),
+      size(col("hma")).cast("long").as("sz"),
+      minhashSigArr(col("hma")).as("sig"))
     val bandEntries = array((0 until numBands).map { b =>
       struct(lit(b).as("b"),
         concat_ws("_",
-          (0 until bandRows).map(r => col(f"m${b * bandRows + r}%02d")): _*)
+          (0 until bandRows).map(r =>
+            element_at(col("sig"), b * bandRows + r + 1)): _*)
           .as("key"))
     }: _*)
+    // the band table is SKINNY (no hma) — exploding numBands rows per
+    // doc must not amplify the shingle arrays
     val banded = sigSz
       .select(col("doc_id"), col("sz"), explode(bandEntries).as("band"))
       .select(col("doc_id"), col("sz"),
@@ -284,16 +296,16 @@ object TextQueries {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         col("x.sz").as("sz1"), col("y.sz").as("sz2"))
       .distinct()
-    // candidates is consumed exactly once: expand by d1's shingles
-    // (inner — every banded doc has >=1 shingle), probe d2's shingle set
-    // with a left join, and count the matches. Pairs whose intersection
-    // is empty survive with inter=0, so no second pass over candidates.
+    // verification: join each side's shingle ARRAY (one row per doc)
+    // and count the multiset intersection row-locally — bit-identical
+    // to the old exploded `sum(m)` join under any collision pattern
+    // (see [[graft.functions.MultisetIntersect]]), and to the oracle's
+    // JOIN-count CTE, which is unchanged.
     candidates
-      .join(sh.select(col("doc_id").as("d1"), col("hm")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("hm"), lit(1).as("m")),
-        Seq("d2", "hm"), "left")
-      .groupBy("d1", "d2", "sz1", "sz2")
-      .agg(coalesce(sum("m"), lit(0)).as("inter"))
+      .join(sh.select(col("doc_id").as("d1"), col("hma").as("h1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("hma").as("h2")), "d2")
+      .select(col("d1"), col("d2"), col("sz1"), col("sz2"),
+        multisetIntersect(col("h1"), col("h2")).as("inter"))
       .select(col("d1"), col("d2"),
         round(col("inter").cast("double") /
           (col("sz1") + col("sz2") - col("inter")).cast("double"), 6)
@@ -576,6 +588,25 @@ object TextQueries {
     CurationBranches(td, base, rep, nearDups)
   }
 
+  /** Diagnostic seam: the x30 branch frames individually, for
+    * per-branch wall/scratch attribution when capacity-planning the
+    * curation pipeline (SOAK_corpus.md round-9 uses it to locate the
+    * dominant spill producer). `td` is the shared persisted
+    * tokenization — callers own its unpersist. Not a gate. */
+  def curationBranchFrames(t: Tables, nearDupJaccard: Double = 0.8)
+  : Seq[(String, DataFrame)] = {
+    val b = curationBranches(t, nearDupJaccard)
+    Seq(
+      "td" -> b.td,
+      "base" -> b.base.select("doc_id", "n_tokens", "hash_rank"),
+      "rep" -> b.rep,
+      "nearDups" -> b.nearDups,
+      "decontaminate" -> decontaminateFrom(b.td, DecontamMod)
+        .select(col("doc_id"), col("n_hits")),
+      "boilerplate" -> boilerplateFrom(b.td, BoilerMaxDocs)
+        .select(col("doc_id"), col("boiler_frac")))
+  }
+
   /** x20 KMV (k-minimum-values) approximate distinct count — the
     * mergeable cardinality sketch of a 100 TB pipeline (Bar-Yossef et
     * al. 2002): per group keep the k smallest values of a uniform hash
@@ -847,9 +878,15 @@ object TextQueries {
     * engines and cancels in the compare. */
   private def hashedShinglesFrom(td: DataFrame): DataFrame =
     td
-      .select(col("doc_id"), explode(wordShingles(col("toks"), 3)).as("s"))
-      .select(col("doc_id"), hash60(col("s")).as("hs"))
-      .distinct()
+      // row-local distinct (the round-9 scratch fix, same reasoning as
+      // [[shingleArraysFrom]]): the old global `.distinct()` forced the
+      // full (doc_id, hs) relation through an exchange — at 5M docs
+      // that relation is ~290M rows, and it fed x26/x27/x30's branches.
+      // Distinct is POST-hash on hs, exactly like the old form and the
+      // oracle's `SELECT DISTINCT doc_id, hash(s)` CTE.
+      .select(col("doc_id"),
+        explode(array_distinct(transform(wordShingles(col("toks"), 3),
+          s => hash60(s)))).as("hs"))
 
   def decontaminate(t: Tables, mod: Int = DecontamMod): DataFrame =
     decontaminateFrom(withToks(t.documents), mod)

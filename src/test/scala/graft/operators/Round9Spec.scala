@@ -131,6 +131,13 @@ class Round9Spec extends SparkSpec {
     val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & got).size.toDouble / bf.size
     assert(recall >= 0.12, f"recall@10 = $recall%.3f")
+    // empty corpus → empty frame with the declared schema (no crash)
+    val dir = java.nio.file.Files.createTempDirectory("x60empty").toString
+    t.embeddings.filter(org.apache.spark.sql.functions.lit(false))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val e = Similarity.pqAdcTopK(graft.core.Tables(spark, dir))
+    assert(e.columns.toSeq == Seq("qid", "vec_id", "cos_pq", "rk"))
+    assert(e.count() == 0)
   }
 
   test("x42 index: absorb is O(delta) — only unseen fingerprints/sims are appended") {
