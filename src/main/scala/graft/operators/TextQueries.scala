@@ -1329,23 +1329,27 @@ object TextQueries {
 
   /** The bounded-PEAK-SCRATCH form of [[curationPipeline]] — byte-
     * identical statuses (Round9Spec pins it), different branch
-    * scheduling: Catalyst evaluates the one-query form's four
-    * shuffling branches concurrently, so their shuffle spill is
-    * ADDITIVE on local scratch — ~77 GB at 12M docs on the soak box,
-    * which is what DNF'd the r8 fifth leg (SOAK_corpus.md: transient
-    * spill, linear footprint, returned on JVM exit). Here the two
-    * widest spill producers (LSH banding, benchmark shingle join) run
-    * to completion FIRST and collapse to per-doc flag rows pinned as
-    * an eager localCheckpoint; their plans are then dereferenced so
-    * ContextCleaner can drop the stage-1 shuffle files (the explicit
-    * gc is Spark's own periodicGC move, taken at the moment it pays)
-    * before the repetition/boilerplate pass spills. Peak scratch
-    * becomes max(stage), not sum(branches).
+    * scheduling: Catalyst evaluates the one-query form's shuffling
+    * branches concurrently, so their shuffle spill is ADDITIVE on
+    * local scratch — the r8 fifth leg DNF'd at 12M docs on ~77 GB,
+    * and even after the round-9 row-local shingle refactor (which cut
+    * the branches ~5x) the one-query form still sums past this box's
+    * 83 GB at 12M. Here EACH heavy branch runs to completion alone
+    * and collapses to per-doc flag rows pinned as an eager
+    * localCheckpoint (markCheckpointed severs its shuffle deps); the
+    * System.gc() after each stage is Spark's own periodicGC move,
+    * taken at the moment it pays, letting ContextCleaner drop that
+    * stage's shuffle files before the next stage spills. Peak scratch
+    * becomes max(branch) + the shared tokenization, not sum(branches)
+    * — the 12M per-branch probe measured LSH ~28 GB and
+    * decontamination ~25 GB each, so the staged peak sits near 40 GB
+    * where the one-query form needs >83 GB.
     *
-    * The trade is lost inter-branch parallelism — measured on the 5M
-    * soak leg (SOAK_corpus.md round-9 addendum) to bound the overhead
-    * at gate scale; at the 12M wall it is the difference between
-    * completing and not. */
+    * The trade is lost inter-branch parallelism — measured on the
+    * 1.25M/5M soak legs (SOAK_corpus.md round 9; at 5M the staged form
+    * was actually FASTER, 288 vs 427 s, because each stage gets the
+    * whole execution-memory pool); at the 12M wall it is the
+    * difference between completing and not. */
   def curationPipelineStaged(t: Tables, minTokens: Long = 20,
                              langs: Seq[String] = Seq("en"),
                              minQuality: Double = 0.3,
@@ -1353,25 +1357,31 @@ object TextQueries {
                              nearDupJaccard: Double = 0.8,
                              maxBoilerFrac: Double = 0.5): DataFrame = {
     val b = curationBranches(t, nearDupJaccard)
-    val cont = decontaminateFrom(b.td, DecontamMod)
-      .select(col("doc_id"), col("n_hits"))
-    // stage 1: LSH near-dup + decontamination, materialized + released
-    val s1 = b.nearDups
-      .join(cont, Seq("doc_id"), "full_outer")
-      .localCheckpoint(true)
-    System.gc() // let ContextCleaner reap the stage-1 shuffle files now
-    // stage 2: repetition + boilerplate, materialized + released
-    val boiler = boilerplateFrom(b.td, BoilerMaxDocs)
-      .select(col("doc_id"), col("boiler_frac"))
-    val s2 = b.rep
-      .join(boiler, Seq("doc_id"), "full_outer")
-      .localCheckpoint(true)
-    System.gc()
+    // ONE heavy branch per stage (round-9 12M finding): the 12M
+    // per-branch probe measured LSH ~28 GB and decontamination ~25 GB
+    // of transient scratch EACH — running them in one stage (the r8
+    // two-stage split) still summed past the 83 GB box wall together
+    // with the td persist. Materializing each alone bounds the peak at
+    // max(branch) + td, and the System.gc() after each localCheckpoint
+    // lets ContextCleaner reap that stage's shuffle files before the
+    // next starts (markCheckpointed severs the RDD's shuffle deps).
+    def staged(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(true)
+      System.gc()
+      out
+    }
+    val s1a = staged(b.nearDups)
+    val s1b = staged(decontaminateFrom(b.td, DecontamMod)
+      .select(col("doc_id"), col("n_hits")))
+    val s2 = staged(b.rep
+      .join(boilerplateFrom(b.td, BoilerMaxDocs)
+        .select(col("doc_id"), col("boiler_frac")), Seq("doc_id"), "full_outer"))
     // final assembly: the fused per-row pass + exact-dup window joins
-    // the two checkpointed flag frames — the only remaining shuffle
+    // the three checkpointed flag frames — the only remaining shuffle
     val out = x30Status(b.base
       .join(s2, Seq("doc_id"), "left")
-      .join(s1, Seq("doc_id"), "left"),
+      .join(s1a, Seq("doc_id"), "left")
+      .join(s1b, Seq("doc_id"), "left"),
       minTokens, langs, minQuality, maxDupFrac, maxBoilerFrac)
     unpersistAfterFirstUse(out, b.td)
   }
