@@ -34,6 +34,10 @@ mon.start()
 def legScratch(label: String): Unit = {
   val end = new java.io.File("/tmp").getUsableSpace
   println(f"$label scratch: min free ${minFree.get() / 1e9}%.1f GB during leg, ${end / 1e9}%.1f GB free at leg end")
+  // reap the finished leg's shuffle files before the next leg starts —
+  // a DNF'd leg's spill otherwise cascades disk-full into every
+  // later leg (observed in the r9e/r9f runs)
+  System.gc(); Thread.sleep(3000); System.gc(); Thread.sleep(2000)
   minFree.set(Long.MaxValue)
 }
 

@@ -1366,7 +1366,14 @@ object TextQueries {
     // lets ContextCleaner reap that stage's shuffle files before the
     // next starts (markCheckpointed severs the RDD's shuffle deps).
     def staged(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(true)
+      // execute through a FRESH Dataset: localCheckpoint forces the
+      // receiver's QueryExecution, and a caller-held branch frame
+      // (b.nearDups) would pin the executed shuffle dependencies for
+      // the rest of the pipeline, keeping ContextCleaner from reaping
+      // the stage's files after the checkpoint severs the RDD lineage
+      // (observed at 12M: the direct-reference form re-summed the
+      // stages and hit the scratch wall the staging exists to avoid)
+      val out = df.select(col("*")).localCheckpoint(true)
       System.gc()
       out
     }
