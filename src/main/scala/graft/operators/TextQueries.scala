@@ -265,12 +265,24 @@ object TextQueries {
     require(bandRows * numBands <= MinHashCoeffs.length,
       s"banding $numBands x $bandRows exceeds k=${MinHashCoeffs.length}")
     // ONE per-doc shingle-ARRAY table (row-local distinct, row-local
-    // signature — see [[shingleArraysFrom]]) feeds banding and both
-    // verification join sides. Every exchange in this query now moves
-    // ONE row per doc (plus one per candidate pair), never the
-    // exploded shingle relation: the round-9 disk probe measured the
-    // exploded form spending ~19 GB of scratch at 1.25M docs and
-    // exhausting 83 GB at 5M in this branch alone.
+    // signature — see [[shingleArraysFrom]]) feeds the band self-join,
+    // and verification happens INSIDE it: the multiset intersection is
+    // computed on the join output row from the two sides' arrays, so
+    // the only array-carrying exchange is the banded table itself —
+    // numBands rows per DOC, a bounded amplification — and everything
+    // after the join is skinny (d1, d2, sz, inter).
+    //
+    // The alternative shapes both lost at scale, measured: the r8
+    // exploded (doc_id, hm) relation crossed 3-4 exchanges and
+    // exhausted 83 GB at 5M; the first r9 rewrite joined per-doc
+    // arrays onto a deduped candidate-pair table, which re-amplifies
+    // by CANDIDATES — under heavy bag-duplicity the 4x4 gate banding
+    // has mega-buckets (~10^8 in-bucket pairs at 12M), and that one
+    // array-carrying exchange wrote ~50 GB (event-log stage 21,
+    // SOAK_corpus.md round 9). Here the same pair colliding in
+    // several bands re-verifies per band (minter is O(|a|+|b|) per
+    // collision, cheap) and the duplicates carry identical columns,
+    // so the post-join distinct dedupes them exactly.
     val sh = shingleArraysFrom(td)
     val sigSz = sh.select(col("doc_id"), col("hma"),
       size(col("hma")).cast("long").as("sz"),
@@ -282,30 +294,19 @@ object TextQueries {
             element_at(col("sig"), b * bandRows + r + 1)): _*)
           .as("key"))
     }: _*)
-    // the band table is SKINNY (no hma) — exploding numBands rows per
-    // doc must not amplify the shingle arrays
     val banded = sigSz
-      .select(col("doc_id"), col("sz"), explode(bandEntries).as("band"))
-      .select(col("doc_id"), col("sz"),
+      .select(col("doc_id"), col("sz"), col("hma"),
+        explode(bandEntries).as("band"))
+      .select(col("doc_id"), col("sz"), col("hma"),
         col("band.b").as("b"), col("band.key").as("key"))
-    // band sizes ride along, so no separate per-doc size join later
-    val candidates = banded.as("x")
+    banded.as("x")
       .join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        col("x.sz").as("sz1"), col("y.sz").as("sz2"))
+        col("x.sz").as("sz1"), col("y.sz").as("sz2"),
+        multisetIntersect(col("x.hma"), col("y.hma")).as("inter"))
       .distinct()
-    // verification: join each side's shingle ARRAY (one row per doc)
-    // and count the multiset intersection row-locally — bit-identical
-    // to the old exploded `sum(m)` join under any collision pattern
-    // (see [[graft.functions.MultisetIntersect]]), and to the oracle's
-    // JOIN-count CTE, which is unchanged.
-    candidates
-      .join(sh.select(col("doc_id").as("d1"), col("hma").as("h1")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("hma").as("h2")), "d2")
-      .select(col("d1"), col("d2"), col("sz1"), col("sz2"),
-        multisetIntersect(col("h1"), col("h2")).as("inter"))
       .select(col("d1"), col("d2"),
         round(col("inter").cast("double") /
           (col("sz1") + col("sz2") - col("inter")).cast("double"), 6)
