@@ -61,7 +61,7 @@ spark.sparkContext.setLogLevel("WARN")
             array_join(transform(
               array_sort(transform(
                 filter(split(col("text"), "\\s+"), t => t =!= ""),
-                t => struct(xxhash64(t, col("copy"), col("base_id")).as("h"),
+                t => struct(xxhash64(t, col("copy"), col("base_id")).as("h"),  // NOTE r9 fixtures were built WITHOUT pos (comment/code drift): repeated tokens sort adjacently, raising cross-copy shingle overlap vs the r8 instance (x07 verified pairs 1,739 -> 29,115) — a HARDER fixture; keep the formula as-built for reproducibility
                   t.as("t")))),
               s => s("t")), " ").as("text"),
             col("lang"), col("source"),

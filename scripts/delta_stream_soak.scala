@@ -26,6 +26,7 @@ import graft.streaming.DocStream.Doc
 import graft.operators.TextQueries
 import java.sql.Timestamp
 
+{
 implicit val ctx = spark.sqlContext
 spark.conf.set("spark.sql.streaming.stateStore.providerClass",
   "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -86,4 +87,5 @@ println("statuses: " + counts.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkStr
 println("total=" + counts.values.sum)
 q.stop(); index.release()
 println("DONE_DELTA_STREAM_SOAK")
+}
 sys.exit(0)
