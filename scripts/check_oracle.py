@@ -81,9 +81,27 @@ def main(sf_dir, out_dir, skip=(), only=None):
                       for r in tbl.to_pylist()] if tbl.num_rows else []
         spark_rows = [tuple(r.values()) for r in tbl.to_pylist()]
         try:
-            cur = con.execute(sql)
-            duck_names = [d[0] for d in cur.description]
-            duck_rows = cur.fetchall()
+            # con.sql is lazy: .columns/.types come from planning only,
+            # execution happens once at fetchall.
+            rel = con.sql(sql)
+            duck_names = list(rel.columns)
+            # Round-10 lesson (x47, red two driver rounds): DuckDB types
+            # SUM(BIGINT) as HUGEINT (int128). Locally that arrives as a
+            # plain Python int and str()-canonicalizes like a BIGINT, but
+            # the driver's type-sensitive hash path renders it differently
+            # (int128 → float64/decimal in arrow/pandas → "32.0" vs "32").
+            # The decimal guard in canon_cell only catches Decimal VALUES;
+            # int128 slips through it — so guard on the RESULT TYPE.
+            bad = [f"{c}:{t}" for c, t in zip(duck_names, map(str, rel.types))
+                   if "HUGEINT" in str(t).upper()
+                   or str(t).upper().startswith("DECIMAL")]
+            if bad:
+                print(f"FAIL {name}: oracle output column(s) typed "
+                      f"HUGEINT/DECIMAL ({', '.join(bad)}) — CAST integer "
+                      f"outputs to BIGINT / ROUND(CAST(x AS DOUBLE), k) in "
+                      f"the final projection (driver hash is type-sensitive)")
+                failures += 1; continue
+            duck_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}"); failures += 1; continue
         if sorted(spark_names) != sorted(duck_names):

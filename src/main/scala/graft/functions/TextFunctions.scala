@@ -95,6 +95,24 @@ object TextFunctions {
         i => array_join(slice(toks, i * c + 1, lit(c)), " ")))
   }
 
+  /** Distinct hashed word-shingles of a token array, row-local — the
+    * whole shingle → md5-fold → distinct pipeline as one codegen call
+    * (native [[HashedShingles]]) when the extensions are injected; the
+    * wiring-free fallback composes the identical math from HOFs
+    * (interpreted — the round-10 x06 regression shape; register the
+    * extensions in any real deployment).
+    *  - `mod > 0`: distinct on shingle STRINGS, then `hash60 % mod`
+    *    (post-hash duplicates stay) — the MinHash feed.
+    *  - `mod == 0`: `hash60` per occurrence, distinct on VALUES — the
+    *    decontamination feed. */
+  def hashedShingles(toks: Column, n: Int, mod: Long): Column =
+    if (GraftExtensions.active)
+      call_function("graft_hashed_shingles", toks, lit(n), lit(mod))
+    else if (mod > 0L)
+      transform(array_distinct(wordShingles(toks, n)),
+        s => coalesce(hash60(s) % mod, lit(0L)))
+    else array_distinct(transform(wordShingles(toks, n), s => hash60(s)))
+
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),

@@ -254,6 +254,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_minter expects exactly 2 arguments, got ${other.length}")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_hashed_shingles"),
+      new ExpressionInfo(classOf[HashedShingles].getName, "graft_hashed_shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a,
+            org.apache.spark.sql.catalyst.expressions.Literal(nn: Int, IntegerType),
+            org.apache.spark.sql.catalyst.expressions.Literal(md: Long, LongType)) =>
+          HashedShingles(a, nn, md)
+        case _ => throw new IllegalArgumentException(
+          "graft_hashed_shingles expects (array<string>, n literal, mod literal)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_band_keys"),
       new ExpressionInfo(classOf[BandKeys].getName, "graft_band_keys"),
       (children: Seq[Expression]) => children match {

@@ -173,13 +173,20 @@ object TextQueries {
     * matches the old form exactly — distinct on STRINGS, then fold, so
     * post-hash collision duplicates stay in the array and downstream
     * multiset algebra is value-identical. Shingle-less docs are
-    * dropped, matching the exploded form where they had no rows. */
+    * dropped, matching the exploded form where they had no rows.
+    *
+    * Round-10 fix: the drop-filter is `size(toks) >= 3` BEFORE the
+    * projection (equivalent — hma is empty iff fewer than 3 tokens),
+    * not `size(hma) > 0` after it: Catalyst pushed the latter below
+    * the projection and re-evaluated the whole shingle+md5 pipeline a
+    * second time per row, which with the then-interpreted HOF form
+    * cost x06 a 10x bench regression (BENCH_r09). The pipeline itself
+    * is now the native codegen [[graft.functions.HashedShingles]]. */
   private def shingleArraysFrom(td: DataFrame): DataFrame =
     td
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        transform(array_distinct(wordShingles(col("toks"), 3)),
-          s => coalesce(hashP(s), lit(0L))).as("hma"))
-      .filter(size(col("hma")) > 0)
+        hashedShingles(col("toks"), 3, MinHashP).as("hma"))
 
   /** x06 MinHash signatures (k=16) — the scale path for near-dup at
     * 100 TB, now ZERO-shuffle: the signature is a row-local fold of
@@ -884,10 +891,11 @@ object TextQueries {
       // full (doc_id, hs) relation through an exchange — at 5M docs
       // that relation is ~290M rows, and it fed x26/x27/x30's branches.
       // Distinct is POST-hash on hs, exactly like the old form and the
-      // oracle's `SELECT DISTINCT doc_id, hash(s)` CTE.
+      // oracle's `SELECT DISTINCT doc_id, hash(s)` CTE (mod=0 mode of
+      // the native [[graft.functions.HashedShingles]] — one codegen
+      // loop instead of the interpreted HOF pipeline).
       .select(col("doc_id"),
-        explode(array_distinct(transform(wordShingles(col("toks"), 3),
-          s => hash60(s)))).as("hs"))
+        explode(hashedShingles(col("toks"), 3, 0L)).as("hs"))
 
   def decontaminate(t: Tables, mod: Int = DecontamMod): DataFrame =
     decontaminateFrom(withToks(t.documents), mod)
@@ -3205,7 +3213,7 @@ object TextQueries {
                   AS DECIMAL(18,6))) AS clc
               FROM cnt GROUP BY doc_id)
       SELECT d.doc_id,
-        COALESCE(per.n_tokens, 0) AS n_tokens,
+        CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
         COALESCE(per.n_types, 0) AS n_types,
         CASE WHEN per.n_tokens > 0 THEN
           ROUND(ln(CAST(per.n_tokens AS DOUBLE))
