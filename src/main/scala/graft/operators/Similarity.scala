@@ -66,7 +66,14 @@ object Similarity {
     * nQueries) is broadcast against the full corpus — one narrow pass
     * over the big side, a per-query top-k via window, no all-pairs
     * blowup. This is the exact baseline the ANN variants are recalled
-    * against. */
+    * against.
+    *
+    * Rank discipline (the x46 lesson, applied to every cosine rank in
+    * this file): windows order by `round(cos_raw, 6)` with an id
+    * tiebreak, never the raw double — each engine recomputes the
+    * denominator sums independently, and a last-ulp divergence on
+    * near-tied cosines would otherwise flip ranks across engines.
+    * Oracles mirror `ORDER BY ROUND(cos_raw, 6) DESC, id` verbatim. */
   def bruteForceTopK(t: Tables, nQueries: Int = 10, k: Int = 10): DataFrame = {
     val queries = t.embeddings
       .filter(col("vec_id") < nQueries)
@@ -79,7 +86,7 @@ object Similarity {
       .withColumn("rk",
         row_number().over(
           Window.partitionBy("qid")
-            .orderBy(col("cos_raw").desc, col("vec_id"))).cast("long"))
+            .orderBy(round(col("cos_raw"), 6).desc, col("vec_id"))).cast("long"))
       .filter(col("rk") <= k)
       .select(col("qid"), col("vec_id"), round(col("cos_raw"), 6).as("cos"),
         col("rk"))
@@ -460,7 +467,7 @@ object Similarity {
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid")
-          .orderBy(col("cos_raw").desc, col("vec_id"))).cast("long"))
+          .orderBy(round(col("cos_raw"), 6).desc, col("vec_id"))).cast("long"))
       .filter(col("rk") <= k)
       .select(col("qid"), col("vec_id"), round(col("cos_raw"), 6).as("cos"), col("rk"))
       .orderBy("qid", "rk")
@@ -493,7 +500,7 @@ object Similarity {
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid")
-          .orderBy(col("cos_raw").desc, col("vec_id"))).cast("long"))
+          .orderBy(round(col("cos_raw"), 6).desc, col("vec_id"))).cast("long"))
       .filter(col("rk") <= k)
       .select(col("qid"), col("vec_id"), round(col("cos_raw"), 6).as("cos"), col("rk"))
       .orderBy("qid", "rk")
@@ -616,7 +623,7 @@ object Similarity {
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id")
-          .orderBy(col("cos_raw").desc, col("bench_id"))))
+          .orderBy(round(col("cos_raw"), 6).desc, col("bench_id"))))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("bench_id"),
         round(col("cos_raw"), 6).as("cos"),
@@ -830,7 +837,7 @@ object Similarity {
           (sqrt(col("qn2")) * sqrt(rn2.cast("double")))).as("cos_raw"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid")
-          .orderBy(col("cos_raw").desc, col("vec_id"))).cast("long"))
+          .orderBy(round(col("cos_raw"), 6).desc, col("vec_id"))).cast("long"))
       .filter(col("rk") <= k)
       .select(col("qid"), col("vec_id"),
         round(col("cos_raw"), 6).as("cos_pq"), col("rk"))
@@ -912,16 +919,20 @@ object Similarity {
             FROM a JOIN p ON a.cell = p.cell JOIN q ON p.qid = q.qid
             WHERE a.vec_id <> q.qid),
       r AS (SELECT qid, vec_id, cos_raw,
-              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS rk
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cos_raw, 6) DESC, vec_id) AS BIGINT) AS rk
             FROM s)
       SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos, rk FROM r WHERE rk <= ${m.k} ORDER BY qid, rk"""
   }
 
   /** Generated x59 oracle: byte-histogram features recomputed in SQL
-    * (documents.text is ASCII in every fixture, so `unicode(char)` IS
-    * the payload byte; counts and lengths are exact ints whose REAL
-    * division bit-matches the JVM's float division — double-rounding
-    * is innocuous for division at 24-in-53 bits), then the x14
+    * over the ACTUAL UTF-8 BYTES — `hex(encode(text))` sliced two hex
+    * chars per byte — matching the Spark featurizer's `(b & 0xff)` on
+    * the binary payload for ANY text, not just ASCII (the previous
+    * `unicode(char)` form silently assumed an all-ASCII fixture: on
+    * non-ASCII, char count ≠ byte count and code point ≠ byte — r9
+    * ADVICE). Counts and lengths are exact ints whose REAL division
+    * bit-matches the JVM's float division — double-rounding is
+    * innocuous for division at 24-in-53 bits. Then the x14
     * assignment/probe/score/top-k machinery over the feature CTE with
     * the trained centroids as literals. */
   private def mediaIvfSql(centroids: Array[Array[Double]]): String = {
@@ -929,9 +940,12 @@ object Similarity {
       s"($i, [${c.mkString(", ")}])"
     }.mkString(", ")
     s"""
-      WITH ch AS (SELECT doc_id AS media_id,
-            list_transform(range(1, length(text) + 1), i -> unicode(text[i])) AS codes
+      WITH hx AS (SELECT doc_id AS media_id, hex(encode(text)) AS h
           FROM documents),
+      ch AS (SELECT media_id,
+            list_transform(range(0, length(h) // 2),
+              i -> CAST('0x' || substr(h, 2 * i + 1, 2) AS INTEGER)) AS codes
+          FROM hx),
       f AS (SELECT media_id,
             list_transform(range(0, $MediaDim), b ->
               CAST(CAST(CAST(len(list_filter(codes, cc -> (cc % $MediaDim) = b)) AS REAL)
@@ -953,7 +967,7 @@ object Similarity {
             FROM a JOIN p ON a.cell = p.cell JOIN q ON p.qid = q.qid
             WHERE a.vec_id <> q.qid),
       r AS (SELECT qid, vec_id, cos_raw,
-              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS rk
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cos_raw, 6) DESC, vec_id) AS BIGINT) AS rk
             FROM s)
       SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos, rk FROM r WHERE rk <= $MediaK ORDER BY qid, rk"""
   }
@@ -1002,7 +1016,7 @@ object Similarity {
       s AS (SELECT q.qid, e.vec_id, ${cosSql("e.embedding", "q.qe")} AS cos_raw
             FROM embeddings e JOIN q ON e.vec_id <> q.qid),
       r AS (SELECT qid, vec_id, cos_raw,
-              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS rk
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cos_raw, 6) DESC, vec_id) AS BIGINT) AS rk
             FROM s)
       SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos, rk FROM r WHERE rk <= 10 ORDER BY qid, rk""",
     "x09_cosineneardup" -> s"""
@@ -1018,7 +1032,7 @@ object Similarity {
       s AS (SELECT e.vec_id, b.bench_id, ${cosSql("e.embedding", "b.be")} AS cos_raw
             FROM embeddings e CROSS JOIN b WHERE e.vec_id % $DeconBenchMod <> $DeconBenchRem),
       r AS (SELECT vec_id, bench_id, cos_raw,
-              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_raw DESC, bench_id) AS rk
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(cos_raw, 6) DESC, bench_id) AS rk
             FROM s)
       SELECT vec_id, bench_id, ROUND(cos_raw, 6) AS cos,
         cos_raw >= $SemDeconGateThreshold AS contaminated
@@ -1090,7 +1104,7 @@ object Similarity {
               s.num / (sqrt(q.qn2) * sqrt(s.rn2)) AS cos_raw
             FROM s JOIN q ON s.qid = q.qid),
       rk AS (SELECT qid, vec_id, cos_raw,
-              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS BIGINT) AS rk
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cos_raw, 6) DESC, vec_id) AS BIGINT) AS rk
             FROM r)
       SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos_pq, rk
       FROM rk WHERE rk <= $PqK ORDER BY qid, rk"""

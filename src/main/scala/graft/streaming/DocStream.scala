@@ -198,7 +198,19 @@ object DocStream {
     * watermark horizon, evicted by event-time timeout — the
     * domainCapAdmission bound). A corpus-known fingerprint never
     * touches state: its copies are `exact_dup_corpus` by precedence,
-    * exactly as the batch operator resolves them. */
+    * exactly as the batch operator resolves them.
+    *
+    * CONTRACT (same as [[graft.operators.TextQueries.absorbDelta]]):
+    * doc_ids are assigned in arrival order — the stream elects the
+    * within-delta survivor FIRST-SEEN across micro-batches (intra-batch
+    * ties broken by (event time, doc_id)), while the batch
+    * `deltaDedupAgainst` elects `min(doc_id)` over the whole delta.
+    * The two agree exactly when ids are monotone in arrival order (the
+    * ingest-pipeline invariant; DocStreamSpec pins the parity). Feeding
+    * ids out of arrival order diverges the elected survivor — an
+    * already-emitted `exact_dup_delta` row cannot be retracted in
+    * append mode, so min-election is unimplementable here by design,
+    * not by omission. */
   def deltaDedupStream(docs: DataFrame,
                        index: graft.operators.TextQueries.DedupIndex,
                        maxHamming: Int = 6, horizon: String = "1 hour",
