@@ -767,46 +767,75 @@ object Similarity {
   def pqAdcTopK(t: Tables, nQueries: Int = PqNQueries, k: Int = PqK,
                 seed: Long = GateSeed, maxTrain: Int = GateMaxTrain): DataFrame = {
     val spark = t.spark
-    import spark.implicits._
     val emb = graft.core.Fanout.widen(t.embeddings)
       .select(col("vec_id"), col("embedding"))
-    // bounded deterministic (value-hashed) training sample, sliced per
-    // subspace; seeds decorrelate across subspaces
+    trainPqBooks(emb, seed, maxTrain) match {
+      case None => emptyPqResult(spark)
+      case Some(books) =>
+        val codes = emb.select(col("vec_id"),
+          array((0 until PqM).map(i => pqCodeCol(i, books(i))): _*)
+            .as("codes"))
+        val luts = pqLutFrame(t, books, nQueries)
+        codes.crossJoin(broadcast(luts))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), adcCosRaw(books).as("cos_raw"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(round(col("cos_raw"), 6).desc, col("vec_id"))).cast("long"))
+          .filter(col("rk") <= k)
+          .select(col("qid"), col("vec_id"),
+            round(col("cos_raw"), 6).as("cos_pq"), col("rk"))
+          .orderBy("qid", "rk")
+    }
+  }
+
+  /** Bounded deterministic (value-hashed) PQ codebook training, sliced
+    * per subspace; seeds decorrelate across subspaces. None on an empty
+    * corpus (the x53 empty-seed lesson — don't crash in training). */
+  private def trainPqBooks(emb: DataFrame, seed: Long, maxTrain: Int)
+  : Option[Array[Array[Array[Double]]]] = {
     val sample = emb
       .orderBy(xxhash64(col("embedding"), lit(seed)), col("vec_id"))
       .limit(maxTrain)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    if (sample.isEmpty)
-      // empty corpus → empty top-k with the declared schema, not a
-      // head-of-empty-sample crash in codebook training (the x53
-      // empty-seed lesson, applied here pre-emptively)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("qid",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("cos_pq",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("rk",
-            org.apache.spark.sql.types.LongType))))
-    val books: Array[Array[Array[Double]]] = Array.tabulate(PqM) { i =>
-      val sub = sample.map(v => v.slice(i * PqDsub, (i + 1) * PqDsub))
-      trainQuantizer(sub, PqKsub, iters = 5, seed = seed + i)
+    if (sample.isEmpty) None
+    else {
+      val books: Array[Array[Array[Double]]] = Array.tabulate(PqM) { i =>
+        val sub = sample.map(v => v.slice(i * PqDsub, (i + 1) * PqDsub))
+        trainQuantizer(sub, PqKsub, iters = 5, seed = seed + i)
+      }
+      trainedPq.put(PqKey(PqM, PqKsub, seed, maxTrain), books)
+      Some(books)
     }
-    trainedPq.put(PqKey(PqM, PqKsub, seed, maxTrain), books)
-    val codes = emb.select(col("vec_id"),
-      array((0 until PqM).map(i => pqCodeCol(i, books(i))): _*)
-        .as("codes"))
-    // ADC is asymmetric: queries stay exact, only the corpus is coded.
-    // lut(i)(c) = ⟨q_sub_i, books(i)(c)⟩ with the same sequential double
-    // accumulation the oracle's list_sum recomputes.
+  }
+
+  /** Empty top-k with the declared (qid, vec_id, cos_pq, rk) schema. */
+  private def emptyPqResult(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cos_pq",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rk",
+          org.apache.spark.sql.types.LongType))))
+
+  /** ADC is asymmetric: queries stay exact, only the corpus is coded.
+    * lut(i)(c) = ⟨q_sub_i, books(i)(c)⟩ with the same sequential double
+    * accumulation the oracle's list_sum recomputes. One bounded row per
+    * query — always broadcast. */
+  private def pqLutFrame(t: Tables, books: Array[Array[Array[Double]]],
+                         nQueries: Int): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
     val queries = t.embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val luts = queries.map { case (qid, q) =>
+    queries.map { case (qid, q) =>
       val lut = IndexedSeq.tabulate(PqM, PqKsub) { (i, c) =>
         var s = 0.0; var j = 0
         while (j < PqDsub) {
@@ -818,8 +847,14 @@ object Similarity {
       while (j < q.length) { qn2 += q(j).toDouble * q(j).toDouble; j += 1 }
       (qid, lut, qn2)
     }.toIndexedSeq.toDF("qid", "lut", "qn2")
-    // reconstruction norm² terms are query-independent: |books(i)(c)|²
-    // as one nested literal (sequential sum, the oracle's norm2 order)
+  }
+
+  /** The ADC cosine of a (codes, lut, qn2) row: per-subspace terms
+    * rounded to 9 dp and folded as DECIMAL(28,9) — exact, associative,
+    * order-independent (the r8 x47 lesson) — over a reconstruction
+    * norm² literal (|books(i)(c)|², query-independent, sequential sum
+    * = the oracle's norm2 order). */
+  private def adcCosRaw(books: Array[Array[Array[Double]]]): Column = {
     val normLut = typedLit(
       books.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
     def termAt(table: Column, i: Int): Column =
@@ -830,18 +865,65 @@ object Similarity {
       (acc, i) => acc + termAt(col("lut"), i))
     val rn2 = (1 until PqM).foldLeft(termAt(normLut, 0))(
       (acc, i) => acc + termAt(normLut, i))
-    codes.crossJoin(broadcast(luts))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        (num.cast("double") /
-          (sqrt(col("qn2")) * sqrt(rn2.cast("double")))).as("cos_raw"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid")
-          .orderBy(round(col("cos_raw"), 6).desc, col("vec_id"))).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id"),
-        round(col("cos_raw"), 6).as("cos_pq"), col("rk"))
-      .orderBy("qid", "rk")
+    num.cast("double") / (sqrt(col("qn2")) * sqrt(rn2.cast("double")))
+  }
+
+  /** x61 IVF-PQ top-k — the faiss IndexIVFPQ composition the x60
+    * scaladoc promises: the coarse IVF quantizer routes each query to
+    * `nprobe` cells (same trained centroids and probe rule as x14), and
+    * within the probed sliver candidates are scored by PQ ADC lookups
+    * (same trained codebooks, LUT and decimal term-fold as x60) instead
+    * of exact dots. This is THE memory-scale ANN shape at 100 TB: the
+    * scan touches ~nprobe/nlist of the corpus and reads 8 B codes per
+    * candidate instead of 256 B vectors — the index (cell + codes) is
+    * ~3% the corpus bytes.
+    *
+    * Scale shape: two bounded-sample trainings (corpus never iterates),
+    * one assignment+encode pass (narrow: cell + 8 codes out per
+    * vector), probes and LUTs broadcast (≤nQueries rows each), shuffle
+    * only at the per-query top-k window — which rides Spark 4's
+    * WindowGroupLimit partial limits like every other rank here. */
+  def ivfPqTopK(t: Tables, nQueries: Int = PqNQueries, k: Int = PqK,
+                nlist: Int = GateNlist, nprobe: Int = GateNprobe,
+                seed: Long = GateSeed, maxTrain: Int = GateMaxTrain): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    // coarse index: identical training to x14 (same QuantKey snapshot)
+    val (assigned, centroids) = trainAndAssign(t, nlist, seed, maxTrain)
+    trainPqBooks(graft.core.Fanout.widen(t.embeddings)
+      .select(col("vec_id"), col("embedding")), seed, maxTrain) match {
+      case None => emptyPqResult(spark)
+      case Some(books) =>
+        // one narrow pass: cell + the 8 PQ codes per corpus vector —
+        // the entire persisted index a real deployment would keep
+        val codes = assigned.select(col("vec_id"), col("cell"),
+          array((0 until PqM).map(i => pqCodeCol(i, books(i))): _*)
+            .as("codes"))
+        // nprobe nearest cells per query (driver math over the bounded
+        // centroid set — the x14 probe rule verbatim)
+        val queries = t.embeddings.filter(col("vec_id") < nQueries)
+          .select(col("vec_id"), col("embedding"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        val probes = queries.flatMap { case (qid, qe) =>
+          centroids.zipWithIndex.map { case (c, ci) =>
+            val d = c.zip(qe).map { case (a, b) => (a - b) * (a - b) }.sum
+            (qid, ci, d)
+          }.sortBy(p => (p._3, p._2)).take(nprobe).map(p => (qid, p._2))
+        }.toSeq.toDF("qid", "cell")
+        val luts = pqLutFrame(t, books, nQueries)
+        codes
+          .join(broadcast(probes), "cell")
+          .join(broadcast(luts), "qid")
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), adcCosRaw(books).as("cos_raw"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy(round(col("cos_raw"), 6).desc, col("vec_id"))).cast("long"))
+          .filter(col("rk") <= k)
+          .select(col("qid"), col("vec_id"),
+            round(col("cos_raw"), 6).as("cos_pq"), col("rk"))
+          .orderBy("qid", "rk")
+    }
   }
 
   /** name → query, in declared order. The near-dup threshold is wired
@@ -858,6 +940,7 @@ object Similarity {
     "x53_kcenter_coreset" -> (t => kcenterCoreset(t)),
     "x59_media_ivf_topk" -> (t => mediaIvfTopK(t)), // generated oracle (media-tagged quantizer)
     "x60_pq_adc_topk" -> (t => pqAdcTopK(t)), // generated oracle (trained PQ codebooks)
+    "x61_ivf_pq_topk" -> (t => ivfPqTopK(t)), // generated oracle (centroids + codebooks)
   )
 
   /** DuckDB double cosine between two list columns — the exact probe
@@ -1063,7 +1146,16 @@ object Similarity {
       QuantKey(MediaNlist, GateSeed, GateMaxTrain, "media")))
       .map(cs => "x59_media_ivf_topk" -> mediaIvfSql(cs)).toMap ++
     Option(trainedPq.get(PqKey(PqM, PqKsub, GateSeed, GateMaxTrain)))
-      .map(b => "x60_pq_adc_topk" -> pqSql(b)).toMap
+      .map(b => "x60_pq_adc_topk" -> pqSql(b)).toMap ++ {
+    // x61 needs BOTH trained states: the coarse centroids (x14's
+    // QuantKey) and the PQ codebooks (x60's PqKey) — ivfPqTopK
+    // snapshots both itself, so a lone x61 run still generates
+    val gate = Option(trainedQuantizers.get(
+      QuantKey(GateNlist, GateSeed, GateMaxTrain)))
+    val pq = Option(trainedPq.get(PqKey(PqM, PqKsub, GateSeed, GateMaxTrain)))
+    (for { cs <- gate; b <- pq }
+      yield "x61_ivf_pq_topk" -> ivfPqSql(cs, b)).toMap
+  }
 
   /** Generated x60 oracle: the trained codebooks as a 128-row literal
     * (sub, code, cv), per-subspace encode via the same 2·x·c − |c|²
@@ -1097,6 +1189,57 @@ object Similarity {
               CAST(ROUND(${subDot("q.qe", "enc.cv")}, 9) AS DECIMAL(28,9)) AS term,
               CAST(ROUND(list_sum(list_transform(range(1, ${PqDsub + 1}), j -> enc.cv[j] * enc.cv[j])), 9) AS DECIMAL(28,9)) AS nterm
             FROM q CROSS JOIN enc WHERE enc.vec_id <> q.qid),
+      s AS (SELECT qid, vec_id, CAST(SUM(term) AS DOUBLE) AS num,
+              CAST(SUM(nterm) AS DOUBLE) AS rn2
+            FROM t GROUP BY qid, vec_id),
+      r AS (SELECT s.qid, s.vec_id,
+              s.num / (sqrt(q.qn2) * sqrt(s.rn2)) AS cos_raw
+            FROM s JOIN q ON s.qid = q.qid),
+      rk AS (SELECT qid, vec_id, cos_raw,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cos_raw, 6) DESC, vec_id) AS BIGINT) AS rk
+            FROM r)
+      SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos_pq, rk
+      FROM rk WHERE rk <= $PqK ORDER BY qid, rk"""
+  }
+
+  /** Generated x61 oracle: the x14 coarse machinery (assignment +
+    * probe CTEs over the centroid literals) composed with the x60 PQ
+    * machinery (encode + rounded-DECIMAL ADC term fold over the
+    * codebook literals) — candidates are exactly the probed cells'
+    * vectors, scored exactly as x60 scores the full corpus. */
+  private def ivfPqSql(centroids: Array[Array[Double]],
+                       books: Array[Array[Array[Double]]]): String = {
+    val cb = books.zipWithIndex.flatMap { case (sub, i) =>
+      sub.zipWithIndex.map { case (c, ci) =>
+        s"($i, $ci, [${c.mkString(", ")}])"
+      }
+    }.mkString(", ")
+    val dim = PqM * PqDsub
+    def subDot(e: String, cv: String) =
+      s"list_sum(list_transform(range(1, ${PqDsub + 1}), j -> CAST($e[cb_sub * $PqDsub + j] AS DOUBLE) * $cv[j]))"
+    s"""
+      WITH ${assignCtes(centroids)},
+      q AS (SELECT vec_id AS qid, embedding AS qe,
+              list_sum(list_transform(range(1, ${dim + 1}), j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))) AS qn2
+            FROM embeddings WHERE vec_id < $PqNQueries),
+      qd AS (SELECT q.qid, c.ci, ${d2Sql("c.cv", "q.qe")} AS d2 FROM q CROSS JOIN c),
+      p AS (SELECT qid, ci AS cell FROM
+              (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, ci) AS pr FROM qd)
+            WHERE pr <= $GateNprobe),
+      cand AS (SELECT p.qid, a.vec_id FROM a JOIN p ON a.cell = p.cell
+               WHERE a.vec_id <> p.qid),
+      cb AS (SELECT * FROM (VALUES $cb) AS t(cb_sub, cb_code, cv)),
+      enc0 AS (SELECT e.vec_id, cb.cb_sub, cb.cb_code, cb.cv,
+                 2 * ${subDot("e.embedding", "cb.cv")}
+                   - list_sum(list_transform(range(1, ${PqDsub + 1}), j -> cb.cv[j] * cb.cv[j])) AS s
+               FROM embeddings e CROSS JOIN cb),
+      enc AS (SELECT vec_id, cb_sub, cb_code, cv FROM
+                (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, cb_sub ORDER BY s DESC, cb_code) AS rn FROM enc0)
+              WHERE rn = 1),
+      t AS (SELECT cd.qid, cd.vec_id,
+              CAST(ROUND(${subDot("q.qe", "enc.cv")}, 9) AS DECIMAL(28,9)) AS term,
+              CAST(ROUND(list_sum(list_transform(range(1, ${PqDsub + 1}), j -> enc.cv[j] * enc.cv[j])), 9) AS DECIMAL(28,9)) AS nterm
+            FROM cand cd JOIN enc ON enc.vec_id = cd.vec_id JOIN q ON q.qid = cd.qid),
       s AS (SELECT qid, vec_id, CAST(SUM(term) AS DOUBLE) AS num,
               CAST(SUM(nterm) AS DOUBLE) AS rn2
             FROM t GROUP BY qid, vec_id),
