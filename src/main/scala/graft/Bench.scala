@@ -47,9 +47,24 @@ object Bench {
         try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
+    // one UNTIMED warmup execution per query before its timed reps:
+    // the session-level warmup above prices table first-touch out, but
+    // each query still paid its own whole-stage-codegen compile inside
+    // rep 1 — a fixed per-plan-shape cost that made first-rep outliers
+    // dominate the spread stat (r9: x36 rep spread ~80% of median from
+    // a single ~1.6 s compile-heavy rep over a ~0.85 s steady state).
+    // clearCache() still runs before every TIMED rep, so data-level
+    // caching stays priced in; only the JIT/codegen cache persists —
+    // which is exactly what the warmup is for.
+    def measureWarm(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                    n: Int): Seq[Double] = {
+      spark.catalog.clearCache()
+      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      measure(fn, n)
+    }
     val queryFns = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val firstPass = queryFns.map { case (name, fn) => name -> measure(fn, reps) }
+    val firstPass = queryFns.map { case (name, fn) => name -> measureWarm(fn, reps) }
     // the worst-10 by first-pass median get 2 extra reps (r8 verdict:
     // their spreads reach ~50% of median at 3 reps, too wide for
     // regression calls — 5 samples + the raw arrays below let the
@@ -75,8 +90,9 @@ object Bench {
     // expected — r7's "x30 median 1.61s" was really x30's max−min
     // spread (true r6/r7 medians: 3.03/3.93, in each round's worst5).
     // The compact per_query line below is the tail-safe median record.
-    val note = "queries=medians,spread=max-min; pre-r8 tails cut this " +
-      "line mid-object and exposed spread values as medians"
+    val note = "queries=medians,spread=max-min; r10+: one untimed " +
+      "warmup exec per query prices its codegen compile out of rep 1 " +
+      "(data caches still cleared before every timed rep)"
     def repsJson(names: Seq[String]) = names.map { k =>
       "\"" + k + "\":[" + allTimes.toMap.apply(k)
         .map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))

@@ -21,6 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    hashed `h60(s)`, then distinct on the 60-bit VALUES in
   *    first-occurrence order, bit-identical to
   *    `array_distinct(transform(wordShingles(toks, n), s -> hash60(s)))`.
+  *  - `distinct = false` (the x36 DSIR bag-of-ngrams feed): EVERY
+  *    shingle occurrence hashed (folded by `mod` when > 0), nothing
+  *    deduplicated, bit-identical to
+  *    `transform(wordShingles(toks, n), s -> hash60(s) [% mod])` —
+  *    downstream counts carry the multiplicity.
   *
   * Why native (round-10 fix): the composed form's nested HOF lambdas
   * (`transform`/`array_distinct` over `wordShingles`'s `sequence` +
@@ -35,7 +40,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Fewer than n tokens → empty array (callers filter such docs out
   * before banding, matching the exploded form where they had no rows).
   */
-case class HashedShingles(child: Expression, n: Int, mod: Long)
+case class HashedShingles(child: Expression, n: Int, mod: Long,
+                           distinct: Boolean = true)
     extends UnaryExpression {
   require(n >= 1, s"shingle width must be >= 1, got $n")
   require(mod >= 0L, s"mod must be >= 0 (0 = no fold), got $mod")
@@ -51,13 +57,13 @@ case class HashedShingles(child: Expression, n: Int, mod: Long)
 
   override def nullSafeEval(a: Any): Any =
     new GenericArrayData(
-      HashedShingles.compute(a.asInstanceOf[ArrayData], n, mod))
+      HashedShingles.compute(a.asInstanceOf[ArrayData], n, mod, distinct))
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.functions.HashedShingles.compute($c, $n, ${mod}L));
+         |  graft.functions.HashedShingles.compute($c, $n, ${mod}L, $distinct));
        """.stripMargin
     })
 
@@ -71,12 +77,28 @@ object HashedShingles {
   /** Shared by eval and generated code so the two paths are
     * bit-identical by construction. Null token elements are skipped
     * inside the shingle join, exactly like SQL `concat_ws`. */
-  def compute(toks: ArrayData, n: Int, mod: Long): Array[Long] = {
+  def compute(toks: ArrayData, n: Int, mod: Long,
+              distinct: Boolean): Array[Long] = {
     val m = toks.numElements()
     if (m < n) return Array.emptyLongArray
     val nsh = m - n + 1
     val parts = new Array[UTF8String](n)
-    if (mod > 0L) {
+    if (!distinct) {
+      // every occurrence, in shingle order — multiplicity preserved
+      val out = new Array[Long](nsh)
+      var i = 0
+      while (i < nsh) {
+        var j = 0
+        while (j < n) {
+          parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+          j += 1
+        }
+        val h = Hash60.h60(UTF8String.concatWs(Space, parts: _*))
+        out(i) = if (mod > 0L) h % mod else h
+        i += 1
+      }
+      out
+    } else if (mod > 0L) {
       // distinct on shingle strings FIRST (first-occurrence order, like
       // array_distinct), then fold — post-hash dups retained
       val seen = new java.util.LinkedHashSet[UTF8String](nsh * 2)

@@ -35,9 +35,13 @@ object TextFunctions {
   )
 
   /** Whitespace tokens (single-space split, empties dropped) — matches
-    * `list_filter(string_split(text,' '), x -> x <> '')` in the oracle. */
+    * `list_filter(string_split(text,' '), x -> x <> '')` in the oracle.
+    * Native [[Tokens]] (one codegen byte scan) when the extensions are
+    * injected; the wiring-free fallback composes the identical result,
+    * paying one interpreted filter-lambda dispatch per token. */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+    if (GraftExtensions.active) call_function("graft_tokens", text)
+    else filter(split(text, " "), t => t =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -105,9 +109,17 @@ object TextFunctions {
     *    (post-hash duplicates stay) — the MinHash feed.
     *  - `mod == 0`: `hash60` per occurrence, distinct on VALUES — the
     *    decontamination feed. */
-  def hashedShingles(toks: Column, n: Int, mod: Long): Column =
+  def hashedShingles(toks: Column, n: Int, mod: Long,
+                     distinct: Boolean = true): Column =
     if (GraftExtensions.active)
-      call_function("graft_hashed_shingles", toks, lit(n), lit(mod))
+      call_function("graft_hashed_shingles", toks, lit(n), lit(mod),
+        lit(distinct))
+    else if (!distinct) {
+      // every occurrence, multiplicity preserved — the bag-of-ngrams feed
+      val folded = transform(wordShingles(toks, n),
+        s => if (mod > 0L) hash60(s) % mod else hash60(s))
+      folded
+    }
     else if (mod > 0L)
       transform(array_distinct(wordShingles(toks, n)),
         s => coalesce(hash60(s) % mod, lit(0L)))

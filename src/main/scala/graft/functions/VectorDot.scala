@@ -254,6 +254,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_minter expects exactly 2 arguments, got ${other.length}")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[Tokens].getName, "graft_tokens"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => Tokens(c)
+        case other => throw new IllegalArgumentException(
+          s"graft_tokens expects exactly 1 argument, got ${other.length}")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_hashed_shingles"),
       new ExpressionInfo(classOf[HashedShingles].getName, "graft_hashed_shingles"),
       (children: Seq[Expression]) => children match {
@@ -261,8 +269,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.catalyst.expressions.Literal(nn: Int, IntegerType),
             org.apache.spark.sql.catalyst.expressions.Literal(md: Long, LongType)) =>
           HashedShingles(a, nn, md)
+        case Seq(a,
+            org.apache.spark.sql.catalyst.expressions.Literal(nn: Int, IntegerType),
+            org.apache.spark.sql.catalyst.expressions.Literal(md: Long, LongType),
+            org.apache.spark.sql.catalyst.expressions.Literal(d: Boolean, BooleanType)) =>
+          HashedShingles(a, nn, md, d)
         case _ => throw new IllegalArgumentException(
-          "graft_hashed_shingles expects (array<string>, n literal, mod literal)")
+          "graft_hashed_shingles expects (array<string>, n literal, mod literal[, distinct literal])")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_band_keys"),

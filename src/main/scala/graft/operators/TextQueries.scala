@@ -1133,29 +1133,31 @@ object TextQueries {
     * 4096-value key), the log-ratio table is broadcast back onto the
     * per-(doc, bucket) counts, and the per-doc weight is one more
     * map-side-combined aggregation — strictly linear passes, model
-    * state O(buckets), nothing driver-side. */
+    * state O(buckets), nothing driver-side.
+    *
+    * Two independent passes, NO corpus-sized cache (round-10 rework):
+    * the model fit aggregates occurrences straight to the ≤4096-row
+    * bucket marginals (it never needed the per-doc grain), and the
+    * scoring pass re-hashes the non-target slice. The old shape
+    * persisted the per-(doc, bucket) counts MEMORY_AND_DISK to share
+    * them between the two consumers — at bench scale the cache
+    * build/evict cycle made x36 the noisiest gate (r9 rep spread
+    * 1.47-2.95 s, ~80% of median), and at 100 TB a corpus-sized cache
+    * is exactly what a two-pass pipeline must not require. Bigram
+    * hashing is the native [[graft.functions.HashedShingles]]
+    * (distinct=false — multiplicity preserved), so a re-pass costs one
+    * codegen loop, not an interpreted HOF pipeline. */
   def dsirWeights(t: Tables): DataFrame = {
     val td = withToks(graft.core.Fanout.widen(t.documents))
-    // per-(doc, bucket) occurrence counts: the one expensive pass
-    // (tokenize + bigram explode + hash). Persisted because BOTH the
-    // model fit (bucket marginals) and the scoring join consume it —
-    // without the persist each consumer re-tokenizes the corpus;
-    // released after the first materialization like x19/x30.
-    val docBucket = td
-      .select(col("doc_id"), col("source"),
-        explode(wordShingles(col("toks"), 2)).as("s"))
-      .select(col("doc_id"), col("source"),
-        (hash60(col("s")) % DsirBuckets).as("b"))
-      .groupBy("doc_id", "source", "b")
-      .agg(count(lit(1)).as("cnt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // both marginals in ONE pass over the bucketed counts (conditional
-    // sums ≡ the filtered aggregates: a bucket row exists iff either
-    // side saw it, exactly the full-outer-join domain), and the totals
-    // from the ≤`DsirBuckets`-row table itself rather than re-scanning
-    val buckets = docBucket.groupBy("b").agg(
-      sum(when(col("source") === DsirTarget, col("cnt")).otherwise(0L)).as("ct"),
-      sum(when(col("source") =!= DsirTarget, col("cnt")).otherwise(0L)).as("cr"))
+    // per-occurrence hashed bigrams (bag semantics — counts downstream)
+    val occ = td.select(col("doc_id"), col("source"),
+      explode(hashedShingles(col("toks"), 2, DsirBuckets,
+        distinct = false)).as("b"))
+    // pass 1, model fit: both marginals in ONE map-side-combined agg
+    // to ≤DsirBuckets rows; totals from the tiny table itself
+    val buckets = occ.groupBy("b").agg(
+      sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("ct"),
+      sum(when(col("source") =!= DsirTarget, 1L).otherwise(0L)).as("cr"))
     val tot = buckets.agg(sum("ct").as("tt"), sum("cr").as("tr"))
     val lr = buckets
       .crossJoin(broadcast(tot))
@@ -1164,17 +1166,21 @@ object TextQueries {
              (col("tt") + lit(DsirBuckets.toDouble))) -
          log((col("cr") + lit(1.0)) /
              (col("tr") + lit(DsirBuckets.toDouble)))).as("lr"))
-    // per-(doc, bucket) terms rounded then decimal-summed (the x25/x47
-    // order-independence discipline): sum-of-doubles into ROUND(·,6)
-    // is partition-order-dependent; DECIMAL(18,6) is exact
-    val out = docBucket.filter(col("source") =!= DsirTarget)
+    // pass 2, scoring: per-(doc, bucket) counts (same grain as before —
+    // the 6-dp term rounds cnt·lr, so the grain is value-bearing),
+    // broadcast-joined to the model, then per-(doc, bucket) terms
+    // rounded and decimal-summed (the x25/x47 order-independence
+    // discipline): sum-of-doubles into ROUND(·,6) is partition-order-
+    // dependent; DECIMAL(18,6) is exact
+    occ.filter(col("source") =!= DsirTarget)
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("cnt"))
       .join(broadcast(lr), "b")
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_bigrams"),
         round(sum(round(col("cnt") * col("lr"), 6).cast(DecimalType(18, 6)))
           .cast("double"), 6).as("dsir_w"))
       .orderBy("doc_id")
-    unpersistAfterFirstUse(out, docBucket)
   }
 
   /** x27 cross-document boilerplate fraction — the CCNet/Gopher

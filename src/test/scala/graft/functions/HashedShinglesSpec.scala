@@ -44,6 +44,23 @@ class HashedShinglesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
   }
 
+  test("distinct=false mode equals transform(wordShingles, hash60 % mod), multiplicity kept") {
+    val df = corpus.toDF("doc_id", "toks")
+    val composed = transform(TextFunctions.wordShingles(col("toks"), 2),
+      s => TextFunctions.hash60(s) % 4096L)
+    val rows = df.select(
+      call_function("graft_hashed_shingles", col("toks"), lit(2), lit(4096L),
+        lit(false)).as("n"),
+      composed.as("c")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
+    // duplicates are preserved: "a a a" has two identical bigrams
+    val dup = spark.range(1).select(
+      call_function("graft_hashed_shingles",
+        typedLit(Seq("a", "a", "a")), lit(2), lit(0L), lit(false)))
+      .collect()(0).getSeq[Long](0)
+    assert(dup.length == 2 && dup(0) == dup(1))
+  }
+
   test("interpreted eval matches the planned (codegen) path; <n tokens -> empty") {
     def litToks(v: String*) = Literal.create(v.toArray,
       ArrayType(StringType, containsNull = true))

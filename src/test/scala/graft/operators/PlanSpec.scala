@@ -227,16 +227,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(chunk"), p.take(3000))
   }
 
-  test("x36: DSIR log-ratio table is broadcast and the doc-bucket pass is cached once") {
+  test("x36: DSIR log-ratio is broadcast, no corpus-sized cache, native bigram hash") {
     val df = TextQueries.dsirWeights(t)
     val p = plan(df)
-    // the per-(doc,bucket) table feeds both the model fit and the
-    // scoring join from ONE cached subtree
-    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+    // round-10 shape: two independent codegen passes — the model fit
+    // aggregates straight to the <=4096-row marginals, the scoring
+    // pass re-hashes — and NO corpus-sized cache (the old persisted
+    // per-(doc,bucket) table was x36's bench-spread source and is
+    // exactly what a 100 TB two-pass pipeline must not require)
+    assert(!p.contains("InMemoryTableScan") && !p.contains("TableCacheQueryStage"),
       p.take(3000))
+    // the <=4096-row log-ratio model joins the scoring pass broadcast
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastQueryStage"),
       p.take(3000))
-    df.sparkSession.catalog.clearCache()
+    // bigram hashing is the native expression, not the interpreted HOFs
+    assert(p.contains("graft_hashed_shingles"), p.take(3000))
   }
 
   test("q37: JSON path extraction stays codegen'd, no UDF node") {
