@@ -87,8 +87,11 @@ object TextQueries {
 
   /** Stopword-argmax language prediction over a token-list column
     * (ties broken by language code order — foldRight gives the FIRST
-    * language priority). Shared by [[langId]] and [[corpusFilter]]. */
-  private def predLang(toks: Column): Column = {
+    * language priority). Shared by [[langId]] and [[corpusFilter]],
+    * and by the streaming curation's row-local signal set
+    * ([[graft.streaming.DocStream.curationStream]]) — one definition,
+    * parity by construction. */
+  private[graft] def predLang(toks: Column): Column = {
     val scores = Stopwords.map { case (l, w) =>
       l -> stopwordHits(toks, w).cast("long")
     }
@@ -326,7 +329,7 @@ object TextQueries {
   /** The composite quality score of x10 (length, lexical diversity,
     * punctuation density), rounded to 6; NULL for token-less docs.
     * Shared by [[qualityScore]] and [[corpusFilter]]. */
-  private def qualityCol(text: Column, toks: Column): Column = {
+  private[graft] def qualityCol(text: Column, toks: Column): Column = {
     val nTok = size(toks).cast("double")
     when(nTok > 0,
       round(
@@ -475,6 +478,27 @@ object TextQueries {
           round(col("g3.dup_frac"), 6).as("dup3gram_frac"))
         .orderBy("doc_id")
     } else repetitionShuffled(td)
+
+  /** Row-local 2-gram duplicate-instance fraction — the x16/x30
+    * "repetitive" signal as ONE column, shared with the streaming
+    * curation ([[graft.streaming.DocStream.curationStream]]) so batch
+    * and stream cannot drift. Native gram-stats when injected; the
+    * fallback recomputes the same hashed-gram multiset math through
+    * row-local HOFs (quadratic in the row's gram count — fine for
+    * bounded documents, and stream-safe: no shuffle). NULL for docs
+    * with no 2-grams, like [[repetition]]. */
+  private[graft] def dup2GramFrac(toks: Column): Column =
+    if (graft.functions.GraftExtensions.active)
+      round(call_function("graft_gram_stats", toks, lit(2))
+        .getField("dup_frac"), 6)
+    else {
+      val grams = transform(wordShingles(toks, 2), g => hash60(g))
+      val dups = aggregate(grams, lit(0L),
+        (acc, g) => acc +
+          when(size(filter(grams, h => h === g)) > 1, 1L).otherwise(0L))
+      when(size(grams) > 0,
+        round(dups.cast("double") / size(grams).cast("double"), 6))
+    }
 
   /** Test hook: the fallback form regardless of extension presence
     * (RepetitionSpec pins native == shuffled bit-equality). */
@@ -873,7 +897,7 @@ object TextQueries {
     * wide op is the per-doc distinct/count, keyed on doc_id. */
   /** Gate constants for x26/x27/x28 — interpolated into BOTH the Spark
     * plans (as defaults) and the DuckDB oracle SQL, the no-drift rule. */
-  private val DecontamMod = 97
+  private[graft] val DecontamMod = 97
   private val BoilerMaxDocs = 10L
   private val BudgetTokens = 800L // binds from sf0.01 up (~1.3k tokens/source there)
   private val PackSeqLen = 512L

@@ -285,6 +285,128 @@ object DocStream {
       }
   }
 
+  final case class CurationStatus(ts: java.sql.Timestamp, doc_id: Long,
+                                  status: String)
+
+  /** Streaming curation — the incremental composition the r9 verdict
+    * noted missing: the x30 status-precedence chain over an unbounded
+    * ingest feed, deduplicated against a standing
+    * [[graft.operators.TextQueries.DedupIndex]] and within itself.
+    * Emits ONE status per document in append mode, precedence matching
+    * the batch chain (`exact_dup` > `benchmark` > `contaminated` >
+    * `too_short` > `lang` > `low_quality` > `repetitive` > `near_dup`
+    * > `kept`).
+    *
+    * Signal provenance — every rung shares its COLUMN DEFINITION with
+    * the batch pipeline, so the two cannot drift:
+    *  - exact_dup: fingerprint known to the corpus index, or seen
+    *    earlier in the stream ([[deltaDedupStream]]'s state machine —
+    *    same arrival-order contract, documented there);
+    *  - benchmark: the x30 `doc_id % DecontamMod` membership rule;
+    *  - contaminated: the doc's distinct hashed shingles
+    *    ([[TextFunctions.hashedShingles]] mod=0 — x26's exact domain)
+    *    overlap the STANDING benchmark shingle set, passed as a
+    *    bounded literal (eval suites are small by nature; at larger
+    *    bench scale swap in the x31 Bloom + a verify join downstream);
+    *  - too_short/lang/low_quality/repetitive: the batch builders
+    *    verbatim ([[graft.operators.TextQueries.predLang]]/
+    *    `qualityCol`/`dup2GramFrac`) — all row-local, stream-safe;
+    *  - near_dup: banded-SimHash hit against the index's band lookups
+    *    (stream-static joins, corpus contributes no stream state).
+    * The one signal with NO incremental form is x30's boilerplate
+    * branch — its corpus document-frequency is a batch aggregate by
+    * definition; refresh it with the index between batches.
+    *
+    * All quality rungs resolve ROW-LOCALLY before the stateful step,
+    * so the only stream state is [[deltaDedupStream]]'s (fp → first
+    * doc_id) map with the same event-time-timeout eviction bound. */
+  def curationStream(docs: DataFrame,
+                     index: graft.operators.TextQueries.DedupIndex,
+                     benchHashes: Seq[Long],
+                     minTokens: Long = 20, langs: Seq[String] = Seq("en"),
+                     minQuality: Double = 0.3, maxDupFrac: Double = 0.6,
+                     maxHamming: Int = 6, horizon: String = "1 hour",
+                     horizonMs: Long = 3600L * 1000L): Dataset[CurationStatus] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.TextQueries
+    val lookups = (0 until Bands).map { b =>
+      index.bands.filter(col("b") === b)
+        .groupBy(col("key").as(s"key$b"))
+        .agg(collect_list(struct(col("sim"), col("doc_id"))).as(s"cands$b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    def bandHit(cands: Column, sim: Column): Column =
+      coalesce(size(filter(cands, x =>
+        bit_count(x("sim").bitwiseXOR(sim)) <= maxHamming)) > 0, lit(false))
+    var enriched = docs
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("sim",
+        coalesce(TextFunctions.simhash60("text"), lit((1L << 60) - 1)))
+      .join(index.fp, Seq("fp"), "left")
+    for (b <- 0 until Bands)
+      enriched = enriched
+        .withColumn(s"key$b",
+          shiftright(col("sim"), b * BandBits) bitwiseAND BandMask)
+        .join(lookups(b), Seq(s"key$b"), "left")
+    // the whole sub-dedup precedence chain folds to ONE row-local
+    // string before the stateful step
+    val rowStatus =
+      when(col("doc_id") % TextQueries.DecontamMod === 0, "benchmark")
+        .when(arrays_overlap(
+          TextFunctions.hashedShingles(col("toks"), 3, 0L),
+          typedLit(benchHashes)), "contaminated")
+        .when(size(col("toks")).cast("long") < minTokens, "too_short")
+        .when(not(TextQueries.predLang(col("toks")).isInCollection(langs)),
+          "lang")
+        .when(TextQueries.qualityCol(col("text"), col("toks")) < minQuality,
+          "low_quality")
+        .when(TextQueries.dup2GramFrac(col("toks")) > maxDupFrac,
+          "repetitive")
+        .when((0 until Bands).map(b =>
+          bandHit(col(s"cands$b"), col("sim"))).reduce(_ || _), "near_dup")
+        .otherwise("kept")
+    enriched
+      .select(col("ts"), col("doc_id"), col("fp"),
+        col("corpus_id").isNotNull.as("corpus_dup"),
+        rowStatus.as("row_status"))
+      .withWatermark("ts", horizon)
+      .as[(java.sql.Timestamp, Long, String, Boolean, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (_: String,
+         rows: Iterator[(java.sql.Timestamp, Long, String, Boolean, String)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var first = state.getOption
+            val batch = rows.toSeq.sortBy(r => (r._1.getTime, r._2))
+            val out = batch.map { case (ts, id, _, corpusDup, rs) =>
+              if (corpusDup) CurationStatus(ts, id, "exact_dup")
+              else if (first.nonEmpty) CurationStatus(ts, id, "exact_dup")
+              else {
+                first = Some(id)
+                CurationStatus(ts, id, rs)
+              }
+            }
+            // only corpus-unknown fingerprints carry state (a corpus
+            // dup's copies are exact_dup by precedence regardless)
+            if (first.nonEmpty) {
+              state.update(first.get)
+              val newest = batch.map(_._1.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(newest, state.getCurrentWatermarkMs()) + horizonMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming quality-classifier scoring — model serving for the
     * batch-trained x45 model ([[graft.ml.QualityClassifier]]): score
     * an unbounded document feed and flag admission at `threshold`.

@@ -304,6 +304,64 @@ class DocStreamSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators(0).numRowsTotal == 2)
     } finally { q.stop(); index.release() }
   }
+
+  test("streaming curation: the x30 precedence chain in append mode") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions._
+    // an ENGLISH corpus doc so its near-dup passes the lang rung
+    val corpusEn = (0 until 29).map(i => s"the w$i of").mkString(" ")
+    val corpus = Seq(1L -> base, 2L -> corpusEn).toDF("doc_id", "text")
+    val index = graft.operators.TextQueries.buildDedupIndex(corpus)
+    index.fp.count(); index.bands.count()
+    // standing benchmark shingle set (the x26 domain: hash60, distinct)
+    val benchHashes = Seq("alpha beta gamma delta epsilon zeta").toDF("text")
+      .select(TextFunctions.hashedShingles(
+        TextFunctions.tokens(col("text")), 3, 0L))
+      .collect()(0).getSeq[Long](0)
+    val kept = "the " + (0 until 28).map(i => s"k$i").mkString(" ") + " of"
+    val docs = Map[Long, (String, String)](
+      10L -> (base, "exact_dup"),                      // corpus copy
+      11L -> (kept, "kept"),
+      13L -> ("the cat sat", "too_short"),
+      14L -> ((0 until 25).map(i => s"n$i").mkString(" "), "lang"), // no stopwords -> de
+      15L -> ("the " + Seq.fill(19)(".").mkString(" "), "low_quality"),
+      16L -> (Seq.fill(15)("the of").mkString(" "), "repetitive"),
+      17L -> (corpusEn.replace("w5 ", "w5x "), "near_dup"),
+      18L -> ("x1 alpha beta gamma x2", "contaminated"),
+      97L -> ("the fresh benchmark doc of note", "benchmark"), // 97 % DecontamMod == 0
+      12L -> (kept, "exact_dup"))                      // delta dup of 11 (batch 2)
+    val mem = MemoryStream[Doc]
+    val q = DocStream.curationStream(mem.toDF(), index, benchHashes)
+      .writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    try {
+      val batch1 = Seq(10L, 11L, 13L, 14L, 15L, 16L, 17L, 18L, 97L)
+      mem.addData(batch1.zipWithIndex.map { case (id, i) =>
+        Doc(ts(i), id, docs(id)._1) }: _*)
+      q.processAllAvailable()
+      mem.addData(Doc(ts(10), 12L, docs(12L)._1)) // cross-batch delta dup
+      q.processAllAvailable()
+      val out = spark.table("curation_stream")
+        .select("doc_id", "status").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      docs.foreach { case (id, (_, expect)) =>
+        assert(out(id) == expect, s"doc $id: got ${out(id)}, want $expect")
+      }
+      // row-local rungs share the batch builders: spot-check quality
+      // and repetition against the batch operators on the same texts
+      val batchQ = Seq(15L -> docs(15L)._1, 16L -> docs(16L)._1)
+        .toDF("doc_id", "text")
+      val sig = batchQ.select(col("doc_id"),
+        graft.operators.TextQueries.qualityCol(col("text"),
+          TextFunctions.tokens(col("text"))).as("q"),
+        graft.operators.TextQueries.dup2GramFrac(
+          TextFunctions.tokens(col("text"))).as("d"))
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      assert(sig(15L)._1 < 0.3, sig)
+      assert(sig(16L)._1 >= 0.3 && sig(16L)._2 > 0.6, sig)
+    } finally { q.stop(); index.release() }
+  }
 }
 
 object DocStreamSpec {
