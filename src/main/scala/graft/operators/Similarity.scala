@@ -1017,7 +1017,13 @@ object Similarity {
     * bit-matches the JVM's float division — double-rounding is
     * innocuous for division at 24-in-53 bits. Then the x14
     * assignment/probe/score/top-k machinery over the feature CTE with
-    * the trained centroids as literals. */
+    * the trained centroids as literals.
+    *
+    * The histogram is an UNNEST → GROUP BY → ≤MediaDim-entry pivot,
+    * NOT per-bin `list_filter` passes over a per-doc code list: the
+    * list form rescanned each doc's byte list MediaDim times per row
+    * and OOM'd DuckDB at the sf1 50k-doc re-verification (x59's first
+    * above-gate oracle run) — the grouped form streams. */
   private def mediaIvfSql(centroids: Array[Array[Double]]): String = {
     val cvals = centroids.zipWithIndex.map { case (c, i) =>
       s"($i, [${c.mkString(", ")}])"
@@ -1025,15 +1031,21 @@ object Similarity {
     s"""
       WITH hx AS (SELECT doc_id AS media_id, hex(encode(text)) AS h
           FROM documents),
-      ch AS (SELECT media_id,
-            list_transform(range(0, length(h) // 2),
-              i -> CAST('0x' || substr(h, 2 * i + 1, 2) AS INTEGER)) AS codes
+      bins AS (SELECT media_id,
+            unnest(list_transform(range(0, length(h) // 2),
+              i -> CAST('0x' || substr(h, 2 * i + 1, 2) AS INTEGER) % $MediaDim)) AS bin
           FROM hx),
-      f AS (SELECT media_id,
+      hist AS (SELECT media_id, bin, COUNT(*) AS c
+               FROM bins GROUP BY media_id, bin),
+      pe AS (SELECT media_id, list(struct_pack(bin := bin, c := c)) AS es,
+               SUM(c) AS tot
+             FROM hist GROUP BY media_id),
+      f AS (SELECT hx.media_id,
             list_transform(range(0, $MediaDim), b ->
-              CAST(CAST(CAST(len(list_filter(codes, cc -> (cc % $MediaDim) = b)) AS REAL)
-                 / CAST(greatest(1, len(codes)) AS REAL) AS REAL) AS DOUBLE)) AS fe
-          FROM ch),
+              CAST(CAST(CAST(COALESCE(list_sum(list_transform(pe.es,
+                  e -> CASE WHEN e.bin = b THEN e.c ELSE 0 END)), 0) AS REAL)
+                 / CAST(greatest(1, COALESCE(pe.tot, 0)) AS REAL) AS REAL) AS DOUBLE)) AS fe
+          FROM hx LEFT JOIN pe ON pe.media_id = hx.media_id),
       c AS (SELECT * FROM (VALUES $cvals) AS t(ci, cv)),
       sc AS (SELECT f.media_id, f.fe, c.ci,
                2 * ${dotSql("f.fe", "c.cv")} - ${norm2Sql("c.cv")} AS s
