@@ -47,32 +47,37 @@ val t = Tables(spark, dir)
 println("vectors=" + t.embeddings.count())
 
 // --- exact brute-force baseline: 10 queries x 1M cosines ---
-val bf = Similarity.bruteForceTopK(t)
-time("x08_bruteforce_1m") { noop(bf) }
+def mat(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  // top-k outputs are ~100 rows — persist so the recall intersects
+  // below read the cached result instead of re-executing the plan
+  val c = df.persist(); c.count(); c
+}
+var bf: org.apache.spark.sql.DataFrame = null
+time("x08_bruteforce_1m") { bf = mat(Similarity.bruteForceTopK(t)) }
 
 // --- x60 full-corpus PQ-ADC at 1M: train (bounded 20k sample), encode
 // (narrow 8-codes-per-vector pass), LUT broadcast, ADC scan + top-k ---
-val pq = Similarity.pqAdcTopK(t)
-val pqPlan = pq.queryExecution.executedPlan.toString
-println("x60 WindowGroupLimit in plan: " + pqPlan.contains("WindowGroupLimit"))
-time("x60_pq_adc_1m_total") { noop(pq) }
+val pq0 = Similarity.pqAdcTopK(t)
+println("x60 WindowGroupLimit in plan: " + pq0.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+var pq: org.apache.spark.sql.DataFrame = null
+time("x60_pq_adc_1m_total") { pq = mat(pq0) }
 println(f"x60 recall@10 vs exact: ${recallVs(bf, pq, 100.0)}%.2f")
 
 // --- x61 IVF-PQ at production-ish knobs: the ADC scan cut to the
 // probed sliver; recall cost of the router measured against BOTH the
 // exact baseline and x60's full ADC scan ---
-val ivfpq8 = Similarity.ivfPqTopK(t, nlist = 256, nprobe = 8, maxTrain = 20000)
-time("x61_ivfpq_1m_nprobe8") { noop(ivfpq8) }
+var ivfpq8: org.apache.spark.sql.DataFrame = null
+time("x61_ivfpq_1m_nprobe8") { ivfpq8 = mat(Similarity.ivfPqTopK(t, nlist = 256, nprobe = 8, maxTrain = 20000)) }
 println(f"x61 recall@10 vs exact  (nprobe=8):  ${recallVs(bf, ivfpq8, 100.0)}%.2f")
 println(f"x61 agreement@10 vs x60 (nprobe=8):  ${recallVs(pq, ivfpq8, 100.0)}%.2f")
-val ivfpq16 = Similarity.ivfPqTopK(t, nlist = 256, nprobe = 16, maxTrain = 20000)
-time("x61_ivfpq_1m_nprobe16") { noop(ivfpq16) }
+var ivfpq16: org.apache.spark.sql.DataFrame = null
+time("x61_ivfpq_1m_nprobe16") { ivfpq16 = mat(Similarity.ivfPqTopK(t, nlist = 256, nprobe = 16, maxTrain = 20000)) }
 println(f"x61 recall@10 vs exact  (nprobe=16): ${recallVs(bf, ivfpq16, 100.0)}%.2f")
 println(f"x61 agreement@10 vs x60 (nprobe=16): ${recallVs(pq, ivfpq16, 100.0)}%.2f")
 
 // --- x14 exact-scoring IVF at the same knobs, for the family table ---
-val ivf16 = Similarity.ivfTopK(t, nlist = 256, nprobe = 16, maxTrain = 20000)
-time("x14_ivf_1m_nprobe16") { noop(ivf16) }
+var ivf16: org.apache.spark.sql.DataFrame = null
+time("x14_ivf_1m_nprobe16") { ivf16 = mat(Similarity.ivfTopK(t, nlist = 256, nprobe = 16, maxTrain = 20000)) }
 println(f"x14 recall@10 vs exact  (nprobe=16): ${recallVs(bf, ivf16, 100.0)}%.2f")
 
 // --- x59 media-ANN at 1.25M media items: documents as opaque binary,

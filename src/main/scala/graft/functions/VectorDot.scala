@@ -254,6 +254,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_minter expects exactly 2 arguments, got ${other.length}")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_nano_sum"),
+      new ExpressionInfo(classOf[NanoSum].getName, "graft_nano_sum"),
+      (children: Seq[Expression]) => children match {
+        case Seq(t, c) => NanoSum(t, c)
+        case other => throw new IllegalArgumentException(
+          s"graft_nano_sum expects exactly 2 arguments, got ${other.length}")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_tokens"),
       new ExpressionInfo(classOf[Tokens].getName, "graft_tokens"),
       (children: Seq[Expression]) => children match {

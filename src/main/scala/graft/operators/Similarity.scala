@@ -752,11 +752,12 @@ object Similarity {
     * code-determined, so they decompose into per-subspace terms.
     *
     * Order-independence discipline (the r8 x47 lesson, applied from
-    * birth): each subspace term is rounded to 9 dp and accumulated as
-    * DECIMAL(28,9) — exact, associative — so the 8-term fold cannot
-    * depend on evaluation order; the oracle SUMs the identically
-    * rounded terms as the same DECIMAL. Term error ≤ 8·5e-10, three
-    * orders under the 6-dp output grain.
+    * birth): each subspace term is rounded to 9 dp and accumulated
+    * EXACTLY — as pre-rounded nano-unit longs ([[roundNano]], the
+    * round-10 form; value-identical to the original per-row
+    * DECIMAL(28,9) fold the oracle still mirrors with SUM over rounded
+    * decimals) — so the 8-term fold cannot depend on evaluation order.
+    * Term error ≤ 8·5e-10, three orders under the 6-dp output grain.
     *
     * Scale shape: one bounded-sample codebook train (corpus never
     * iterates), one encode pass (narrow: 8 ints out per vector), one
@@ -772,9 +773,7 @@ object Similarity {
     trainPqBooks(emb, seed, maxTrain) match {
       case None => emptyPqResult(spark)
       case Some(books) =>
-        val codes = emb.select(col("vec_id"),
-          array((0 until PqM).map(i => pqCodeCol(i, books(i))): _*)
-            .as("codes"))
+        val codes = pqCodesWithRn2(emb, books)
         val luts = pqLutFrame(t, books, nQueries)
         codes.crossJoin(broadcast(luts))
           .filter(col("vec_id") =!= col("qid"))
@@ -826,8 +825,9 @@ object Similarity {
 
   /** ADC is asymmetric: queries stay exact, only the corpus is coded.
     * lut(i)(c) = ⟨q_sub_i, books(i)(c)⟩ with the same sequential double
-    * accumulation the oracle's list_sum recomputes. One bounded row per
-    * query — always broadcast. */
+    * accumulation the oracle's list_sum recomputes, then pre-rounded to
+    * exact nano units ([[roundNano]] — the per-candidate fold is 8 long
+    * adds). One bounded row per query — always broadcast. */
   private def pqLutFrame(t: Tables, books: Array[Array[Array[Double]]],
                          nQueries: Int): DataFrame = {
     val spark = t.spark
@@ -841,7 +841,7 @@ object Similarity {
         while (j < PqDsub) {
           s += q(i * PqDsub + j).toDouble * books(i)(c)(j); j += 1
         }
-        s
+        roundNano(s)
       }.map(_.toSeq).toSeq
       var qn2 = 0.0; var j = 0
       while (j < q.length) { qn2 += q(j).toDouble * q(j).toDouble; j += 1 }
@@ -849,24 +849,66 @@ object Similarity {
     }.toIndexedSeq.toDF("qid", "lut", "qn2")
   }
 
-  /** The ADC cosine of a (codes, lut, qn2) row: per-subspace terms
-    * rounded to 9 dp and folded as DECIMAL(28,9) — exact, associative,
-    * order-independent (the r8 x47 lesson) — over a reconstruction
-    * norm² literal (|books(i)(c)|², query-independent, sequential sum
-    * = the oracle's norm2 order). */
-  private def adcCosRaw(books: Array[Array[Array[Double]]]): Column = {
-    val normLut = typedLit(
-      books.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
-    def termAt(table: Column, i: Int): Column =
-      round(element_at(element_at(table, i + 1),
-        element_at(col("codes"), i + 1) + 1), 9)
-        .cast(DecimalType(28, 9))
-    val num = (1 until PqM).foldLeft(termAt(col("lut"), 0))(
-      (acc, i) => acc + termAt(col("lut"), i))
-    val rn2 = (1 until PqM).foldLeft(termAt(normLut, 0))(
-      (acc, i) => acc + termAt(normLut, i))
-    num.cast("double") / (sqrt(col("qn2")) * sqrt(rn2.cast("double")))
+  /** Round to 9 dp exactly as Spark's `round(x, 9)` (and DuckDB's
+    * `ROUND(x, 9)`, already gate-verified equal) — decimal-string
+    * HALF_UP — and return the EXACT value in nano units (x·10⁹ as a
+    * long). All ADC terms are CONSTANTS per (table, code), so the
+    * rounding runs on the driver over the bounded tables and the
+    * per-row fold becomes 8 long additions: exact, associative,
+    * order-independent (the r8 x47 lesson), and — the round-10 ANN-soak
+    * lesson — TINY in generated code. The original per-row form (Round
+    * → DECIMAL(28,9) cast → checked decimal adds, ×8–16 terms inlined)
+    * pushed the fused whole-stage method past HotSpot's
+    * DontCompileHugeMethods limit: the stage compiled (janino) but
+    * never JIT'd, executing in the bytecode interpreter — 629 s for
+    * the 1M-vector x60 scan vs 8.7 s brute force, and x61's fused
+    * argmax+ADC stage ~100× off native speed. A nano-long sum n cast
+    * double and divided by 1e9 is bit-identical to
+    * `Decimal(28,9)(n·10⁻⁹).toDouble`: both are the correctly-rounded
+    * double of the exact rational n/10⁹ (n < 2⁵³, 10⁹ exact). */
+  private def roundNano(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+      .movePointRight(9).longValueExact()
+
+  /** The corpus-side PQ index table: (vec_id[, cell], codes, rn2) —
+    * the 8 subspace codes plus the PQ-reconstruction norm²
+    * Σ round(|books(i)(c_i)|², 9), folded in exact nano units
+    * ([[roundNano]]) from a pre-rounded literal. rn2 is a function of
+    * the CODES alone, so it belongs on the 1-row-per-vector index
+    * table, not the per-candidate scoring row. */
+  private def pqCodesWithRn2(emb: DataFrame,
+                             books: Array[Array[Array[Double]]]): DataFrame = {
+    val normNano = typedLit(
+      books.map(_.map(c => roundNano(c.map(x => x * x).sum)).toSeq).toSeq)
+    emb
+      .withColumn("codes",
+        array((0 until PqM).map(i => pqCodeCol(i, books(i))): _*))
+      .withColumn("rn2", nanoSum(normNano).cast("double") / lit(1e9))
+      .drop("embedding")
   }
+
+  /** Σ_i table(i)(codes(i)) — the ADC fold as ONE expression. Native
+    * [[graft.functions.NanoSum]] when injected (a must at scale: the
+    * composed 8-term chains pushed the fused stage past the JVM's
+    * 8,000-bytecode JIT limit and the whole scan ran interpreted —
+    * see NanoSum's scaladoc); the wiring-free fallback composes the
+    * identical sum from element_at. */
+  private def nanoSum(table: Column): Column =
+    if (graft.functions.GraftExtensions.active)
+      call_function("graft_nano_sum", table, col("codes"))
+    else (1 until PqM).foldLeft(
+      element_at(element_at(table, 1), element_at(col("codes"), 1) + 1))(
+      (acc, i) => acc + element_at(element_at(table, i + 1),
+        element_at(col("codes"), i + 1) + 1))
+
+  /** The ADC cosine of a (codes, rn2, lut, qn2) row: the query-side
+    * numerator fold — 8 pre-rounded nano-unit LUT lookups summed as
+    * longs (see [[roundNano]]) — over the precomputed reconstruction
+    * norm². `lut` carries nano longs ([[pqLutFrame]]). */
+  private def adcCosRaw(books: Array[Array[Array[Double]]]): Column =
+    (nanoSum(col("lut")).cast("double") / lit(1e9)) /
+      (sqrt(col("qn2")) * sqrt(col("rn2")))
 
   /** x61 IVF-PQ top-k — the faiss IndexIVFPQ composition the x60
     * scaladoc promises: the coarse IVF quantizer routes each query to
@@ -894,11 +936,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding")), seed, maxTrain) match {
       case None => emptyPqResult(spark)
       case Some(books) =>
-        // one narrow pass: cell + the 8 PQ codes per corpus vector —
-        // the entire persisted index a real deployment would keep
-        val codes = assigned.select(col("vec_id"), col("cell"),
-          array((0 until PqM).map(i => pqCodeCol(i, books(i))): _*)
-            .as("codes"))
+        // one narrow pass: cell + the 8 PQ codes + rn2 per corpus
+        // vector — the entire persisted index a real deployment keeps
+        val codes = pqCodesWithRn2(assigned, books)
         // nprobe nearest cells per query (driver math over the bounded
         // centroid set — the x14 probe rule verbatim)
         val queries = t.embeddings.filter(col("vec_id") < nQueries)
