@@ -100,8 +100,10 @@ val idx = time("x59_index_build_nlist64") {
   i.assigned.count() // materialize the persisted index
   i
 }
-val q59 = idx.assigned.filter(col("vec_id") % 10000L === 0)
-  .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+// one statement: a leading-dot continuation line splits under the
+// REPL's -I statement parser (the r9 delta-stream lesson) and silently
+// drops the projection
+val q59 = idx.assigned.filter(col("vec_id") % 10000L === 0).select(col("vec_id").as("qid"), col("embedding").as("qe"))
 println("x59 query batch=" + q59.count())
 val out59 = Similarity.ivfQuery(idx, q59, k = 5, nprobe = 8)
 time("x59_query_batch_k5_nprobe8") { noop(out59) }
