@@ -244,6 +244,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_hashed_shingles"), p.take(3000))
   }
 
+  test("no query's generated method exceeds the JVM JIT bytecode limit") {
+    // HotSpot never JITs methods over 8000 bytecodes
+    // (DontCompileHugeMethods): the stage compiles (janino) but runs in
+    // the bytecode interpreter ~100x slow, with NO error anywhere — the
+    // round-10 ANN soak caught x60's ADC scan at 629 s vs 8.7 s brute
+    // force from exactly this (fused method 9,545 bytecodes; fixed to
+    // 3,855 via driver-side pre-rounding + the one-call graft_nano_sum
+    // fold). This sweep fails loudly if any query's fused stage creeps
+    // back over the cliff. AQE is disabled for the measurement only:
+    // codegenString sees no subtrees under an unexecuted adaptive root.
+    val sizeRe = "maxMethodCodeSize:(\\d+)".r
+    val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val cg = org.apache.spark.sql.execution.debug.codegenString(
+            fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan)
+          val max = sizeRe.findAllMatchIn(cg).map(_.group(1).toInt)
+            .foldLeft(0)(math.max)
+          if (max > 8000) Some(s"$name: $max") else None
+      }
+      assert(offenders.isEmpty, s"stages past the JIT limit: $offenders")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
   test("q37: JSON path extraction stays codegen'd, no UDF node") {
     val p = plan(StarQueries.q37(t))
     assert(p.contains("get_json_object") && !p.contains("BatchEvalPython"), p.take(2000))
