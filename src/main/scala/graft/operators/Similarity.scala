@@ -981,6 +981,7 @@ object Similarity {
     "x59_media_ivf_topk" -> (t => mediaIvfTopK(t)), // generated oracle (media-tagged quantizer)
     "x60_pq_adc_topk" -> (t => pqAdcTopK(t)), // generated oracle (trained PQ codebooks)
     "x61_ivf_pq_topk" -> (t => ivfPqTopK(t)), // generated oracle (centroids + codebooks)
+    "x62_ivf_pq_rerank" -> (t => ivfPqRerankTopK(t)), // generated oracle (same trained state)
   )
 
   /** DuckDB double cosine between two list columns — the exact probe
@@ -1206,7 +1207,9 @@ object Similarity {
       QuantKey(GateNlist, GateSeed, GateMaxTrain)))
     val pq = Option(trainedPq.get(PqKey(PqM, PqKsub, GateSeed, GateMaxTrain)))
     (for { cs <- gate; b <- pq }
-      yield "x61_ivf_pq_topk" -> ivfPqSql(cs, b)).toMap
+      yield "x61_ivf_pq_topk" -> ivfPqSql(cs, b)).toMap ++
+    (for { cs <- gate; b <- pq }
+      yield "x62_ivf_pq_rerank" -> ivfPqRerankSql(cs, b)).toMap
   }
 
   /** Generated x60 oracle: the trained codebooks as a 128-row literal
@@ -1254,13 +1257,54 @@ object Similarity {
       FROM rk WHERE rk <= $PqK ORDER BY qid, rk"""
   }
 
+  /** x62 shortlist width: candidates per query fetched exactly. The
+    * 1M soak measured recall@10 0.01 → 0.22 from re-ranking (the raw
+    * ADC ordering decorrelates on near-tied cosines; exact scores
+    * restore it within the routed candidate set). */
+  private[operators] val PqRerankShortlist = 50
+
+  /** x62 IVF-PQ + exact re-rank — the faiss `IndexIVFPQ` + refine
+    * recipe, the form a production deployment actually serves: the
+    * [[ivfPqTopK]] machinery produces a SHORTLIST per query from the
+    * 8 B/vector codes, then ONLY the shortlist's raw vectors are
+    * fetched and re-scored with exact cosines for the final top-k.
+    *
+    * Scale shape: everything x61 does, plus one broadcast of the
+    * (queries × shortlist)-row candidate list against the corpus — the
+    * corpus is scanned once more but never shuffled, and the exact math
+    * touches shortlist·|queries| vectors, not the corpus. The 1M soak
+    * measured the re-rank leg at +1.9 s over the shortlist. Ranks
+    * follow the round(cos, 6) discipline on both engines. */
+  def ivfPqRerankTopK(t: Tables, nQueries: Int = PqNQueries, k: Int = PqK,
+                      shortlist: Int = PqRerankShortlist,
+                      nlist: Int = GateNlist, nprobe: Int = GateNprobe,
+                      seed: Long = GateSeed,
+                      maxTrain: Int = GateMaxTrain): DataFrame = {
+    val sl = ivfPqTopK(t, nQueries, shortlist, nlist, nprobe, seed, maxTrain)
+      .select("qid", "vec_id")
+    val queries = t.embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    t.embeddings
+      .join(broadcast(sl), "vec_id") // exact fetch: corpus never shuffles
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("vec_id"), cosine("embedding", "qe").as("cos_raw"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(round(col("cos_raw"), 6).desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), round(col("cos_raw"), 6).as("cos"),
+        col("rk"))
+      .orderBy("qid", "rk")
+  }
+
   /** Generated x61 oracle: the x14 coarse machinery (assignment +
     * probe CTEs over the centroid literals) composed with the x60 PQ
     * machinery (encode + rounded-DECIMAL ADC term fold over the
     * codebook literals) — candidates are exactly the probed cells'
     * vectors, scored exactly as x60 scores the full corpus. */
   private def ivfPqSql(centroids: Array[Array[Double]],
-                       books: Array[Array[Array[Double]]]): String = {
+                       books: Array[Array[Array[Double]]],
+                       k: Int = PqK): String = {
     val cb = books.zipWithIndex.flatMap { case (sub, i) =>
       sub.zipWithIndex.map { case (c, ci) =>
         s"($i, $ci, [${c.mkString(", ")}])"
@@ -1302,6 +1346,23 @@ object Similarity {
               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cos_raw, 6) DESC, vec_id) AS BIGINT) AS rk
             FROM r)
       SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos_pq, rk
-      FROM rk WHERE rk <= $PqK ORDER BY qid, rk"""
+      FROM rk WHERE rk <= $k ORDER BY qid, rk"""
   }
+
+  /** Generated x62 oracle: the x61 shortlist (as a subquery, k =
+    * [[PqRerankShortlist]]) re-scored with EXACT cosines against the
+    * raw vectors and re-ranked — the faiss IVFPQ+refine recipe. The
+    * exact cosine is the same [[cosSql]] probe formula x08/x14 use. */
+  private def ivfPqRerankSql(centroids: Array[Array[Double]],
+                             books: Array[Array[Array[Double]]]): String = s"""
+      WITH sl AS (SELECT qid, vec_id FROM (${ivfPqSql(centroids, books, PqRerankShortlist)})),
+      q2 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $PqNQueries),
+      rr AS (SELECT sl.qid, e.vec_id, ${cosSql("e.embedding", "q2.qe")} AS cos_raw
+             FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
+             JOIN q2 ON q2.qid = sl.qid),
+      rk2 AS (SELECT qid, vec_id, cos_raw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cos_raw, 6) DESC, vec_id) AS BIGINT) AS rk
+             FROM rr)
+      SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos, rk
+      FROM rk2 WHERE rk <= $PqK ORDER BY qid, rk"""
 }

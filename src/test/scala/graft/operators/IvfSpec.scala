@@ -53,6 +53,34 @@ class IvfSpec extends SparkSpec {
     assert(ivfpq.toSeq == again.toSeq)
   }
 
+  test("IVF-PQ rerank: exact scores on the shortlist, recall >= raw ADC ranking") {
+    val exact = Similarity.bruteForceTopK(t, nQueries = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cos")).toMap
+    val sl = Similarity.ivfPqTopK(t, nQueries = 5, k = 30,
+      nlist = 8, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = Similarity.ivfPqRerankTopK(t, nQueries = 5, k = 10,
+      shortlist = 30, nlist = 8, nprobe = 4).collect()
+    assert(rr.nonEmpty)
+    rr.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      // result pairs come FROM the shortlist
+      assert(sl.contains(key), s"$key not in shortlist")
+      // and their scores are the EXACT cosine (same formula as x08)
+      exact.get(key).foreach(e =>
+        assert(e == r.getAs[Double]("cos"), s"$key exact-score drift"))
+    }
+    // re-ranking the shortlist exactly can only match or beat the raw
+    // ADC ordering's recall (same candidate set, better scores)
+    val raw = Similarity.ivfPqTopK(t, nQueries = 5, k = 10,
+      nlist = 8, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rrSet = rr.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSet = exact.keySet
+    assert(rrSet.count(exactSet.contains) >= raw.count(exactSet.contains),
+      "rerank recall fell below raw ADC recall")
+  }
+
   test("IVF-PQ recall vs exact brute force is reasonable at gate scale") {
     val exact = Similarity.bruteForceTopK(t, nQueries = 5, k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
