@@ -99,7 +99,17 @@ object Bench {
         .mkString(",") + "]"
     }.mkString("{", ",", "}")
     val worstNames = results.sortBy(-_._2._1).take(10).map(_._1)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop_write","note":"$note","queries":$qs,"spread":$spread,"rep_samples":${repsJson(worstNames)},"sf":"$sfDir","reps":$reps}"""
+    // min-of-reps is the regression-call statistic for the worst-10
+    // (r10 verdict item 7): their 5-rep spreads run ~40% of median, so
+    // round-over-round median deltas re-litigate scheduler drift; the
+    // min is the stable floor-of-possible, and it lands in the PARSED
+    // total_summary line so every BENCH_r{N}.json carries it.
+    def minJson(names: Seq[String], shortIds: Boolean) = names.map { k =>
+      "\"" + (if (shortIds) k.takeWhile(_ != '_') else k) + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(allTimes.toMap.apply(k).head))
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop_write","note":"$note","queries":$qs,"spread":$spread,"rep_samples":${repsJson(worstNames)},"min_of_reps":${minJson(worstNames, shortIds = false)},"sf":"$sfDir","reps":$reps}"""
     println(full)
     // the full per-query JSON also lands on disk: stdout goes through
     // sbt's logger, whose "[info] " prefix keeps any line from parsing
@@ -134,7 +144,7 @@ object Bench {
     println(s"""{"metric":"per_query","unit":"sec","queries":$compact,"sf":"$sfDir","reps":$reps}""")
     val worst = json(results.sortBy(-_._2._1).take(5)
       .map { case (k, (med, _)) => k -> med })
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${results.length},"worst5":$worst,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${results.length},"worst5":$worst,"min_of_reps":${minJson(worstNames, shortIds = true)},"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

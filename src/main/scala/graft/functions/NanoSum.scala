@@ -51,13 +51,30 @@ case class NanoSum(left: Expression, right: Expression)
 }
 
 object NanoSum {
-  /** Shared by eval and generated code. */
+  /** Shared by eval and generated code. Fails loudly on malformed
+    * input instead of reading out of range: on UnsafeArrayData an
+    * unchecked getLong past the array end reads adjacent row memory
+    * and returns garbage (ADVICE r10), where the composed element_at
+    * fallback would error — the two deployments must fail the same
+    * way. The PQ invariant (|table| == |codes|, every code in
+    * [0, |subtable|), i.e. [0, PqKsub)) holds for all graft-built
+    * code tables; this guard is for foreign input. */
   def compute(table: ArrayData, codes: ArrayData): Long = {
-    val n = math.min(table.numElements(), codes.numElements())
+    val n = table.numElements()
+    if (codes.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_nano_sum: table has $n subspaces but codes has " +
+          s"${codes.numElements()} entries")
     var s = 0L
     var i = 0
     while (i < n) {
-      s += table.getArray(i).getLong(codes.getInt(i))
+      val sub = table.getArray(i)
+      val c = codes.getInt(i)
+      if (c < 0 || c >= sub.numElements())
+        throw new ArrayIndexOutOfBoundsException(
+          s"graft_nano_sum: code $c out of range [0, ${sub.numElements()}) " +
+            s"at subspace $i")
+      s += sub.getLong(c)
       i += 1
     }
     s

@@ -114,16 +114,33 @@ object TextFunctions {
     if (GraftExtensions.active)
       call_function("graft_hashed_shingles", toks, lit(n), lit(mod),
         lit(distinct))
-    else if (!distinct) {
-      // every occurrence, multiplicity preserved — the bag-of-ngrams feed
-      val folded = transform(wordShingles(toks, n),
-        s => if (mod > 0L) hash60(s) % mod else hash60(s))
-      folded
-    }
-    else if (mod > 0L)
-      transform(array_distinct(wordShingles(toks, n)),
-        s => coalesce(hash60(s) % mod, lit(0L)))
-    else array_distinct(transform(wordShingles(toks, n), s => hash60(s)))
+    else hashedShinglesFallback(toks, n, mod, distinct)
+
+  /** The wiring-free composed form of [[hashedShingles]] — interpreted
+    * HOFs (the round-10 x06 regression shape; register the extensions
+    * in any real deployment). Package-visible so the parity spec can
+    * pin it against the native path on EVERY input class: the two
+    * deployments must agree even where current call sites don't look
+    * (ADVICE r10 — a future size()/isNull consumer would silently
+    * diverge). Contract, both paths: NULL tokens → NULL; fewer than n
+    * tokens → empty array. */
+  private[graft] def hashedShinglesFallback(toks: Column, n: Int, mod: Long,
+                                            distinct: Boolean): Column = {
+    val res =
+      if (!distinct)
+        // every occurrence, multiplicity preserved — the bag-of-ngrams feed
+        transform(wordShingles(toks, n),
+          s => if (mod > 0L) hash60(s) % mod else hash60(s))
+      else if (mod > 0L)
+        transform(array_distinct(wordShingles(toks, n)),
+          s => coalesce(hash60(s) % mod, lit(0L)))
+      else array_distinct(transform(wordShingles(toks, n), s => hash60(s)))
+    // the native expression is a null-intolerant UnaryExpression
+    // (NULL in → NULL out); wordShingles' when() would instead fall
+    // through to its empty-array otherwise on a NULL input — pin the
+    // fallback to the native contract
+    when(toks.isNull, lit(null).cast("array<bigint>")).otherwise(res)
+  }
 
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,

@@ -830,11 +830,18 @@ object Similarity {
     * adds). One bounded row per query — always broadcast. */
   private def pqLutFrame(t: Tables, books: Array[Array[Array[Double]]],
                          nQueries: Int): DataFrame = {
-    val spark = t.spark
-    import spark.implicits._
     val queries = t.embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    pqLutFromQueries(t.spark, queries, books)
+  }
+
+  /** [[pqLutFrame]] over an already-collected query batch — the seam
+    * [[pqQuery]] shares with the per-call gate forms. */
+  private def pqLutFromQueries(spark: org.apache.spark.sql.SparkSession,
+                               queries: Array[(Long, Array[Float])],
+                               books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
     queries.map { case (qid, q) =>
       val lut = IndexedSeq.tabulate(PqM, PqKsub) { (i, c) =>
         var s = 0.0; var j = 0
@@ -928,42 +935,141 @@ object Similarity {
   def ivfPqTopK(t: Tables, nQueries: Int = PqNQueries, k: Int = PqK,
                 nlist: Int = GateNlist, nprobe: Int = GateNprobe,
                 seed: Long = GateSeed, maxTrain: Int = GateMaxTrain): DataFrame = {
-    val spark = t.spark
-    import spark.implicits._
-    // coarse index: identical training to x14 (same QuantKey snapshot)
-    val (assigned, centroids) = trainAndAssign(t, nlist, seed, maxTrain)
-    trainPqBooks(graft.core.Fanout.widen(t.embeddings)
-      .select(col("vec_id"), col("embedding")), seed, maxTrain) match {
-      case None => emptyPqResult(spark)
+    val index = buildPqIndex(t, nlist, seed, maxTrain)
+    val queries = t.embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val out = pqQuery(index, queries, k, nprobe)
+    if (index.isEmpty) out
+    else TextQueries.unpersistAfterFirstUse(out, index.codes)
+  }
+
+  /** A built IVF-PQ index: trained coarse centroids + PQ codebooks +
+    * the persisted codes table `(vec_id, cell, codes, rn2)` — 8 B of
+    * codes per vector, ~3% of raw corpus bytes — plus the raw source
+    * frame for optional exact re-rank. The build-once/query-many form
+    * of [[ivfPqTopK]]/[[ivfPqRerankTopK]] (which are now exactly
+    * build + one [[pqQuery]] batch + release): a real deployment keeps
+    * THIS artifact, pays the two bounded-sample trainings and the
+    * assign+encode corpus pass once, and each query batch then costs
+    * ~nprobe/nlist of a codes-table scan. The r10 1M-vector soak
+    * measured the per-call form's coarse argmax dominating (19.1 s of
+    * which only ~5.6 s was the ADC scan) — the cost this amortizes.
+    * `codes` is persisted by the builder; callers own its release
+    * (`index.release()`), mirroring [[IvfIndex]]. */
+  final case class PqIndex(codes: DataFrame, raw: DataFrame,
+                           centroids: Array[Array[Double]],
+                           books: Array[Array[Array[Double]]]) {
+    /** True for an index built over an empty corpus — [[pqQuery]]
+      * short-circuits to the empty result (the x53 empty-seed lesson:
+      * don't crash in training). */
+    def isEmpty: Boolean = books.isEmpty
+    def release(): Unit = codes.unpersist(blocking = false)
+  }
+
+  /** Build the IVF-PQ index over the embeddings table once: coarse
+    * quantizer (identical training to x14 — same QuantKey snapshot),
+    * PQ codebooks (identical to x60 — same PqKey snapshot), then ONE
+    * narrow corpus pass emitting cell + the [[PqM]] codes + rn2 per
+    * vector, persisted. */
+  def buildPqIndex(t: Tables, nlist: Int = GateNlist, seed: Long = GateSeed,
+                   maxTrain: Int = GateMaxTrain): PqIndex =
+    buildPqIndexFrom(
+      graft.core.Fanout.widen(t.embeddings)
+        .select(col("vec_id"), col("embedding")),
+      nlist, seed, maxTrain, tag = "embeddings")
+
+  /** [[buildPqIndex]] over an arbitrary `(vec_id, embedding:
+    * array<float>)` frame — the [[buildIvfIndexFrom]] seam for PQ.
+    * Empty-corpus-safe: books are trained first (bounded-sample
+    * collect doubles as the emptiness probe), so the coarse trainer —
+    * which throws on an empty sample — is never reached without data. */
+  def buildPqIndexFrom(emb: DataFrame, nlist: Int = GateNlist,
+                       seed: Long = GateSeed, maxTrain: Int = GateMaxTrain,
+                       tag: String = "custom"): PqIndex =
+    trainPqBooks(emb, seed, maxTrain) match {
+      case None =>
+        PqIndex(emptyCodesFrame(emb.sparkSession), emb,
+          Array.empty, Array.empty)
       case Some(books) =>
-        // one narrow pass: cell + the 8 PQ codes + rn2 per corpus
-        // vector — the entire persisted index a real deployment keeps
-        val codes = pqCodesWithRn2(assigned, books)
-        // nprobe nearest cells per query (driver math over the bounded
-        // centroid set — the x14 probe rule verbatim)
-        val queries = t.embeddings.filter(col("vec_id") < nQueries)
-          .select(col("vec_id"), col("embedding"))
-          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        val probes = queries.flatMap { case (qid, qe) =>
-          centroids.zipWithIndex.map { case (c, ci) =>
-            val d = c.zip(qe).map { case (a, b) => (a - b) * (a - b) }.sum
-            (qid, ci, d)
-          }.sortBy(p => (p._3, p._2)).take(nprobe).map(p => (qid, p._2))
-        }.toSeq.toDF("qid", "cell")
-        val luts = pqLutFrame(t, books, nQueries)
-        codes
-          .join(broadcast(probes), "cell")
-          .join(broadcast(luts), "qid")
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id"), adcCosRaw(books).as("cos_raw"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("qid")
-              .orderBy(round(col("cos_raw"), 6).desc, col("vec_id"))).cast("long"))
-          .filter(col("rk") <= k)
-          .select(col("qid"), col("vec_id"),
-            round(col("cos_raw"), 6).as("cos_pq"), col("rk"))
-          .orderBy("qid", "rk")
+        val (assigned, centroids) =
+          trainAndAssignFrom(emb, nlist, seed, maxTrain, tag)
+        PqIndex(
+          pqCodesWithRn2(assigned, books)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          emb, centroids, books)
     }
+
+  /** Empty `(vec_id, cell, codes, rn2)` frame with the index schema. */
+  private def emptyCodesFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("cell", IntegerType, nullable = false),
+        StructField("codes", ArrayType(IntegerType)),
+        StructField("rn2", DoubleType))))
+  }
+
+  /** Query a built [[PqIndex]] with an arbitrary `(qid, qe)` batch:
+    * nprobe nearest cells per query (driver math over the bounded
+    * centroid set — the x14 probe rule), ADC scoring over the probed
+    * codes (the x61 rule), and — when `rerankShortlist` > 0 — the
+    * top-`rerankShortlist` ADC candidates fetched from the raw
+    * vectors and re-scored with exact cosines (the x62 rule; output
+    * column `cos` instead of `cos_pq`). Identical output to
+    * [[ivfPqTopK]]/[[ivfPqRerankTopK]] given their query set — those
+    * gate forms are build + this + release.
+    *
+    * Scale shape per batch: probes and LUTs broadcast (≤|batch| rows
+    * each), a ~nprobe/nlist sliver of the 8 B/vector codes table
+    * scanned, shuffle only at the per-query top-k window (rides
+    * WindowGroupLimit); the re-rank adds one raw-corpus scan against a
+    * broadcast shortlist — the corpus never shuffles. */
+  def pqQuery(index: PqIndex, queryDf: DataFrame, k: Int = PqK,
+              nprobe: Int = GateNprobe, rerankShortlist: Int = 0): DataFrame = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    if (index.isEmpty) {
+      val empty = emptyPqResult(spark)
+      return if (rerankShortlist > 0) empty.withColumnRenamed("cos_pq", "cos")
+             else empty
+    }
+    val queries = queryDf.select(col("qid"), col("qe"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = queries.flatMap { case (qid, qe) =>
+      index.centroids.zipWithIndex.map { case (c, ci) =>
+        val d = c.zip(qe).map { case (a, b) => (a - b) * (a - b) }.sum
+        (qid, ci, d)
+      }.sortBy(p => (p._3, p._2)).take(nprobe).map(p => (qid, p._2))
+    }.toSeq.toDF("qid", "cell")
+    val luts = pqLutFromQueries(spark, queries, index.books)
+    val adcK = if (rerankShortlist > 0) rerankShortlist else k
+    val adc = index.codes
+      .join(broadcast(probes), "cell")
+      .join(broadcast(luts), "qid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adcCosRaw(index.books).as("cos_raw"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(round(col("cos_raw"), 6).desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= adcK)
+    if (rerankShortlist <= 0)
+      adc.select(col("qid"), col("vec_id"),
+        round(col("cos_raw"), 6).as("cos_pq"), col("rk"))
+        .orderBy("qid", "rk")
+    else
+      index.raw
+        .join(broadcast(adc.select("qid", "vec_id")), "vec_id")
+        .join(broadcast(queryDf.select(col("qid"), col("qe"))), "qid")
+        .select(col("qid"), col("vec_id"), cosine("embedding", "qe").as("cos_raw"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid")
+            .orderBy(round(col("cos_raw"), 6).desc, col("vec_id"))).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("qid"), col("vec_id"), round(col("cos_raw"), 6).as("cos"),
+          col("rk"))
+        .orderBy("qid", "rk")
   }
 
   /** name → query, in declared order. The near-dup threshold is wired
@@ -1280,21 +1386,12 @@ object Similarity {
                       nlist: Int = GateNlist, nprobe: Int = GateNprobe,
                       seed: Long = GateSeed,
                       maxTrain: Int = GateMaxTrain): DataFrame = {
-    val sl = ivfPqTopK(t, nQueries, shortlist, nlist, nprobe, seed, maxTrain)
-      .select("qid", "vec_id")
+    val index = buildPqIndex(t, nlist, seed, maxTrain)
     val queries = t.embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    t.embeddings
-      .join(broadcast(sl), "vec_id") // exact fetch: corpus never shuffles
-      .join(broadcast(queries), "qid")
-      .select(col("qid"), col("vec_id"), cosine("embedding", "qe").as("cos_raw"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid")
-          .orderBy(round(col("cos_raw"), 6).desc, col("vec_id"))).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("vec_id"), round(col("cos_raw"), 6).as("cos"),
-        col("rk"))
-      .orderBy("qid", "rk")
+    val out = pqQuery(index, queries, k, nprobe, rerankShortlist = shortlist)
+    if (index.isEmpty) out
+    else TextQueries.unpersistAfterFirstUse(out, index.codes)
   }
 
   /** Generated x61 oracle: the x14 coarse machinery (assignment +

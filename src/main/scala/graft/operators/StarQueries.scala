@@ -479,6 +479,37 @@ object StarQueries {
         round(element_at(col("p"), 3), 6).as("p75"))
       .orderBy("l_returnflag")
 
+  /** Routing threshold for [[q38Auto]]: ~10⁷ distinct values per group
+    * keeps the exact form's final-merge value→count map around a few
+    * hundred MB a task — the last comfortable decade before the
+    * recorded SF100 law (~10⁸ entries, single-task limits) bites. */
+  private[operators] val Q38MaxExactDistinct = 10L * 1000 * 1000
+
+  /** Q38 with the exact/approx choice made explicit (r10 verdict item
+    * 8): `exact = Some(true)` forces the oracle-gated exact form,
+    * `Some(false)` forces the GK sketch, and `None` (the default)
+    * PROBES the data — one HyperLogLog pass (`approx_count_distinct`,
+    * bounded state, map-side combined) measures the largest per-group
+    * distinct count, and the exact form runs only while that stays
+    * under `maxExactDistinct`. The probe costs one linear scan, which
+    * is exactly what a user on unknown-scale data should pay before
+    * committing a merge task to an unbounded value→count map; users
+    * who know their scale pass the flag and skip the probe. The gate
+    * keeps calling [[q38]] directly — routing never touches oracle
+    * exactness. */
+  def q38Auto(t: Tables, exact: Option[Boolean] = None,
+              maxExactDistinct: Long = Q38MaxExactDistinct,
+              accuracy: Int = 10000): DataFrame = exact match {
+    case Some(true) => q38(t)
+    case Some(false) => q38Approx(t, accuracy)
+    case None =>
+      val maxDistinct = t.lineitem
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_extendedprice")).as("d"))
+        .agg(max(col("d"))).collect()(0).getLong(0)
+      if (maxDistinct > maxExactDistinct) q38Approx(t, accuracy) else q38(t)
+  }
+
   /** Q39 EXCEPT (set difference, distinct semantics) — §2.7: customers
     * with an open order but no filled one. Catalyst plans except as a
     * left-anti aggregate — one shuffle, no materialized intermediates. */

@@ -1411,8 +1411,18 @@ object TextQueries {
       // the rest of the pipeline, keeping ContextCleaner from reaping
       // the stage's files after the checkpoint severs the RDD lineage
       // (observed at 12M: the direct-reference form re-summed the
-      // stages and hit the scratch wall the staging exists to avoid)
-      val out = df.select(col("*")).localCheckpoint(true)
+      // stages and hit the scratch wall the staging exists to avoid).
+      // DISK_ONLY (round-10 12M soak finding): the default
+      // MEMORY_AND_DISK checkpoint blocks of completed stages squat in
+      // the unified storage region while LATER stages aggregate — at a
+      // 24 g driver the decontamination stage died
+      // AGGREGATE_OUT_OF_MEMORY under ~12 GB of stage-1 blocks it
+      // could not evict fast enough. All three flag frames are read
+      // exactly once (the final assembly join), so memory residency
+      // buys nothing; on disk they cost sequential scratch reads and
+      // the execution pool gets the whole region in every stage.
+      val out = df.select(col("*")).localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
       System.gc()
       out
     }

@@ -200,17 +200,18 @@ object DocStream {
     * touches state: its copies are `exact_dup_corpus` by precedence,
     * exactly as the batch operator resolves them.
     *
-    * CONTRACT (same as [[graft.operators.TextQueries.absorbDelta]]):
-    * doc_ids are assigned in arrival order — the stream elects the
-    * within-delta survivor FIRST-SEEN across micro-batches (intra-batch
-    * ties broken by (event time, doc_id)), while the batch
-    * `deltaDedupAgainst` elects `min(doc_id)` over the whole delta.
-    * The two agree exactly when ids are monotone in arrival order (the
-    * ingest-pipeline invariant; DocStreamSpec pins the parity). Feeding
-    * ids out of arrival order diverges the elected survivor — an
-    * already-emitted `exact_dup_delta` row cannot be retracted in
-    * append mode, so min-election is unimplementable here by design,
-    * not by omission. */
+    * CONTRACT: the per-fingerprint state folds to `min(stored,
+    * incoming doc_id)` — the same `min(doc_id)` election the batch
+    * `deltaDedupAgainst` computes over the whole delta — so every
+    * status row emitted AFTER a duplicate's arrival equals the batch
+    * row under ANY arrival order, not just monotone ids (r10 verdict
+    * item 6; DocStreamSpec pins an inversion case). The one residual,
+    * structural divergence: when a LOWER id arrives after its
+    * duplicate was already emitted as the stream survivor, that pair's
+    * own two rows swap roles (the lower id is emitted
+    * `exact_dup_delta` pointing at the prior survivor, whose `new` row
+    * cannot be retracted in append mode) — but the folded state means
+    * every subsequent copy points at the true batch survivor. */
   def deltaDedupStream(docs: DataFrame,
                        index: graft.operators.TextQueries.DedupIndex,
                        maxHamming: Int = 6, horizon: String = "1 hour",
@@ -260,22 +261,27 @@ object DocStream {
             state.remove()
             Iterator.empty
           } else {
-            var first = state.getOption
+            var minSeen = state.getOption
             val batch = rows.toSeq.sortBy(r => (r._1.getTime, r._2))
             val out = batch.map { case (ts, id, _, corpusId, nearId) =>
               if (corpusId.nonEmpty)
                 DeltaStatus(ts, id, "exact_dup_corpus", corpusId)
-              else if (first.nonEmpty)
-                DeltaStatus(ts, id, "exact_dup_delta", first)
-              else {
-                first = Some(id)
+              else if (minSeen.nonEmpty) {
+                // point at the standing survivor, then fold the
+                // election to min(stored, incoming) so later copies
+                // point at the batch-elected min under any order
+                val prior = minSeen
+                minSeen = Some(math.min(minSeen.get, id))
+                DeltaStatus(ts, id, "exact_dup_delta", prior)
+              } else {
+                minSeen = Some(id)
                 if (nearId.nonEmpty) DeltaStatus(ts, id, "near_dup_corpus", nearId)
                 else DeltaStatus(ts, id, "new", None)
               }
             }
             // only corpus-unknown fingerprints carry state
-            if (first.nonEmpty) {
-              state.update(first.get)
+            if (minSeen.nonEmpty) {
+              state.update(minSeen.get)
               val newest = batch.map(_._1.getTime).max
               state.setTimeoutTimestamp(
                 math.max(newest, state.getCurrentWatermarkMs()) + horizonMs)
@@ -290,18 +296,22 @@ object DocStream {
 
   /** Streaming curation — the incremental composition the r9 verdict
     * noted missing: the x30 status-precedence chain over an unbounded
-    * ingest feed, deduplicated against a standing
-    * [[graft.operators.TextQueries.DedupIndex]] and within itself.
-    * Emits ONE status per document in append mode, precedence matching
-    * the batch chain (`exact_dup` > `benchmark` > `contaminated` >
-    * `too_short` > `lang` > `low_quality` > `repetitive` > `near_dup`
-    * > `kept`).
+    * ingest feed, EXACT-deduplicated against a standing
+    * [[graft.operators.TextQueries.DedupIndex]] and within itself
+    * (fingerprint equality carries stream state; NEAR-dup detection is
+    * against the standing index only — a within-stream near-dup pair
+    * with no index hit emits both docs un-flagged, and catching it
+    * requires an index refresh between batches, exactly like the
+    * boilerplate branch below). Emits ONE status per document in
+    * append mode, precedence matching the batch chain (`exact_dup` >
+    * `benchmark` > `contaminated` > `too_short` > `lang` >
+    * `low_quality` > `repetitive` > `near_dup` > `kept`).
     *
     * Signal provenance — every rung shares its COLUMN DEFINITION with
     * the batch pipeline, so the two cannot drift:
     *  - exact_dup: fingerprint known to the corpus index, or seen
     *    earlier in the stream ([[deltaDedupStream]]'s state machine —
-    *    same arrival-order contract, documented there);
+    *    same min-folded survivor election, documented there);
     *  - benchmark: the x30 `doc_id % DecontamMod` membership rule;
     *  - contaminated: the doc's distinct hashed shingles
     *    ([[TextFunctions.hashedShingles]] mod=0 — x26's exact domain)

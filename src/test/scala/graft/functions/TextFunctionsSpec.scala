@@ -76,6 +76,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(2) == (1L << 60) - 1) // empty doc: every vote ties at 0 => bit set
   }
 
+  test("hashedShingles: native and HOF fallback agree on every input class") {
+    // ADVICE r10: the two deployment modes must not diverge even on
+    // inputs current call sites never produce — NULL token arrays and
+    // sub-n docs. Pin: NULL -> NULL, < n tokens -> empty array, and
+    // value identity elsewhere, across all (mod, distinct) branches.
+    val docs = Seq(
+      Some(Seq("a", "b", "c", "d", "e")), // normal
+      Some(Seq("a", "b", "a", "b", "a")), // dup shingles
+      Some(Seq("a", "b")),                // fewer than n tokens
+      Some(Seq.empty[String]),            // empty
+      None,                               // NULL array
+    ).toDF("toks")
+    for ((mod, dist) <- Seq((1000L, true), (0L, true), (1000L, false), (0L, false))) {
+      val rows = docs.select(
+        hashedShingles(col("toks"), 3, mod, dist).as("nat"),
+        hashedShinglesFallback(col("toks"), 3, mod, dist).as("fb")).collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val nat = if (r.isNullAt(0)) null else r.getSeq[Long](0)
+        val fb = if (r.isNullAt(1)) null else r.getSeq[Long](1)
+        assert(nat == fb, s"row $i diverges (mod=$mod distinct=$dist): native=$nat fallback=$fb")
+      }
+      // row 2/3: sub-n and empty docs are EMPTY arrays (not null) on both
+      assert(!rows(2).isNullAt(0) && rows(2).getSeq[Long](0).isEmpty)
+      assert(!rows(3).isNullAt(0) && rows(3).getSeq[Long](0).isEmpty)
+      // row 4: NULL array propagates NULL on both
+      assert(rows(4).isNullAt(0) && rows(4).isNullAt(1))
+    }
+  }
+
   test("simhash of similar texts is closer than dissimilar (Hamming)") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",

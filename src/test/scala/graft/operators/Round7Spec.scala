@@ -75,4 +75,25 @@ class Round7Spec extends SparkSpec {
         close(r.getDouble(3), p75), s"$r vs ($p25,$p50,$p75)")
     }
   }
+
+  test("q38Auto routes on the probed distinct count: GK past the threshold, exact under it") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.toString
+    // forced routes skip the probe entirely
+    assert(planOf(StarQueries.q38Auto(t, exact = Some(true)))
+      .contains("percentile("))
+    assert(planOf(StarQueries.q38Auto(t, exact = Some(false)))
+      .contains("approx_percentile"))
+    // probe route: sf0.001 has ~5-6k distinct prices per group — a
+    // threshold of 10 forces the GK path, the default keeps exact
+    val gk = StarQueries.q38Auto(t, maxExactDistinct = 10)
+    assert(planOf(gk).contains("approx_percentile"), planOf(gk))
+    val ex = StarQueries.q38Auto(t)
+    assert(planOf(ex).contains("percentile(") &&
+      !planOf(ex).contains("approx_percentile"), planOf(ex))
+    // routed results are the operators themselves — exact path is the
+    // gate's q38 verbatim
+    assert(ex.collect().toSeq == StarQueries.q38(t).collect().toSeq)
+  }
 }

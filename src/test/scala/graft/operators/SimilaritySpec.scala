@@ -87,4 +87,50 @@ class SimilaritySpec extends SparkSpec {
         out2.map(_.getLong(0)).toSet == Set(5L, 6L, 7L))
     } finally index.release()
   }
+
+  test("build-once PQ index answers identically to per-call x61/x62; a second batch reuses it") {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    // gate forms build their own (released) index per call
+    val adcDirect = Similarity.ivfPqTopK(t).collect().map(_.toSeq).toSeq
+    val rrDirect = Similarity.ivfPqRerankTopK(t).collect().map(_.toSeq).toSeq
+    val index = Similarity.buildPqIndex(t)
+    try {
+      // index shape: one narrow row per vector, codes in [0, PqKsub)
+      assert(index.codes.columns.toSeq ==
+        Seq("vec_id", "cell", "codes", "rn2"))
+      val codeRows = index.codes.select("codes").collect()
+      assert(codeRows.nonEmpty)
+      codeRows.foreach { r =>
+        val cs = r.getSeq[Int](0)
+        assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16))
+      }
+      val q = t.embeddings.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val viaIdx = Similarity.pqQuery(index, q)
+        .collect().map(_.toSeq).toSeq
+      assert(viaIdx == adcDirect)
+      val viaIdxRr = Similarity.pqQuery(index, q, rerankShortlist = 50)
+        .collect().map(_.toSeq).toSeq
+      assert(viaIdxRr == rrDirect)
+      // a second, different batch runs off the SAME persisted index
+      val q2 = t.embeddings.filter(col("vec_id") >= 10 && col("vec_id") < 13)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val out2 = Similarity.pqQuery(index, q2, k = 3).collect()
+      assert(out2.length == 9 &&
+        out2.map(_.getLong(0)).toSet == Set(10L, 11L, 12L))
+    } finally index.release()
+  }
+
+  test("PQ index over an empty corpus: empty results with the declared schemas, no crash") {
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val index = Similarity.buildPqIndexFrom(emptyEmb)
+    assert(index.isEmpty)
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("qid", "qe")
+    val adc = Similarity.pqQuery(index, q)
+    assert(adc.columns.toSeq == Seq("qid", "vec_id", "cos_pq", "rk"))
+    assert(adc.count() == 0)
+    val rr = Similarity.pqQuery(index, q, rerankShortlist = 50)
+    assert(rr.columns.toSeq == Seq("qid", "vec_id", "cos", "rk"))
+    assert(rr.count() == 0)
+  }
 }

@@ -305,6 +305,45 @@ class DocStreamSpec extends SparkSpec {
     } finally { q.stop(); index.release() }
   }
 
+  test("streaming delta dedup folds the survivor election to min(doc_id): post-inversion rows equal batch") {
+    // r10 verdict item 6: a HIGHER id arriving in an EARLIER micro-
+    // batch must not poison later statuses — state folds to
+    // min(stored, incoming), so every copy after the inversion points
+    // at the batch-elected min survivor.
+    implicit val ctx = spark.sqlContext
+    val fresh = (0 until 60).map(i => s"inv$i").mkString(" ")
+    val corpus = Seq(1L -> ((0 until 50).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val index = graft.operators.TextQueries.buildDedupIndex(corpus)
+    index.fp.count(); index.bands.count()
+    val mem = MemoryStream[Doc]
+    val q = DocStream.deltaDedupStream(mem.toDF(), index)
+      .writeStream.format("memory").queryName("delta_dedup_inv")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc(ts(0), 20L, fresh)); q.processAllAvailable()
+      mem.addData(Doc(ts(1), 15L, fresh)); q.processAllAvailable() // id inversion
+      mem.addData(Doc(ts(2), 25L, fresh)); q.processAllAvailable()
+      val out = spark.table("delta_dedup_inv")
+        .select("doc_id", "status", "dup_of").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      val batch = graft.operators.TextQueries.deltaDedupAgainst(index,
+        Seq(20L -> fresh, 15L -> fresh, 25L -> fresh).toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      // the inverted pair itself is the documented append-mode
+      // divergence: 20 was already emitted as the stream survivor
+      assert(out(20L) == (("new", -1L)), out)
+      assert(out(15L) == (("exact_dup_delta", 20L)), out)
+      assert(batch(15L) == (("new", -1L)), batch)
+      assert(batch(20L) == (("exact_dup_delta", 15L)), batch)
+      // every row emitted AFTER the inversion equals the batch row
+      assert(out(25L) == (("exact_dup_delta", 15L)), out)
+      assert(out(25L) == batch(25L), s"batch=$batch stream=$out")
+    } finally { q.stop(); index.release() }
+  }
+
   test("streaming curation: the x30 precedence chain in append mode") {
     implicit val ctx = spark.sqlContext
     import graft.functions.TextFunctions
