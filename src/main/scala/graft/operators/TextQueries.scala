@@ -602,10 +602,12 @@ object TextQueries {
   private final case class CurationBranches(
       td: DataFrame, base: DataFrame, rep: DataFrame, nearDups: DataFrame)
 
-  private def curationBranches(t: Tables,
-                               nearDupJaccard: Double): CurationBranches = {
+  private def curationBranches(t: Tables, nearDupJaccard: Double,
+                               tdLevel: StorageLevel =
+                                 StorageLevel.MEMORY_AND_DISK)
+  : CurationBranches = {
     val td = withToks(t.documents.select("doc_id", "text"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(tdLevel)
     val base = td
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("pred_lang", predLang(col("toks")))
@@ -1395,7 +1397,23 @@ object TextQueries {
                              maxDupFrac: Double = 0.6,
                              nearDupJaccard: Double = 0.8,
                              maxBoilerFrac: Double = 0.5): DataFrame = {
-    val b = curationBranches(t, nearDupJaccard)
+    // DISK_ONLY tokenization (round-11 12M finding — the 24 g memory
+    // floor's ACTUAL cause): a MEMORY_AND_DISK td fills the unified
+    // region's eviction-immune storage half (spark.memory.
+    // storageFraction = 0.5), halving the execution pool for every
+    // stage. In the ONE-heavy-stage-at-a-time staged schedule all 32
+    // slots then run the SAME explode→partial-agg (decontamination's
+    // ~36M-entry per-task maps at 12M/32 partitions) and the
+    // aggregation fallback cannot acquire pages — the r10
+    // AGGREGATE_OUT_OF_MEMORY at a 24 g driver, reproduced this round
+    // with DISK_ONLY checkpoints alone (the blocks were never the
+    // squatter). The plain form survives at 24 g because its
+    // concurrent branches MIX heavy and light tasks per slot wave.
+    // Streaming td from disk gives staged the same execution-pool
+    // geometry at 24 g that the r10 48 g run had (~440 MB/task) and
+    // matches the form's declared trade: bounded memory, pay disk.
+    val b = curationBranches(t, nearDupJaccard,
+      tdLevel = StorageLevel.DISK_ONLY)
     // ONE heavy branch per stage (round-9 12M finding): the 12M
     // per-branch probe measured LSH ~28 GB and decontamination ~25 GB
     // of transient scratch EACH — running them in one stage (the r8
