@@ -408,6 +408,34 @@ object Similarity {
       centroids)
   }
 
+  /** Persist a built [[IvfIndex]] to `path` as engine-native parquet:
+    * the cell-assigned corpus under `path/assigned` and the trained
+    * centroids under `path/model`. Like faiss's IVFFlat file, the
+    * index CONTAINS the vectors (exact scoring reads them on the
+    * probed sliver), so this is a ~1× corpus copy — the price of a
+    * session-independent exact-scoring index; [[savePqIndex]] is the
+    * ~3%-of-corpus alternative when ADC scoring suffices. */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
+    Seq(Tuple1(index.centroids.map(_.toSeq).toSeq)).toDF("centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  /** Load a [[saveIvfIndex]] artifact; the loaded assigned table is
+    * persisted for query-many use, callers own the release. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): IvfIndex = {
+    val m = spark.read.parquet(s"$path/model").collect()(0)
+    val centroids = m.getSeq[scala.collection.Seq[Double]](
+      m.fieldIndex("centroids")).map(_.toArray).toArray
+    IvfIndex(
+      spark.read.parquet(s"$path/assigned")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      centroids)
+  }
+
   /** x59 media-similarity top-k — multimodal wired into the ANN path
     * end-to-end: the documents table's text payloads stand in as
     * opaque binary media (`media_id` = doc_id, bytes = UTF-8 payload,
@@ -998,6 +1026,46 @@ object Similarity {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
           emb, centroids, books)
     }
+
+  /** Persist a built [[PqIndex]] to `path` as engine-native parquet:
+    * the codes table under `path/codes` and the two trained states —
+    * coarse centroids and PQ codebooks — as ONE nested-array row under
+    * `path/model`. This is the artifact a deployment keeps BETWEEN
+    * sessions (the in-memory index dies with the SparkSession; a
+    * 100 TB encode pass must not re-run per session). Parquet for
+    * both parts so the index stays readable by any engine, splittable,
+    * and free of JVM serialization coupling. */
+  def savePqIndex(index: PqIndex, path: String): Unit = {
+    require(!index.isEmpty, "cannot save an empty PqIndex")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    Seq((index.centroids.map(_.toSeq).toSeq,
+        index.books.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("centroids", "books")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  /** Load a [[savePqIndex]] artifact. `raw` is the corpus frame
+    * (`vec_id`, `embedding`) the index was built from — the caller's
+    * source of truth, needed only for the exact re-rank path (the
+    * codes table answers pure-ADC queries without touching it). The
+    * loaded codes are persisted for query-many use; callers own the
+    * release, exactly like [[buildPqIndex]]. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  raw: DataFrame): PqIndex = {
+    val m = spark.read.parquet(s"$path/model").collect()(0)
+    // inner elements come back as mutable ArraySeqs — type the getSeq
+    // at collection.Seq or the .map blows up on the immutable upcast
+    val centroids = m.getSeq[scala.collection.Seq[Double]](
+      m.fieldIndex("centroids")).map(_.toArray).toArray
+    val books = m.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](
+      m.fieldIndex("books")).map(_.map(_.toArray).toArray).toArray
+    PqIndex(
+      spark.read.parquet(s"$path/codes")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      raw, centroids, books)
+  }
 
   /** Empty `(vec_id, cell, codes, rn2)` frame with the index schema. */
   private def emptyCodesFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {

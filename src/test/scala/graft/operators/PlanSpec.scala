@@ -244,6 +244,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_hashed_shingles"), p.take(3000))
   }
 
+  test("pqQuery: probes and LUTs broadcast onto the codes table, top-k rides WindowGroupLimit") {
+    val index = Similarity.buildPqIndex(t)
+    try {
+      val q = t.embeddings.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+        .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+          org.apache.spark.sql.functions.col("embedding").as("qe"))
+      val p = plan(Similarity.pqQuery(index, q, k = 10, nprobe = 4))
+      val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+      assert(broadcasts >= 2, s"probes+luts should both broadcast:\n${p.take(3000)}")
+      assert(!p.contains("SortMergeJoin"), p.take(3000))
+      assert(p.contains("WindowGroupLimit"), p.take(3000))
+      // the scan side is the 8 B/vector codes table, not raw embeddings:
+      // no embedding column survives past the index into the ADC join
+      val rr = plan(Similarity.pqQuery(index, q, k = 10, nprobe = 4,
+        rerankShortlist = 50))
+      assert("BroadcastHashJoin".r.findAllIn(rr).length >= 3, rr.take(3000))
+    } finally index.release()
+  }
+
   test("no query's generated method exceeds the JVM JIT bytecode limit") {
     // HotSpot never JITs methods over 8000 bytecodes
     // (DontCompileHugeMethods): the stage compiles (janino) but runs in

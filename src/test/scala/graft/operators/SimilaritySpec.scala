@@ -121,6 +121,52 @@ class SimilaritySpec extends SparkSpec {
     } finally index.release()
   }
 
+  test("IVF index round-trips through parquet: loaded index answers identically") {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val built = Similarity.buildIvfIndex(t)
+    try {
+      val q = t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val ansBuilt = Similarity.ivfQuery(built, q, k = 5, nprobe = 4)
+        .collect().map(_.toSeq).toSeq
+      Similarity.saveIvfIndex(built, dir)
+      val loaded = Similarity.loadIvfIndex(spark, dir)
+      try {
+        assert(loaded.centroids.map(_.toSeq).toSeq ==
+          built.centroids.map(_.toSeq).toSeq)
+        assert(Similarity.ivfQuery(loaded, q, k = 5, nprobe = 4)
+          .collect().map(_.toSeq).toSeq == ansBuilt)
+      } finally loaded.release()
+    } finally built.release()
+  }
+
+  test("PQ index round-trips through parquet: loaded index answers identically, rerank included") {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val built = Similarity.buildPqIndex(t)
+    try {
+      val q = t.embeddings.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val adcBuilt = Similarity.pqQuery(built, q).collect().map(_.toSeq).toSeq
+      val rrBuilt = Similarity.pqQuery(built, q, rerankShortlist = 50)
+        .collect().map(_.toSeq).toSeq
+      Similarity.savePqIndex(built, dir)
+      val loaded = Similarity.loadPqIndex(spark, dir,
+        t.embeddings.select(col("vec_id"), col("embedding")))
+      try {
+        assert(loaded.centroids.map(_.toSeq).toSeq ==
+          built.centroids.map(_.toSeq).toSeq)
+        assert(loaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
+          built.books.map(_.map(_.toSeq).toSeq).toSeq)
+        assert(Similarity.pqQuery(loaded, q).collect().map(_.toSeq).toSeq
+          == adcBuilt)
+        assert(Similarity.pqQuery(loaded, q, rerankShortlist = 50)
+          .collect().map(_.toSeq).toSeq == rrBuilt)
+      } finally loaded.release()
+    } finally built.release()
+  }
+
   test("PQ index over an empty corpus: empty results with the declared schemas, no crash") {
     val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val index = Similarity.buildPqIndexFrom(emptyEmb)

@@ -344,6 +344,53 @@ class DocStreamSpec extends SparkSpec {
     } finally { q.stop(); index.release() }
   }
 
+  test("within-stream near-dups surface after an index refresh between batches — the documented recipe") {
+    // curationStream/deltaDedupStream carry stream state only for EXACT
+    // fingerprints; a within-stream near-dup pair with no index hit
+    // passes un-flagged (documented contract). The operational answer
+    // is absorbing processed batches into the standing index and
+    // restarting the stream on the refreshed index — pin that recipe.
+    implicit val ctx = spark.sqlContext
+    val base2 = (0 until 60).map(i => s"nd$i").mkString(" ")
+    val near1 = base2.replace("nd7 ", "nd7x ")
+    val near2 = base2.replace("nd9 ", "nd9x ")
+    val corpus = Seq(1L -> ((0 until 50).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val index = graft.operators.TextQueries.buildDedupIndex(corpus)
+    index.fp.count(); index.bands.count()
+    val mem1 = MemoryStream[Doc]
+    val q1 = DocStream.deltaDedupStream(mem1.toDF(), index)
+      .writeStream.format("memory").queryName("nd_refresh_1")
+      .outputMode("append").start()
+    val out1 = try {
+      mem1.addData(Doc(ts(0), 10L, base2), Doc(ts(1), 11L, near1))
+      q1.processAllAvailable()
+      spark.table("nd_refresh_1").select("doc_id", "status").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    } finally q1.stop()
+    // the gap, as documented: the pair passes un-flagged in-stream
+    assert(out1 == Map(10L -> "new", 11L -> "new"), out1.toString)
+    // refresh: absorb the processed batch, restart on the new index
+    val batch1 = Seq(10L -> base2, 11L -> near1).toDF("doc_id", "text")
+    val index2 = graft.operators.TextQueries.absorbDelta(index, batch1)
+    index2.fp.count(); index2.bands.count()
+    val mem2 = MemoryStream[Doc]
+    val q2 = DocStream.deltaDedupStream(mem2.toDF(), index2)
+      .writeStream.format("memory").queryName("nd_refresh_2")
+      .outputMode("append").start()
+    try {
+      mem2.addData(Doc(ts(2), 12L, near2))
+      q2.processAllAvailable()
+      val out2 = spark.table("nd_refresh_2")
+        .select("doc_id", "status", "dup_of").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      // the refreshed index catches the near-dup and points at the
+      // absorbed survivor
+      assert(out2(12L) == (("near_dup_corpus", 10L)), out2.toString)
+    } finally { q2.stop(); index.release(); index2.release() }
+  }
+
   test("streaming curation: the x30 precedence chain in append mode") {
     implicit val ctx = spark.sqlContext
     import graft.functions.TextFunctions
