@@ -163,4 +163,25 @@ object QualityClassifier {
     // no ordering here: a global sort belongs to consumers that need
     // one (the x45 gate adds its oracle-mandated doc_id order itself)
   }
+
+  /** Persist a trained [[Model]] as a one-row parquet (the
+    * saveLmModel/savePqIndex analog for the driver-held weight
+    * vector): a production pipeline trains once on a curated slice,
+    * saves, and every later scoring batch loads — no retrain. The
+    * array round-trips through parquet's double type exactly, so a
+    * loaded model scores bitwise-identically (Round11Spec pin). */
+  def saveModel(m: Model, spark: org.apache.spark.sql.SparkSession,
+                path: String): Unit = {
+    import spark.implicits._
+    Seq((m.weights.toSeq, m.bias, m.buckets))
+      .toDF("weights", "bias", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveModel]] artifact. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Model = {
+    val r = spark.read.parquet(path).collect()(0)
+    Model(r.getSeq[Double](0).toArray, r.getDouble(1), r.getInt(2))
+  }
 }

@@ -1209,6 +1209,91 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-occurrence hashed bigram buckets for the DSIR family — bag
+    * semantics (multiplicity preserved), the grain [[dsirWeights]]'s
+    * single-pass gate form and the fit-once [[DsirModel]] share. */
+  private def dsirOcc(docs: DataFrame): DataFrame =
+    withToks(graft.core.Fanout.widen(docs))
+      .select(col("doc_id"),
+        explode(hashedShingles(col("toks"), 2, DsirBuckets,
+          distinct = false)).as("b"))
+
+  /** Fit-once DSIR importance model (the build-once pattern applied to
+    * x36): the per-bucket log-ratio table `lr(b, lr)` (≤ [[DsirBuckets]]
+    * rows, persisted, broadcast at scoring), plus `lr0` — the smoothed
+    * log-ratio of a bucket UNSEEN in both training marginals, the value
+    * [[dsirScore]] substitutes when a new batch hashes into a bucket
+    * the fit never saw (the gate form cannot hit this case: its score
+    * docs are part of the marginals by construction). */
+  final case class DsirModel(lr: DataFrame, lr0: Double) {
+    def release(): Unit = lr.unpersist(blocking = false)
+  }
+
+  /** Fit the [[DsirModel]] from a target (in-domain) frame and a raw
+    * frame: one map-side-combined bucket count per side, a full outer
+    * merge to ≤ [[DsirBuckets]] rows, one scalar reduction for the
+    * totals. Identical smoothing math to the x36 gate ((c+1)/(tot+B)
+    * add-1 over the bucket count), so a model fit on the gate's slices
+    * scores the gate's answer exactly (Round11Spec pin). */
+  def buildDsirModel(target: DataFrame, raw: DataFrame): DsirModel = {
+    val ct = dsirOcc(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    val cr = dsirOcc(raw).groupBy("b").agg(count(lit(1)).as("cr"))
+    val buckets = ct.join(cr, Seq("b"), "full")
+      .select(col("b"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val tot = buckets.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val lr = buckets.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("ct") + lit(1.0)) /
+             (col("tt") + lit(DsirBuckets.toDouble))) -
+         log((col("cr") + lit(1.0)) /
+             (col("tr") + lit(DsirBuckets.toDouble)))).as("lr"))
+      .persist()
+    lr.count()
+    val totals = tot.collect()(0)
+    val (tt, tr) = (totals.getLong(0), totals.getLong(1))
+    val lr0 = math.log(1.0 / (tt + DsirBuckets.toDouble)) -
+      math.log(1.0 / (tr + DsirBuckets.toDouble))
+    DsirModel(lr, lr0)
+  }
+
+  /** Persist a [[DsirModel]] as parquet: the lr table plus a one-row
+    * `meta.parquet` carrying lr0. */
+  def saveDsirModel(m: DsirModel, path: String): Unit = {
+    m.lr.write.mode("overwrite").parquet(s"$path/lr.parquet")
+    val spark = m.lr.sparkSession
+    import spark.implicits._
+    Seq(m.lr0).toDF("lr0").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta.parquet")
+  }
+
+  /** Load a [[saveDsirModel]] artifact, persisted and materialized. */
+  def loadDsirModel(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DsirModel = {
+    val lr = spark.read.parquet(s"$path/lr.parquet").persist()
+    lr.count()
+    val lr0 = spark.read.parquet(s"$path/meta.parquet")
+      .collect()(0).getDouble(0)
+    DsirModel(lr, lr0)
+  }
+
+  /** Score a document frame under a fitted [[DsirModel]]: per-document
+    * importance weight (doc_id, n_bigrams, dsir_w) — per-(doc, bucket)
+    * counts, one broadcast join to the lr table (unseen buckets score
+    * lr0), per-(doc, bucket) terms rounded and decimal-summed (the
+    * x25/x47 order-independence discipline, same as the gate). */
+  def dsirScore(m: DsirModel, docs: DataFrame): DataFrame =
+    dsirOcc(docs)
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(m.lr), Seq("b"), "left")
+      .withColumn("lrv", coalesce(col("lr"), lit(m.lr0)))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"),
+        round(sum(round(col("cnt") * col("lrv"), 6).cast(DecimalType(18, 6)))
+          .cast("double"), 6).as("dsir_w"))
+
   /** x27 cross-document boilerplate fraction — the CCNet/Gopher
     * duplicated-line-fraction signal re-expressed for unstructured
     * docs: per document, the fraction of its distinct 3-gram shingles
@@ -1592,35 +1677,89 @@ object TextQueries {
   private val LmBuckets = 1024L
   private val LmTarget = "src0"
 
-  /** Per-document hashed-bigram cross-entropy under an add-1-smoothed
-    * conditional model trained on the [[LmTarget]] slice — shared by
-    * x39 (scores) and x40 (partition). Returns
-    * (doc_id, n_bigrams, ce) for every non-target doc with ≥1 bigram;
-    * `ce` is rounded to 6 (the gate's cross-engine float discipline). */
-  private def bigramCe(t: Tables): DataFrame = {
-    val big = withToks(graft.core.Fanout.widen(t.documents))
-      .select(col("doc_id"), col("source"),
-        explode(wordShingles(col("toks"), 2)).as("s"))
-      .select(col("doc_id"), col("source"),
+  /** Per-occurrence hashed bigram buckets of `docs` — the shared grain
+    * of the x39/x40 model fit and scoring passes: one row per bigram
+    * occurrence with the context bucket `cb` (first token) and the
+    * bigram bucket `bb`. */
+  private def bigramOcc(docs: DataFrame): DataFrame =
+    withToks(docs)
+      .select(col("doc_id"), explode(wordShingles(col("toks"), 2)).as("s"))
+      .select(col("doc_id"),
         (hash60(substring_index(col("s"), " ", 1)) % LmBuckets).as("cb"),
         (hash60(col("s")) % LmBuckets).as("bb"))
-      .groupBy("doc_id", "source", "cb", "bb")
+
+  /** Fit-once hashed-bigram LM — the two persisted count tables of the
+    * x39/x40 conditional model (the build-once DedupIndex/PqIndex
+    * pattern applied to the LM family): `ctx(cb, c1)` context totals
+    * (≤ [[LmBuckets]] rows) and `mdl(cb, bb, c12)` bigram totals
+    * (≤ [[LmBuckets]]² rows worst-case, in practice min(distinct
+    * bigrams, that)) — both corpus-size-independent and broadcast to
+    * every scoring join. A production pipeline fits this ONCE on the
+    * in-domain slice and scores every later batch through [[lmScore]];
+    * the x39/x40 gate forms are build + one scoring pass + release —
+    * one code path, no drift (the x61/x62 discipline). */
+  final case class LmModel(ctx: DataFrame, mdl: DataFrame) {
+    def release(): Unit = {
+      ctx.unpersist(blocking = false); mdl.unpersist(blocking = false)
+    }
+  }
+
+  /** Fit the [[LmModel]] on a training frame (`doc_id`, `text`):
+    * tokenize → bigram buckets → two map-side-combined count tables,
+    * persisted and materialized. Cost is ONE pass over the training
+    * slice, paid once. */
+  def buildLmModel(train: DataFrame): LmModel = {
+    val occ = bigramOcc(train)
+    val ctx = occ.groupBy("cb").agg(count(lit(1)).as("c1")).persist()
+    val mdl = occ.groupBy("cb", "bb").agg(count(lit(1)).as("c12")).persist()
+    ctx.count(); mdl.count()
+    LmModel(ctx, mdl)
+  }
+
+  /** Persist an [[LmModel]] as parquet (the savePqIndex analog): two
+    * tiny tables, session-independent. */
+  def saveLmModel(m: LmModel, path: String): Unit = {
+    m.ctx.write.mode("overwrite").parquet(s"$path/ctx.parquet")
+    m.mdl.write.mode("overwrite").parquet(s"$path/mdl.parquet")
+  }
+
+  /** Load a [[saveLmModel]] artifact, persisted and materialized. */
+  def loadLmModel(spark: org.apache.spark.sql.SparkSession,
+                  path: String): LmModel = {
+    val ctx = spark.read.parquet(s"$path/ctx.parquet").persist()
+    val mdl = spark.read.parquet(s"$path/mdl.parquet").persist()
+    ctx.count(); mdl.count()
+    LmModel(ctx, mdl)
+  }
+
+  /** Score a document frame under a fitted [[LmModel]]: per-document
+    * cross-entropy (add-1 smoothing over [[LmBuckets]]) —
+    * (doc_id, n_bigrams, ce) for every doc with ≥1 bigram; `ce` is
+    * rounded to 6 (the gate's cross-engine float discipline). One
+    * tokenize pass into map-side-combined (doc, bucket-pair) counts,
+    * two broadcast joins against the model, one per-doc agg. */
+  def lmScore(m: LmModel, docs: DataFrame): DataFrame =
+    bigramOcc(docs)
+      .groupBy("doc_id", "cb", "bb")
       .agg(count(lit(1)).as("cnt"))
-    // model tables are corpus-size-independent: contexts ≤ LmBuckets
-    // rows, bigram buckets ≤ LmBuckets² (1M) worst-case and in practice
-    // min(distinct bigrams, that) — both broadcast to the scoring join
-    val train = big.filter(col("source") === LmTarget)
-    val ctx = train.groupBy("cb").agg(sum("cnt").as("c1"))
-    val mdl = train.groupBy("cb", "bb").agg(sum("cnt").as("c12"))
-    big.filter(col("source") =!= LmTarget)
-      .join(broadcast(mdl), Seq("cb", "bb"), "left")
-      .join(broadcast(ctx), Seq("cb"), "left")
+      .join(broadcast(m.mdl), Seq("cb", "bb"), "left")
+      .join(broadcast(m.ctx), Seq("cb"), "left")
       .withColumn("lp",
         log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
             (coalesce(col("c1"), lit(0L)) + lit(LmBuckets.toDouble))))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_bigrams"),
         round(-sum(col("cnt") * col("lp")) / sum("cnt"), 6).as("ce"))
+
+  /** Per-document hashed-bigram cross-entropy under an add-1-smoothed
+    * conditional model trained on the [[LmTarget]] slice — shared by
+    * x39 (scores) and x40 (partition); build + score + release through
+    * the fit-once [[LmModel]] path. */
+  private def bigramCe(t: Tables): DataFrame = {
+    val docs = graft.core.Fanout.widen(t.documents)
+    val m = buildLmModel(docs.filter(col("source") === LmTarget))
+    val out = lmScore(m, docs.filter(col("source") =!= LmTarget))
+    unpersistAfterFirstUse(unpersistAfterFirstUse(out, m.ctx), m.mdl)
   }
 
   /** x39 CCNet-style LM filter signal (Wenzek et al., "CCNet:
@@ -1891,6 +2030,57 @@ object TextQueries {
         round((pow(col("n_tokens").cast("double"), alpha) / col("tot_alpha")) /
           (col("n_tokens").cast("double") / col("tot_tokens")), 6).as("boost"))
       .orderBy("source")
+  }
+
+  // ---- x63 mixture materialization ----------------------------------------
+
+  /** Salt for x63's deterministic Bernoulli coin (the x54 idiom: a
+    * value-hash in [0, 10⁶) compared against the fractional epoch in
+    * micro-units — both sides integer, so the two engines never
+    * compare drifting doubles). */
+  private val MixCoinSalt = "mix_"
+
+  /** x63 mixture materialization — x43's weights APPLIED, the step a
+    * token-budget training run actually executes (GPT-3's Table 2.2
+    * "epochs elapsed when training" column; Raffel et al. 2020 §3.4.1):
+    * each source's `boost` (= p_α/p_raw, the effective epoch
+    * multiplier) becomes per-document copy counts, `⌊boost⌋` whole
+    * epochs plus one more with probability frac(boost) decided by a
+    * deterministic per-document value hash. Sources with boost < 1 are
+    * DOWN-sampled (⌊boost⌋ = 0, docs kept with probability boost);
+    * sources with boost > 1 are repeated. Output is one row per
+    * (document, epoch) — the materialized mixture a packing/sharding
+    * stage (x29/x48) consumes — so the expected token share of every
+    * source lands on x43's p_α target.
+    *
+    * Distinct from x24 (quality-weighted Bernoulli THIN of single
+    * docs), x28 (budget fill best-first within a source), and x48
+    * (shard assignment of kept docs): this is the only op that can
+    * EMIT MORE THAN ONE COPY, which is what "2.9 epochs of Wikipedia"
+    * means in a mixture card.
+    *
+    * Scale shape: x43's weight table (≤ |sources| rows) broadcast onto
+    * one linear scan; the coin and copy count are row-local; the
+    * explode multiplies rows by the epoch factor — inherent to
+    * materialization (it IS the output), never more than Σ boost·|src|
+    * rows. No shuffle beyond x43's own two-row reduction. */
+  def mixtureMaterialize(t: Tables, alpha: Double = MixAlpha): DataFrame = {
+    val w = mixtureWeights(t, alpha).select("source", "boost")
+    val coin =
+      hash60(concat(lit(MixCoinSalt), col("doc_id").cast("string"))) %
+        lit(1000000L)
+    val fracMicro =
+      round((col("boost") - floor(col("boost"))) * lit(1e6)).cast("long")
+    graft.core.Fanout.widen(t.documents)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(w), "source")
+      .select(col("doc_id"), col("source"),
+        (floor(col("boost")).cast("long") +
+          when(coin < fracMicro, 1L).otherwise(0L)).as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
+      .orderBy("doc_id", "epoch")
   }
 
   // ---- x44 duplicate-span fraction ----------------------------------------
@@ -2502,6 +2692,7 @@ object TextQueries {
     "x56_corpus_overlap" -> (t => corpusOverlap(t)),
     "x57_consensus_neardup" -> (t => consensusNearDup(t)),
     "x58_quality_survivors" -> (t => qualitySurvivors(t)),
+    "x63_mixture_materialize" -> (t => mixtureMaterialize(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -3334,5 +3525,28 @@ object TextQueries {
         COALESCE(r.pr >= $CalibKeepQuantile, FALSE) AS keep
       FROM sc LEFT JOIN r ON r.doc_id = sc.doc_id
       ORDER BY sc.doc_id""",
+    "x63_mixture_materialize" -> s"""
+      WITH t AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS n
+                 FROM documents),
+      per AS (SELECT source, SUM(n) AS n_tokens FROM t GROUP BY source),
+      tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tt,
+                SUM(pow(CAST(n_tokens AS DOUBLE), $MixAlpha)) AS ta FROM per),
+      w AS (SELECT source,
+              ROUND((pow(CAST(n_tokens AS DOUBLE), $MixAlpha) / ta) /
+                    (CAST(n_tokens AS DOUBLE) / tt), 6) AS boost
+            FROM per CROSS JOIN tot),
+      c AS (SELECT d.doc_id, d.source,
+              CAST(FLOOR(w.boost) AS BIGINT) +
+              CASE WHEN CAST('0x' || substr(md5(
+                       '$MixCoinSalt' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 1000000
+                   < CAST(ROUND((w.boost - FLOOR(w.boost)) * 1000000)
+                       AS BIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+            FROM documents d JOIN w USING (source))
+      SELECT doc_id, source, n_copies, CAST(e AS BIGINT) AS epoch
+      FROM (SELECT c.*, unnest(range(0, c.n_copies)) AS e
+            FROM c WHERE c.n_copies > 0)
+      ORDER BY doc_id, epoch""",
   )
 }
