@@ -1680,9 +1680,13 @@ object TextQueries {
   /** Per-occurrence hashed bigram buckets of `docs` — the shared grain
     * of the x39/x40 model fit and scoring passes: one row per bigram
     * occurrence with the context bucket `cb` (first token) and the
-    * bigram bucket `bb`. */
+    * bigram bucket `bb`. Widened HERE (not at the callers) so every
+    * entry into the bigram explode carries the scan-parallelism guard:
+    * the 12M models soak caught direct `lmScore` callers running the
+    * explode on one file's worth of splits (433 s vs the gate's 320 s
+    * — the gate happened to widen before filtering). */
   private def bigramOcc(docs: DataFrame): DataFrame =
-    withToks(docs)
+    withToks(graft.core.Fanout.widen(docs))
       .select(col("doc_id"), explode(wordShingles(col("toks"), 2)).as("s"))
       .select(col("doc_id"),
         (hash60(substring_index(col("s"), " ", 1)) % LmBuckets).as("cb"),
@@ -1756,7 +1760,9 @@ object TextQueries {
     * x39 (scores) and x40 (partition); build + score + release through
     * the fit-once [[LmModel]] path. */
   private def bigramCe(t: Tables): DataFrame = {
-    val docs = graft.core.Fanout.widen(t.documents)
+    // no widen here: bigramOcc carries the guard (a second widen would
+    // re-trigger on the files<cores check and stack a dead exchange)
+    val docs = t.documents
     val m = buildLmModel(docs.filter(col("source") === LmTarget))
     val out = lmScore(m, docs.filter(col("source") =!= LmTarget))
     unpersistAfterFirstUse(unpersistAfterFirstUse(out, m.ctx), m.mdl)
