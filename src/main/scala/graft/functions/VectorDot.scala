@@ -262,6 +262,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_nano_sum expects exactly 2 arguments, got ${other.length}")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_nano_sum_packed"),
+      new ExpressionInfo(classOf[NanoSumPacked].getName, "graft_nano_sum_packed"),
+      (children: Seq[Expression]) => children match {
+        case Seq(t, p) => NanoSumPacked(t, p)
+        case other => throw new IllegalArgumentException(
+          s"graft_nano_sum_packed expects exactly 2 arguments, got ${other.length}")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_tokens"),
       new ExpressionInfo(classOf[Tokens].getName, "graft_tokens"),
       (children: Seq[Expression]) => children match {

@@ -339,6 +339,16 @@ object Similarity {
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val centroids = trainQuantizer(sample, nlist, iters = 5, seed = seed)
     trainedQuantizers.put(QuantKey(nlist, seed, maxTrain, tag), centroids)
+    (assignCells(emb, centroids), centroids)
+  }
+
+  /** Nearest-centroid cell assignment of a `(vec_id, embedding)` frame
+    * against FROZEN centroids — the encode half of
+    * [[trainAndAssignFrom]], shared with [[absorbDelta]] so absorbed
+    * deltas are coded by exactly the index's trained state (the faiss
+    * `add()` contract: adding vectors never retrains). */
+  private def assignCells(emb: DataFrame,
+                          centroids: Array[Array[Double]]): DataFrame = {
     // Centroid argmax is nlist x dim multiplies per vector — the
     // amplifying step a single-split scan would serialize (hence the
     // widen). With the extensions the whole argmax is ONE native
@@ -361,10 +371,9 @@ object Similarity {
     // by contract), so downstream equi-joins on `cell` don't inject an
     // `isnotnull(cell)` filter that would re-evaluate the whole argmax
     // a second time below the exchange (observed in the x14 1M plan)
-    val assigned = emb
+    emb
       .withColumn("cell", coalesce(cellCol, lit(-1)))
       .select(col("vec_id"), col("embedding"), col("cell"))
-    (assigned, centroids)
   }
 
   /** A built IVF index: trained coarse quantizer + the cell-assigned
@@ -435,6 +444,25 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       centroids)
   }
+
+  /** Fold a `(vec_id, embedding)` delta into a built [[IvfIndex]],
+    * emitting the index for the NEXT batch — incremental, O(delta):
+    * only the delta runs the nearest-centroid argmax, against the
+    * index's FROZEN centroids (the faiss `add()` contract: adding
+    * vectors never retrains, so cell balance degrades only as far as
+    * the delta's distribution drifts from the trained sample — the
+    * same stability/recall trade [[TextQueries.absorbDelta]] makes for
+    * dedup survivors). Delta `vec_id`s are the caller's to keep
+    * disjoint from the corpus (the ingestion-stream invariant). The
+    * returned assigned table is persisted; releasing the input index
+    * after the new one materializes is the caller's choice. */
+  def absorbDelta(index: IvfIndex, delta: DataFrame): IvfIndex =
+    IvfIndex(
+      index.assigned.unionByName(
+        assignCells(delta.select(col("vec_id"), col("embedding")),
+          index.centroids))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      index.centroids)
 
   /** x59 media-similarity top-k — multimodal wired into the ANN path
     * end-to-end: the documents table's text payloads stand in as
@@ -734,7 +762,7 @@ object Similarity {
   /** x60 PQ geometry: the 64-dim embeddings split into [[PqM]] = 8
     * subspaces of [[PqDsub]] = 8 dims, each coded against [[PqKsub]] =
     * 16 per-subspace centroids (Jégou et al. 2011). Eight small codes
-    * replace 64 floats — 256 B/vector → 8 B packed — which is the
+    * replace 64 floats — 256 B/vector → 4 B nibble-packed — which is the
     * compression that lets a 100 TB embedding corpus live in executor
     * memory for ADC scans; the raw-vector scan variants (x08/x14) read
     * 32× the bytes per candidate. */
@@ -788,7 +816,7 @@ object Similarity {
     * Term error ≤ 8·5e-10, three orders under the 6-dp output grain.
     *
     * Scale shape: one bounded-sample codebook train (corpus never
-    * iterates), one encode pass (narrow: 8 ints out per vector), one
+    * iterates), one encode pass (narrow: one packed-codes int per vector), one
     * broadcast of the ≤nQueries-row LUT frame against the codes table,
     * per-query top-k window over k·|corpus| candidate rows. No
     * all-pairs, no corpus-global window, shuffle only at the final
@@ -906,38 +934,47 @@ object Similarity {
       .setScale(9, java.math.RoundingMode.HALF_UP)
       .movePointRight(9).longValueExact()
 
-  /** The corpus-side PQ index table: (vec_id[, cell], codes, rn2) —
-    * the 8 subspace codes plus the PQ-reconstruction norm²
-    * Σ round(|books(i)(c_i)|², 9), folded in exact nano units
-    * ([[roundNano]]) from a pre-rounded literal. rn2 is a function of
-    * the CODES alone, so it belongs on the 1-row-per-vector index
-    * table, not the per-candidate scoring row. */
+  /** The corpus-side PQ index table: (vec_id[, cell], packed, rn2) —
+    * the 8 subspace codes packed 4 bits each into ONE int (nibble i =
+    * code i; PqKsub = 16 makes the 8 codes exactly 32 bits) plus the
+    * PQ-reconstruction norm² Σ round(|books(i)(c_i)|², 9), folded in
+    * exact nano units ([[roundNano]]) from a pre-rounded literal. rn2
+    * is a function of the CODES alone, so it belongs on the
+    * 1-row-per-vector index table, not the per-candidate scoring row.
+    * Packing (round-11 ANN soak finding): the `array<int>` form's
+    * parquet artifact ran 12.3% of corpus bytes at 10M vectors — the
+    * array column (8 four-byte elements + repetition levels) dominated
+    * it for what is semantically 32 bits; one INT cuts the artifact
+    * ~4× and the hot ADC fold reads codes by shift+mask instead of
+    * array access. */
   private def pqCodesWithRn2(emb: DataFrame,
                              books: Array[Array[Array[Double]]]): DataFrame = {
     val normNano = typedLit(
       books.map(_.map(c => roundNano(c.map(x => x * x).sum)).toSeq).toSeq)
     emb
-      .withColumn("codes",
-        array((0 until PqM).map(i => pqCodeCol(i, books(i))): _*))
+      .withColumn("packed",
+        (0 until PqM).map(i => shiftleft(pqCodeCol(i, books(i)), 4 * i))
+          .reduce(_.bitwiseOR(_)))
       .withColumn("rn2", nanoSum(normNano).cast("double") / lit(1e9))
       .drop("embedding")
   }
 
-  /** Σ_i table(i)(codes(i)) — the ADC fold as ONE expression. Native
-    * [[graft.functions.NanoSum]] when injected (a must at scale: the
-    * composed 8-term chains pushed the fused stage past the JVM's
+  /** Σ_i table(i)(nibble_i(packed)) — the ADC fold as ONE expression
+    * over the packed codes int. Native
+    * [[graft.functions.NanoSumPacked]] when injected (a must at scale:
+    * the composed 8-term chains pushed the fused stage past the JVM's
     * 8,000-bytecode JIT limit and the whole scan ran interpreted —
     * see NanoSum's scaladoc); the wiring-free fallback composes the
-    * identical sum from element_at. */
+    * identical sum from shift+mask+element_at. */
   private def nanoSum(table: Column): Column =
     if (graft.functions.GraftExtensions.active)
-      call_function("graft_nano_sum", table, col("codes"))
-    else (1 until PqM).foldLeft(
-      element_at(element_at(table, 1), element_at(col("codes"), 1) + 1))(
-      (acc, i) => acc + element_at(element_at(table, i + 1),
-        element_at(col("codes"), i + 1) + 1))
+      call_function("graft_nano_sum_packed", table, col("packed"))
+    else (0 until PqM).map(i =>
+      element_at(element_at(table, i + 1),
+        shiftrightunsigned(col("packed"), 4 * i).bitwiseAND(lit(15)) + 1))
+      .reduce(_ + _)
 
-  /** The ADC cosine of a (codes, rn2, lut, qn2) row: the query-side
+  /** The ADC cosine of a (packed, rn2, lut, qn2) row: the query-side
     * numerator fold — 8 pre-rounded nano-unit LUT lookups summed as
     * longs (see [[roundNano]]) — over the precomputed reconstruction
     * norm². `lut` carries nano longs ([[pqLutFrame]]). */
@@ -951,12 +988,12 @@ object Similarity {
     * within the probed sliver candidates are scored by PQ ADC lookups
     * (same trained codebooks, LUT and decimal term-fold as x60) instead
     * of exact dots. This is THE memory-scale ANN shape at 100 TB: the
-    * scan touches ~nprobe/nlist of the corpus and reads 8 B codes per
-    * candidate instead of 256 B vectors — the index (cell + codes) is
-    * ~3% the corpus bytes.
+    * scan touches ~nprobe/nlist of the corpus and reads a 4 B packed-codes
+    * int per candidate instead of 256 B vectors — the index (cell +
+    * packed codes) is ~1-3% the corpus bytes.
     *
     * Scale shape: two bounded-sample trainings (corpus never iterates),
-    * one assignment+encode pass (narrow: cell + 8 codes out per
+    * one assignment+encode pass (narrow: cell + one packed-codes int per
     * vector), probes and LUTs broadcast (≤nQueries rows each), shuffle
     * only at the per-query top-k window — which rides Spark 4's
     * WindowGroupLimit partial limits like every other rank here. */
@@ -972,8 +1009,8 @@ object Similarity {
   }
 
   /** A built IVF-PQ index: trained coarse centroids + PQ codebooks +
-    * the persisted codes table `(vec_id, cell, codes, rn2)` — 8 B of
-    * codes per vector, ~3% of raw corpus bytes — plus the raw source
+    * the persisted codes table `(vec_id, cell, packed, rn2)` — 4 B of
+    * packed codes per vector, ~1-3% of raw corpus bytes — plus the raw source
     * frame for optional exact re-rank. The build-once/query-many form
     * of [[ivfPqTopK]]/[[ivfPqRerankTopK]] (which are now exactly
     * build + one [[pqQuery]] batch + release): a real deployment keeps
@@ -997,7 +1034,7 @@ object Similarity {
   /** Build the IVF-PQ index over the embeddings table once: coarse
     * quantizer (identical training to x14 — same QuantKey snapshot),
     * PQ codebooks (identical to x60 — same PqKey snapshot), then ONE
-    * narrow corpus pass emitting cell + the [[PqM]] codes + rn2 per
+    * narrow corpus pass emitting cell + the packed [[PqM]]-nibble codes int + rn2 per
     * vector, persisted. */
   def buildPqIndex(t: Tables, nlist: Int = GateNlist, seed: Long = GateSeed,
                    maxTrain: Int = GateMaxTrain): PqIndex =
@@ -1067,7 +1104,32 @@ object Similarity {
       raw, centroids, books)
   }
 
-  /** Empty `(vec_id, cell, codes, rn2)` frame with the index schema. */
+  /** Fold a `(vec_id, embedding)` delta into a built [[PqIndex]] —
+    * incremental, O(delta): only the delta runs the coarse argmax and
+    * the PQ encode, against the index's FROZEN centroids and codebooks
+    * (the faiss `IndexIVFPQ.add()` contract — adding never retrains;
+    * quantization error grows only with distribution drift from the
+    * trained sample, the price of never re-touching the corpus).
+    * `raw` grows by the same delta so the exact re-rank path stays
+    * complete. Delta `vec_id`s are the caller's to keep disjoint from
+    * the corpus. The returned codes table is persisted; releasing the
+    * input index after the new one materializes is the caller's
+    * choice. Absorbing into an EMPTY index is refused loudly — there
+    * is no trained state to encode with; build from the delta
+    * instead. */
+  def absorbDelta(index: PqIndex, delta: DataFrame): PqIndex = {
+    require(!index.isEmpty,
+      "cannot absorb into an empty PqIndex — buildPqIndexFrom the delta instead")
+    val d = delta.select(col("vec_id"), col("embedding"))
+    PqIndex(
+      index.codes.unionByName(
+        pqCodesWithRn2(assignCells(d, index.centroids), index.books))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      index.raw.select(col("vec_id"), col("embedding")).unionByName(d),
+      index.centroids, index.books)
+  }
+
+  /** Empty `(vec_id, cell, packed, rn2)` frame with the index schema. */
   private def emptyCodesFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(
@@ -1075,7 +1137,7 @@ object Similarity {
       StructType(Seq(
         StructField("vec_id", LongType),
         StructField("cell", IntegerType, nullable = false),
-        StructField("codes", ArrayType(IntegerType)),
+        StructField("packed", IntegerType),
         StructField("rn2", DoubleType))))
   }
 
@@ -1090,7 +1152,7 @@ object Similarity {
     * gate forms are build + this + release.
     *
     * Scale shape per batch: probes and LUTs broadcast (≤|batch| rows
-    * each), a ~nprobe/nlist sliver of the 8 B/vector codes table
+    * each), a ~nprobe/nlist sliver of the 4 B/vector packed-codes table
     * scanned, shuffle only at the per-query top-k window (rides
     * WindowGroupLimit); the re-rank adds one raw-corpus scan against a
     * broadcast shortlist — the corpus never shuffles. */
@@ -1440,7 +1502,7 @@ object Similarity {
   /** x62 IVF-PQ + exact re-rank — the faiss `IndexIVFPQ` + refine
     * recipe, the form a production deployment actually serves: the
     * [[ivfPqTopK]] machinery produces a SHORTLIST per query from the
-    * 8 B/vector codes, then ONLY the shortlist's raw vectors are
+    * 4 B/vector packed codes, then ONLY the shortlist's raw vectors are
     * fetched and re-scored with exact cosines for the final top-k.
     *
     * Scale shape: everything x61 does, plus one broadcast of the

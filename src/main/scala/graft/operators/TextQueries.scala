@@ -2089,6 +2089,74 @@ object TextQueries {
       .orderBy("doc_id", "epoch")
   }
 
+  // ---- x64 sequence packing ------------------------------------------------
+
+  /** Tokens per packed training sequence (fixture-scaled; production
+    * runs use the model context, 2048–8192). */
+  private val SeqPackLen = 64
+
+  /** Independent packing shards. Sharding IS the scale story: each
+    * shard packs alone, so the running-total window never sees more
+    * than ~1/nShards of the corpus in one ordered partition. A 100 TB
+    * run sets this to its output-shard count (thousands). */
+  private val PackShards = 8
+
+  /** Salt for x64's deterministic shuffle key (distinct from
+    * [[MixCoinSalt]] so packing order and mixture coins decorrelate). */
+  private val PackSalt = "pack_"
+
+  /** x64 sequence packing — the concat-and-chunk step that turns kept
+    * documents into the fixed-length training sequences an LM consumes
+    * (GPT-2/3 pack documents back-to-back into context-length windows;
+    * T5 §2.2 "pack multiple ... into each entry"): documents are laid
+    * end-to-end in a deterministic pseudo-random order (a value-hashed
+    * shuffle — training-order randomization that both engines can
+    * reproduce), the token stream is cut every `seqLen` tokens, and
+    * each document reports which sequences it lands in and how many of
+    * its tokens each one holds (documents split across a boundary —
+    * the standard trade against padding waste).
+    *
+    * Distinct from x29 (which reports each doc's first/last sequence
+    * under WITHIN-SOURCE doc_id order — a per-doc summary of the
+    * as-ingested layout) in both the order and the grain: training
+    * wants documents SHUFFLED (consecutive same-source docs correlate
+    * batches), and downstream attribution/provenance wants the
+    * per-SEQUENCE manifest — one row per (doc, sequence) with the
+    * exact token allocation, the table that answers "which documents
+    * compose training sequence N and with how many tokens". Also
+    * distinct from x48 (shard assignment of whole docs, no order or
+    * splitting) and x63 (epoch copy counts — how OFTEN a doc appears,
+    * not where; a real pipeline runs x63 → this).
+    *
+    * Scale shape: one tokenize pass for counts (the text itself never
+    * moves — only (doc_id, n_tok) rows shuffle), one hash-partitioned
+    * running-total window per shard (each shard packs independently —
+    * the global-order cumsum that would serialize the corpus is
+    * exactly what the shard key removes), then a row-local explode of
+    * ≤ n_tok/seqLen+1 span rows per doc. Nothing corpus-global
+    * anywhere. */
+  def sequencePack(t: Tables, seqLen: Int = SeqPackLen,
+                   nShards: Int = PackShards): DataFrame = {
+    val keyed = graft.core.Fanout.widen(t.documents)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("shuf",
+        hash60(concat(lit(PackSalt), col("doc_id").cast("string"))))
+      .withColumn("shard", pmod(col("shuf"), lit(nShards.toLong)).cast("int"))
+    val w = Window.partitionBy("shard").orderBy("shuf", "doc_id")
+    graft.core.Fanout.widen(keyed)
+      .withColumn("endp", sum("n_tok").over(w))
+      .withColumn("startp", col("endp") - col("n_tok"))
+      // integer div, not floor(double /): exact at any cumsum magnitude
+      .select(col("doc_id"), col("shard"), col("startp"), col("endp"),
+        explode(sequence(expr(s"startp div $seqLen"),
+          expr(s"(endp - 1) div $seqLen"))).as("seq_id"))
+      .select(col("doc_id"), col("shard"), col("seq_id"),
+        (least(col("seq_id") * seqLen + seqLen, col("endp")) -
+          greatest(col("seq_id") * seqLen, col("startp"))).as("tok_in_seq"))
+      .orderBy("shard", "seq_id", "doc_id")
+  }
+
   // ---- x44 duplicate-span fraction ----------------------------------------
 
   /** Window width for the exact-substring duplication signal (Lee et
@@ -2699,6 +2767,7 @@ object TextQueries {
     "x57_consensus_neardup" -> (t => consensusNearDup(t)),
     "x58_quality_survivors" -> (t => qualitySurvivors(t)),
     "x63_mixture_materialize" -> (t => mixtureMaterialize(t)),
+    "x64_sequence_pack" -> (t => sequencePack(t)),
   )
 
   // ---- DuckDB oracles ----------------------------------------------------
@@ -3554,5 +3623,27 @@ object TextQueries {
       FROM (SELECT c.*, unnest(range(0, c.n_copies)) AS e
             FROM c WHERE c.n_copies > 0)
       ORDER BY doc_id, epoch""",
+    "x64_sequence_pack" -> s"""
+      WITH k AS (SELECT doc_id, n_tok,
+                   CAST('0x' || substr(md5(
+                     '$PackSalt' || CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) AS shuf
+                 FROM (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok
+                       FROM documents)
+                 WHERE n_tok > 0),
+      s AS (SELECT doc_id, n_tok, shuf,
+              CAST(shuf % $PackShards AS INT) AS shard FROM k),
+      c AS (SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY shuf, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS endp
+            FROM s),
+      sp AS (SELECT doc_id, shard, endp - n_tok AS startp, endp FROM c),
+      e AS (SELECT doc_id, shard, startp, endp,
+              unnest(range(startp // $SeqPackLen,
+                           (endp - 1) // $SeqPackLen + 1)) AS seq_id
+            FROM sp)
+      SELECT doc_id, shard, seq_id,
+        least(seq_id * $SeqPackLen + $SeqPackLen, endp) -
+          greatest(seq_id * $SeqPackLen, startp) AS tok_in_seq
+      FROM e ORDER BY shard, seq_id, doc_id""",
   )
 }

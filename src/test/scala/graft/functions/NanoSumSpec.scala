@@ -50,4 +50,64 @@ class NanoSumSpec extends SparkSpec {
     val neg = intercept[Exception](run(Seq(-1, 0)))
     assert(neg.getMessage != null || neg.getCause != null)
   }
+
+  // ---- graft_nano_sum_packed: the same fold over nibble-packed codes ----
+
+  test("packed fold equals the array fold for every nibble combination") {
+    val tab8 = Seq.tabulate(8)(i => Seq.tabulate(16)(c => (i * 100 + c).toLong))
+    val rng = new scala.util.Random(7)
+    val cases = Seq.fill(50)(Seq.fill(8)(rng.nextInt(16)))
+    val rows = cases.map { cs =>
+      val packed = cs.zipWithIndex.map { case (c, i) => c << (i * 4) }
+        .reduce(_ | _)
+      (tab8, cs, packed)
+    }
+    val out = rows.toDF("t", "c", "p")
+      .select(
+        call_function("graft_nano_sum", col("t"), col("c")).as("a"),
+        call_function("graft_nano_sum_packed", col("t"), col("p")).as("b"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("packed: interpreted eval matches planned path; top nibble (sign bit) reads back; null passes through") {
+    val tab8 = Seq.tabulate(8)(i => Seq.tabulate(16)(c => (i * 100 + c).toLong))
+    // code 15 in subspace 7 sets bits 28-31 -> negative int
+    val packed = (0 until 7).map(i => 1 << (i * 4)).reduce(_ | _) | (15 << 28)
+    assert(packed < 0)
+    val expected = (0 until 7).map(i => (i * 100 + 1).toLong).sum + 715L
+    val e = NanoSumPacked(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        tab8, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType))),
+      org.apache.spark.sql.catalyst.expressions.Literal(packed))
+    assert(e.eval(null) == expected)
+    val planned = Seq((tab8, packed)).toDF("t", "p")
+      .select(call_function("graft_nano_sum_packed", col("t"), col("p")))
+      .collect()(0).getLong(0)
+    assert(planned == expected)
+    val nulls = Seq((Option.empty[Seq[Seq[Long]]], 0)).toDF("t", "p")
+      .select(call_function("graft_nano_sum_packed", col("t"), col("p")))
+      .collect()(0)
+    assert(nulls.isNullAt(0))
+  }
+
+  test("packed: >8 subspaces and out-of-range nibbles fail loudly") {
+    val tab9 = Seq.tabulate(9)(i => Seq.tabulate(16)(c => (i + c).toLong))
+    val nine = intercept[Exception] {
+      Seq((tab9, 0)).toDF("t", "p")
+        .select(call_function("graft_nano_sum_packed", col("t"), col("p")))
+        .collect()
+    }
+    assert(nine.getMessage != null || nine.getCause != null)
+    // subtable shorter than the nibble's value
+    val short = Seq(Seq(1L, 2L))
+    val oob = intercept[Exception] {
+      Seq((short, 3)).toDF("t", "p")
+        .select(call_function("graft_nano_sum_packed", col("t"), col("p")))
+        .collect()
+    }
+    assert(oob.getMessage != null || oob.getCause != null)
+  }
 }

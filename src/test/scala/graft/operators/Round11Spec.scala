@@ -185,4 +185,48 @@ class Round11Spec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(viaLoaded == direct)
   }
+
+  // ---- x64 sequence packing -----------------------------------------------
+
+  test("x64: spans equal an independent hand computation; sequences fill to seqLen; token totals conserve") {
+    // token counts chosen to cross the 64-token boundary in every way:
+    // exact fit (64), spans >2 sequences (150), boundary straddle (30,
+    // 50), and a 1-token doc; doc 99 is empty (0 tokens -> excluded)
+    val counts = Seq(0L -> 150, 1L -> 64, 2L -> 30, 3L -> 50, 4L -> 1,
+      5L -> 70, 6L -> 40, 7L -> 25, 8L -> 100, 9L -> 63)
+    val rows = counts.map { case (id, n) =>
+      (id, (1 to n).map(i => s"w$i").mkString(" "), "src0")
+    } :+ ((99L, "", "src0"))
+    val t = Tables(spark, docsDir(rows))
+    val got = TextQueries.sequencePack(t, seqLen = 64, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+
+    // independent reimplementation: spec-local md5 hash60, Scala cumsum
+    val keyed = counts.map { case (id, n) =>
+      val shuf = hash60(s"pack_$id")
+      (id, n.toLong, shuf, (shuf % 8).toInt)
+    }
+    val expected = keyed.groupBy(_._4).toSeq.flatMap { case (shard, ds) =>
+      var cum = 0L
+      ds.sortBy(d => (d._3, d._1)).flatMap { case (id, n, _, _) =>
+        val start = cum; cum += n
+        (start / 64 to (cum - 1) / 64).map { seq =>
+          (id, shard, seq,
+            math.min(seq * 64 + 64, cum) - math.max(seq * 64, start))
+        }
+      }
+    }.sortBy(x => (x._2, x._3, x._1))
+    assert(got.toSeq == expected)
+    assert(!got.exists(_._1 == 99L), "0-token doc must not emit spans")
+    // conservation: every doc's span tokens sum to its token count
+    val perDoc = got.groupBy(_._1).map { case (id, ss) => id -> ss.map(_._4).sum }
+    counts.foreach { case (id, n) => assert(perDoc(id) == n.toLong) }
+    // every sequence except each shard's last holds exactly seqLen tokens
+    val lastSeq = got.groupBy(_._2).map { case (sh, ss) => sh -> ss.map(_._3).max }
+    got.groupBy(x => (x._2, x._3)).foreach { case ((sh, seq), ss) =>
+      if (seq != lastSeq(sh)) assert(ss.map(_._4).sum == 64L,
+        s"shard $sh seq $seq underfilled")
+    }
+  }
 }

@@ -95,15 +95,21 @@ class SimilaritySpec extends SparkSpec {
     val rrDirect = Similarity.ivfPqRerankTopK(t).collect().map(_.toSeq).toSeq
     val index = Similarity.buildPqIndex(t)
     try {
-      // index shape: one narrow row per vector, codes in [0, PqKsub)
+      // index shape: one narrow row per vector, the 8 subspace codes
+      // nibble-packed into one int, every nibble in [0, PqKsub)
       assert(index.codes.columns.toSeq ==
-        Seq("vec_id", "cell", "codes", "rn2"))
-      val codeRows = index.codes.select("codes").collect()
+        Seq("vec_id", "cell", "packed", "rn2"))
+      assert(index.codes.schema("packed").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      val codeRows = index.codes.select("packed").collect()
       assert(codeRows.nonEmpty)
       codeRows.foreach { r =>
-        val cs = r.getSeq[Int](0)
-        assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16))
+        val packed = r.getInt(0)
+        val cs = (0 until 8).map(i => (packed >>> (i * 4)) & 0xF)
+        assert(cs.forall(c => c >= 0 && c < 16))
       }
+      // the packed nibbles are real codes, not degenerate zeros
+      assert(codeRows.map(_.getInt(0)).distinct.length > 1)
       val q = t.embeddings.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val viaIdx = Similarity.pqQuery(index, q)
@@ -165,6 +171,82 @@ class SimilaritySpec extends SparkSpec {
           .collect().map(_.toSeq).toSeq == rrBuilt)
       } finally loaded.release()
     } finally built.release()
+  }
+
+  test("absorbDelta(IvfIndex): frozen-state assignment, old rows untouched, chunked == one-shot") {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val idx = Similarity.buildIvfIndexFrom(base, tag = "absorb-base")
+    try {
+      val one = Similarity.absorbDelta(idx, delta)
+      try {
+        // old rows bit-identical, centroids untouched, count = old + delta
+        val oldRows = idx.assigned.collect().map(_.toSeq).toSet
+        val absorbed = one.assigned.collect().map(_.toSeq).toSet
+        assert(oldRows.subsetOf(absorbed))
+        assert(absorbed.size == oldRows.size + delta.count())
+        assert(one.centroids eq idx.centroids)
+        // a query equal to an absorbed vector finds it at exact cos 1
+        val dRow = delta.orderBy("vec_id").limit(1).collect()(0)
+        val q = Seq((dRow.getLong(0), dRow.getSeq[Float](1).toArray))
+          .toDF("qid", "qe")
+        val hits = Similarity.ivfQuery(one, q, k = 3, nprobe = 4).collect()
+        assert(hits.nonEmpty)
+        // self is excluded by vec_id; plant a distinct query id instead
+        val q2 = Seq((-1L, dRow.getSeq[Float](1).toArray)).toDF("qid", "qe")
+        val top = Similarity.ivfQuery(one, q2, k = 1, nprobe = 4).collect()(0)
+        assert(top.getLong(1) == dRow.getLong(0) &&
+          top.getDouble(2) == 1.0)
+        // absorbing in two chunks lands on the same table
+        val d1 = delta.filter(col("vec_id") % 2 === 0)
+        val d2 = delta.filter(col("vec_id") % 2 =!= 0)
+        val twoA = Similarity.absorbDelta(idx, d1)
+        val two = Similarity.absorbDelta(twoA, d2)
+        try assert(two.assigned.collect().map(_.toSeq).toSet == absorbed)
+        finally { two.release(); twoA.release() }
+      } finally one.release()
+    } finally idx.release()
+  }
+
+  test("absorbDelta(PqIndex): frozen books+centroids encode, rerank finds absorbed vectors, empty refused") {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val idx = Similarity.buildPqIndexFrom(base, tag = "absorb-base-pq")
+    try {
+      val one = Similarity.absorbDelta(idx, delta)
+      try {
+        val oldRows = idx.codes.collect().map(_.toSeq).toSet
+        val absorbed = one.codes.collect().map(_.toSeq).toSet
+        assert(oldRows.subsetOf(absorbed))
+        assert(absorbed.size == oldRows.size + delta.count())
+        assert((one.books eq idx.books) && (one.centroids eq idx.centroids))
+        // exact re-rank over the grown raw frame finds the absorbed
+        // vector at cosine 1 for an identical query
+        val dRow = delta.orderBy("vec_id").limit(1).collect()(0)
+        val q = Seq((-1L, dRow.getSeq[Float](1).toArray)).toDF("qid", "qe")
+        val top = Similarity.pqQuery(one, q, k = 1, nprobe = 4,
+          rerankShortlist = 50).collect()(0)
+        assert(top.getLong(1) == dRow.getLong(0) && top.getDouble(2) == 1.0)
+        // chunked == one-shot
+        val d1 = delta.filter(col("vec_id") % 2 === 0)
+        val d2 = delta.filter(col("vec_id") % 2 =!= 0)
+        val twoA = Similarity.absorbDelta(idx, d1)
+        val two = Similarity.absorbDelta(twoA, d2)
+        try assert(two.codes.collect().map(_.toSeq).toSet == absorbed)
+        finally { two.release(); twoA.release() }
+      } finally one.release()
+    } finally idx.release()
+    val emptyIdx = Similarity.buildPqIndexFrom(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"))
+    val ex = intercept[IllegalArgumentException](
+      Similarity.absorbDelta(emptyIdx, delta))
+    assert(ex.getMessage.contains("empty PqIndex"))
   }
 
   test("PQ index over an empty corpus: empty results with the declared schemas, no crash") {
