@@ -10,16 +10,17 @@ import org.apache.spark.sql.types._
   * packed 4 bits each into ONE int instead of an `array<int>` column:
   * nibble i (bits [4i, 4i+4)) is subspace i's code.
   *
-  * Why packing (round-11 ANN soak): the parquet PQ-index artifact
-  * measured 12.3% of corpus bytes at 10M vectors — the `array<int>`
-  * codes column dominates it (8 four-byte elements plus repetition
-  * levels per vector for what is semantically 32 bits). With
-  * PqKsub = 16 the 8 codes fit one INT exactly; the scoring fold
-  * reads them back with a shift+mask instead of an array access, so
-  * the hot ADC scan touches 4 B of code data per candidate and the
-  * persisted index drops ~4×. Semantics are identical to NanoSum over
-  * the unpacked array — terms are pre-rounded nano-unit longs, the
-  * sum is exact and order-independent.
+  * Why packing (round-11 ANN soak, measured at 10M vectors): the win
+  * is the SCAN, not the disk — parquet already bit-packs a
+  * low-cardinality int array, so the on-disk codes column was ~40 MB
+  * either way; but the in-memory scan row drops from an
+  * UnsafeArrayData (16 B header + 8 elements) to one 4 B int and the
+  * fold reads each code by shift+mask instead of an array access.
+  * Measured: x61/x62 sf0.1 walls 0.73×/0.67×, the 10M encode pass
+  * 224→174 s. With PqKsub = 16 the 8 codes fit one INT exactly.
+  * Semantics are identical to NanoSum over the unpacked array — terms
+  * are pre-rounded nano-unit longs, the sum is exact and
+  * order-independent.
   *
   * Same loud-failure contract as NanoSum (ADVICE r10): at most 8
   * subspaces can live in 32 bits, and every nibble must index inside

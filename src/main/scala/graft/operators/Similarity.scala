@@ -934,30 +934,49 @@ object Similarity {
       .setScale(9, java.math.RoundingMode.HALF_UP)
       .movePointRight(9).longValueExact()
 
-  /** The corpus-side PQ index table: (vec_id[, cell], packed, rn2) —
-    * the 8 subspace codes packed 4 bits each into ONE int (nibble i =
-    * code i; PqKsub = 16 makes the 8 codes exactly 32 bits) plus the
-    * PQ-reconstruction norm² Σ round(|books(i)(c_i)|², 9), folded in
-    * exact nano units ([[roundNano]]) from a pre-rounded literal. rn2
-    * is a function of the CODES alone, so it belongs on the
-    * 1-row-per-vector index table, not the per-candidate scoring row.
-    * Packing (round-11 ANN soak finding): the `array<int>` form's
-    * parquet artifact ran 12.3% of corpus bytes at 10M vectors — the
-    * array column (8 four-byte elements + repetition levels) dominated
-    * it for what is semantically 32 bits; one INT cuts the artifact
-    * ~4× and the hot ADC fold reads codes by shift+mask instead of
-    * array access. */
-  private def pqCodesWithRn2(emb: DataFrame,
-                             books: Array[Array[Array[Double]]]): DataFrame = {
-    val normNano = typedLit(
-      books.map(_.map(c => roundNano(c.map(x => x * x).sum)).toSeq).toSeq)
+  /** The corpus-side PQ index table: (vec_id[, cell], packed) — the 8
+    * subspace codes packed 4 bits each into ONE int (nibble i = code
+    * i; PqKsub = 16 makes the 8 codes exactly 32 bits). The
+    * reconstruction norm² is NOT materialized: it is a pure function
+    * of the codes and the bounded codebook literal, so [[adcCosRaw]]
+    * derives it per candidate at scoring time (8 long adds against a
+    * broadcast literal — the same fold as the ADC numerator) instead
+    * of the index carrying a high-entropy double per vector.
+    *
+    * Why this layout (round-11 10M soak, column-level breakdown of the
+    * 184 MB array-form artifact): rn2 was 80 MB (44%, incompressible
+    * doubles), vec_id 49 MB, codes 40 MB, cell 13 MB. Nibble-packing
+    * alone did NOT shrink the disk artifact — parquet already
+    * bit-packs a low-cardinality int array — but it cuts the
+    * in-memory scan row (one 4 B int vs an UnsafeArrayData header + 8
+    * elements) and lets the hot ADC fold read codes by shift+mask:
+    * the sf0.1 x61/x62 walls dropped 0.73×/0.67× and the 10M build
+    * 224→174 s. Dropping rn2 is what actually shrinks the artifact:
+    * 184→~102 MB (12.3%→~7% of corpus bytes). */
+  private def pqCodes(emb: DataFrame,
+                      books: Array[Array[Array[Double]]]): DataFrame =
     emb
       .withColumn("packed",
         (0 until PqM).map(i => shiftleft(pqCodeCol(i, books(i)), 4 * i))
           .reduce(_.bitwiseOR(_)))
-      .withColumn("rn2", nanoSum(normNano).cast("double") / lit(1e9))
       .drop("embedding")
-  }
+
+  /** [[pqCodes]] plus the derived rn2 — the IN-MEMORY index form.
+    * rn2 is per VECTOR, so deriving it once here (instead of inside
+    * [[adcCosRaw]], which runs per (query, candidate) PAIR) keeps the
+    * scoring fold at 8 adds per pair; the 10M probe measured the
+    * per-pair form at 2.2× the scan wall for a 10-query batch. */
+  private def pqCodesWithRn2(emb: DataFrame,
+                             books: Array[Array[Array[Double]]]): DataFrame =
+    pqCodes(emb, books).withColumn("rn2",
+      nanoSum(normNanoLit(books)).cast("double") / lit(1e9))
+
+  /** The pre-rounded nano-unit per-(subspace, code) reconstruction
+    * norm² table for [[adcCosRaw]]'s derived rn2 — bounded
+    * (PqM × PqKsub), a literal in the plan. */
+  private def normNanoLit(books: Array[Array[Array[Double]]]): Column =
+    typedLit(
+      books.map(_.map(c => roundNano(c.map(x => x * x).sum)).toSeq).toSeq)
 
   /** Σ_i table(i)(nibble_i(packed)) — the ADC fold as ONE expression
     * over the packed codes int. Native
@@ -974,7 +993,7 @@ object Similarity {
         shiftrightunsigned(col("packed"), 4 * i).bitwiseAND(lit(15)) + 1))
       .reduce(_ + _)
 
-  /** The ADC cosine of a (packed, rn2, lut, qn2) row: the query-side
+  /** The ADC cosine of a (packed, lut, qn2) row: the query-side
     * numerator fold — 8 pre-rounded nano-unit LUT lookups summed as
     * longs (see [[roundNano]]) — over the precomputed reconstruction
     * norm². `lut` carries nano longs ([[pqLutFrame]]). */
@@ -1009,7 +1028,7 @@ object Similarity {
   }
 
   /** A built IVF-PQ index: trained coarse centroids + PQ codebooks +
-    * the persisted codes table `(vec_id, cell, packed, rn2)` — 4 B of
+    * the persisted codes table `(vec_id, cell, packed)` — 4 B of
     * packed codes per vector, ~1-3% of raw corpus bytes — plus the raw source
     * frame for optional exact re-rank. The build-once/query-many form
     * of [[ivfPqTopK]]/[[ivfPqRerankTopK]] (which are now exactly
@@ -1034,7 +1053,7 @@ object Similarity {
   /** Build the IVF-PQ index over the embeddings table once: coarse
     * quantizer (identical training to x14 — same QuantKey snapshot),
     * PQ codebooks (identical to x60 — same PqKey snapshot), then ONE
-    * narrow corpus pass emitting cell + the packed [[PqM]]-nibble codes int + rn2 per
+    * narrow corpus pass emitting cell + the packed [[PqM]]-nibble codes int per
     * vector, persisted. */
   def buildPqIndex(t: Tables, nlist: Int = GateNlist, seed: Long = GateSeed,
                    maxTrain: Int = GateMaxTrain): PqIndex =
@@ -1071,12 +1090,17 @@ object Similarity {
     * sessions (the in-memory index dies with the SparkSession; a
     * 100 TB encode pass must not re-run per session). Parquet for
     * both parts so the index stays readable by any engine, splittable,
-    * and free of JVM serialization coupling. */
+    * and free of JVM serialization coupling. The derived rn2 column is
+    * NOT written — it is a function of (packed, books) and dominated
+    * the array-form artifact (80 of 184 MB at 10M: incompressible
+    * doubles); [[loadPqIndex]] re-derives it in one projection. The
+    * slim (vec_id, cell, packed) artifact measured 103 MB at 10M —
+    * ~7% of corpus bytes. */
   def savePqIndex(index: PqIndex, path: String): Unit = {
     require(!index.isEmpty, "cannot save an empty PqIndex")
     val spark = index.codes.sparkSession
     import spark.implicits._
-    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    index.codes.drop("rn2").write.mode("overwrite").parquet(s"$path/codes")
     Seq((index.centroids.map(_.toSeq).toSeq,
         index.books.map(_.map(_.toSeq).toSeq).toSeq))
       .toDF("centroids", "books")
@@ -1098,8 +1122,12 @@ object Similarity {
       m.fieldIndex("centroids")).map(_.toArray).toArray
     val books = m.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](
       m.fieldIndex("books")).map(_.map(_.toArray).toArray).toArray
+    // re-derive the per-vector rn2 the artifact elides (one bounded
+    // projection against the codebook literal, paid once at load)
     PqIndex(
       spark.read.parquet(s"$path/codes")
+        .withColumn("rn2",
+          nanoSum(normNanoLit(books)).cast("double") / lit(1e9))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       raw, centroids, books)
   }
@@ -1129,7 +1157,8 @@ object Similarity {
       index.centroids, index.books)
   }
 
-  /** Empty `(vec_id, cell, packed, rn2)` frame with the index schema. */
+  /** Empty `(vec_id, cell, packed, rn2)` frame — the in-memory index
+    * schema. */
   private def emptyCodesFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
     spark.createDataFrame(

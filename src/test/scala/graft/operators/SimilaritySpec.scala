@@ -158,6 +158,9 @@ class SimilaritySpec extends SparkSpec {
       val rrBuilt = Similarity.pqQuery(built, q, rerankShortlist = 50)
         .collect().map(_.toSeq).toSeq
       Similarity.savePqIndex(built, dir)
+      // the artifact elides the derived rn2 (it re-derives on load)
+      assert(spark.read.parquet(s"$dir/codes").columns.toSeq ==
+        Seq("vec_id", "cell", "packed"))
       val loaded = Similarity.loadPqIndex(spark, dir,
         t.embeddings.select(col("vec_id"), col("embedding")))
       try {
