@@ -1115,13 +1115,7 @@ object Similarity {
     * release, exactly like [[buildPqIndex]]. */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                   raw: DataFrame): PqIndex = {
-    val m = spark.read.parquet(s"$path/model").collect()(0)
-    // inner elements come back as mutable ArraySeqs — type the getSeq
-    // at collection.Seq or the .map blows up on the immutable upcast
-    val centroids = m.getSeq[scala.collection.Seq[Double]](
-      m.fieldIndex("centroids")).map(_.toArray).toArray
-    val books = m.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](
-      m.fieldIndex("books")).map(_.map(_.toArray).toArray).toArray
+    val (centroids, books) = loadPqModel(spark, path)
     // re-derive the per-vector rn2 the artifact elides (one bounded
     // projection against the codebook literal, paid once at load)
     PqIndex(
@@ -1130,6 +1124,39 @@ object Similarity {
           nanoSum(normNanoLit(books)).cast("double") / lit(1e9))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       raw, centroids, books)
+  }
+
+  /** The trained-state half of a [[savePqIndex]] artifact. */
+  private def loadPqModel(spark: org.apache.spark.sql.SparkSession,
+                          path: String)
+  : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val m = spark.read.parquet(s"$path/model").collect()(0)
+    // inner elements come back as mutable ArraySeqs — type the getSeq
+    // at collection.Seq or the .map blows up on the immutable upcast
+    val centroids = m.getSeq[scala.collection.Seq[Double]](
+      m.fieldIndex("centroids")).map(_.toArray).toArray
+    val books = m.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](
+      m.fieldIndex("books")).map(_.map(_.toArray).toArray).toArray
+    (centroids, books)
+  }
+
+  /** Append a delta's codes to a SAVED PqIndex artifact — the at-scale
+    * companion of [[absorbDelta]]: the in-memory absorb's union
+    * persist copies all n rows into fresh storage (measured at 10M:
+    * the 1M fold's wall is the union persist, not the encode), where
+    * this writes ONLY the delta's `(vec_id, cell, packed)` rows as
+    * appended parquet files under `path/codes` — the artifact grows by
+    * O(delta) bytes and the corpus codes are never rewritten. Encoding
+    * uses the artifact's frozen models (same contract as absorbDelta).
+    * Returns the reloaded index over `raw` (the caller's grown corpus
+    * frame, for exact re-rank). */
+  def appendPqDelta(spark: org.apache.spark.sql.SparkSession, path: String,
+                    delta: DataFrame, raw: DataFrame): PqIndex = {
+    val (centroids, books) = loadPqModel(spark, path)
+    pqCodes(assignCells(delta.select(col("vec_id"), col("embedding")),
+        centroids), books)
+      .write.mode("append").parquet(s"$path/codes")
+    loadPqIndex(spark, path, raw)
   }
 
   /** Fold a `(vec_id, embedding)` delta into a built [[PqIndex]] —

@@ -289,6 +289,47 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 
+  test("no index-build stage exceeds the JVM JIT bytecode limit either") {
+    // The query sweep above only sees each gate's RETURNED plan; the
+    // build-once index encodes (PqIndex, IvfIndex, DedupIndex) persist
+    // a SEPARATE plan the sweep never visits — found in round 11 while
+    // chasing a 10M build-wall swing (the swing was host noise, but the
+    // blind spot was real: an encode stage past the cliff would run
+    // every index build interpreted with no artifact showing it).
+    // InMemoryTableScan hides the cached plan from codegenString, so
+    // measure relation.cachedPlan directly.
+    val sizeRe = "maxMethodCodeSize:(\\d+)".r
+    val prior = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val tt = graft.core.Tables(spark, "/root/testdata/sf0.001")
+      val pq = Similarity.buildPqIndex(tt)
+      val ivf = Similarity.buildIvfIndex(tt)
+      val dedup = TextQueries.buildDedupIndex(tt.documents)
+      val builds = Seq(
+        "pq.codes" -> pq.codes, "ivf.assigned" -> ivf.assigned,
+        "dedup.fp" -> dedup.fp, "dedup.bands" -> dedup.bands)
+      try {
+        val offenders = builds.flatMap { case (name, df) =>
+          val cached = df.queryExecution.executedPlan.collect {
+            case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              s.relation.cachedPlan
+          }
+          assert(cached.nonEmpty, s"$name: no InMemoryRelation — not persisted?")
+          cached.flatMap { p =>
+            val cg = org.apache.spark.sql.execution.debug.codegenString(p)
+            val max = sizeRe.findAllMatchIn(cg).map(_.group(1).toInt)
+              .foldLeft(0)(math.max)
+            if (max > 8000) Some(s"$name: $max") else None
+          }
+        }
+        assert(offenders.isEmpty, s"index-build stages past the JIT limit: $offenders")
+      } finally {
+        pq.release(); ivf.release(); dedup.fp.unpersist(); dedup.bands.unpersist()
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
   test("q37: JSON path extraction stays codegen'd, no UDF node") {
     val p = plan(StarQueries.q37(t))
     assert(p.contains("get_json_object") && !p.contains("BatchEvalPython"), p.take(2000))

@@ -252,6 +252,36 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("empty PqIndex"))
   }
 
+  test("appendPqDelta: artifact grows by the delta only; reloaded answers == in-memory absorb") {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    val grownRaw = base.unionByName(delta)
+    val dir = java.nio.file.Files.createTempDirectory("pqappend").toString
+    val built = Similarity.buildPqIndexFrom(base, tag = "append-base")
+    try {
+      Similarity.savePqIndex(built, dir)
+      val absorbed = Similarity.absorbDelta(built, delta)
+      try {
+        val appended = Similarity.appendPqDelta(spark, dir, delta, grownRaw)
+        try {
+          assert(appended.codes.count() == absorbed.codes.count())
+          assert(appended.codes.collect().map(_.toSeq).toSet ==
+            absorbed.codes.collect().map(_.toSeq).toSet)
+          val q = delta.orderBy("vec_id").limit(1).collect()(0)
+          val qd = Seq((-1L, q.getSeq[Float](1).toArray)).toDF("qid", "qe")
+          val a = Similarity.pqQuery(absorbed, qd, k = 5, nprobe = 4,
+            rerankShortlist = 50).collect().map(_.toSeq).toSeq
+          val b = Similarity.pqQuery(appended, qd, k = 5, nprobe = 4,
+            rerankShortlist = 50).collect().map(_.toSeq).toSeq
+          assert(a == b)
+        } finally appended.release()
+      } finally absorbed.release()
+    } finally built.release()
+  }
+
   test("PQ index over an empty corpus: empty results with the declared schemas, no crash") {
     val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val index = Similarity.buildPqIndexFrom(emptyEmb)
