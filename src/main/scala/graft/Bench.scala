@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** One timed repetition with its trust metadata (r11 verdict item 1:
+    * BENCH_r11's headline was 2.3x inflated by box contention and the
+    * artifact recorded NOTHING that let a reader prove it — the
+    * committed 146.5 s vs an idle-box 81.5 s). `at` is the rep's
+    * wall-clock start (epoch ms), `gcMs` the JVM GC time spent inside
+    * the rep, `load1` the host 1-min load average at rep start: a
+    * 25-47 s outlier rep of a sub-second plan now carries its own
+    * evidence (load1 >> cpus, or gcMs ~ wall) instead of reading as an
+    * engine regression. */
+  private final case class Rep(sec: Double, at: Long, gcMs: Long, load1: Double)
+
+  private def loadAvg(): Seq[Double] =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")
+      .take(3).map(_.toDouble).toSeq
+    catch { case _: Throwable => Seq(-1.0, -1.0, -1.0) }
+
+  private def gcTime(): Long = {
+    val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    var s = 0L; val it = beans.iterator()
+    while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) s += t }
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,6 +35,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadAvg()
     // warm-up: JIT/codegen/session init and first-touch parquet footer
     // reads priced outside the timings — one cheap query per table
     // family (star joins, part regex, lineitem scan, documents text,
@@ -37,15 +62,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                n: Int): Seq[Double] =
+                n: Int): Seq[Rep] =
       (0 until n).map { _ =>
         // x19/x30 persist their shared tokenization internally; drop it
         // between reps so every rep pays the full build (cached repeats
         // would fake a ~3x speedup on exactly the slowest queries)
         spark.catalog.clearCache()
+        val l1 = loadAvg().head
+        val gc0 = gcTime()
+        val at = System.currentTimeMillis()
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        Rep((System.nanoTime() - t0) / 1e9, at, gcTime() - gc0, l1)
       }
     // one UNTIMED warmup execution per query before its timed reps:
     // the session-level warmup above prices table first-touch out, but
@@ -57,7 +85,7 @@ object Bench {
     // caching stays priced in; only the JIT/codegen cache persists —
     // which is exactly what the warmup is for.
     def measureWarm(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                    n: Int): Seq[Double] = {
+                    n: Int): Seq[Rep] = {
       spark.catalog.clearCache()
       try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       measure(fn, n)
@@ -70,18 +98,30 @@ object Bench {
     // regression calls — 5 samples + the raw arrays below let the
     // next verdict compare min-of-reps instead of noisy medians)
     val worst10 = firstPass
-      .sortBy { case (_, ts) => -ts.sorted.apply(ts.length / 2) }
+      .sortBy { case (_, rs) =>
+        val ts = rs.map(_.sec).sorted; -ts(ts.length / 2) }
       .take(10).map(_._1).toSet
     val fnByName = queryFns.toMap
-    val allTimes = firstPass.map { case (name, ts0) =>
-      val ts = if (worst10(name)) ts0 ++ measure(fnByName(name), 2) else ts0
-      name -> ts.sorted
+    val allReps = firstPass.map { case (name, rs0) =>
+      name -> (if (worst10(name)) rs0 ++ measure(fnByName(name), 2) else rs0)
     }
+    val allTimes = allReps.map { case (name, rs) => name -> rs.map(_.sec).sorted }
     val results = allTimes.map { case (name, ts) =>
       name -> (ts(ts.length / 2), ts.last - ts.head)
     }
+    // a rep >3x its query's own min is flagged CONTENDED: an unchanged
+    // sub-second plan does not take 25-47 s on an idle box (BENCH_r11's
+    // x63 sorted reps ran 0.65/0.98/7.9/26.0/40.8 under driver-side
+    // load) — the flag makes the artifact self-adjudicating
+    val contended = allReps.flatMap { case (name, rs) =>
+      val mn = rs.map(_.sec).min
+      val n = rs.count(_.sec > 3 * math.max(mn, 0.05))
+      if (n > 0) Some(name -> n) else None
+    }
     def json(kv: Seq[(String, Double)]) =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = json(results.map { case (k, (med, _)) => k -> med })
     val spread = json(results.map { case (k, (_, sp)) => k -> sp })
     val total = results.map(_._2._1).sum
@@ -92,11 +132,11 @@ object Bench {
     // The compact per_query line below is the tail-safe median record.
     val note = "queries=medians,spread=max-min; r10+: one untimed " +
       "warmup exec per query prices its codegen compile out of rep 1 " +
-      "(data caches still cleared before every timed rep)"
+      "(data caches still cleared before every timed rep); r12+: " +
+      "rep_meta carries per-rep start epoch-ms, GC ms and host load1, " +
+      "contended flags reps >3x their query's min"
     def repsJson(names: Seq[String]) = names.map { k =>
-      "\"" + k + "\":[" + allTimes.toMap.apply(k)
-        .map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
-        .mkString(",") + "]"
+      "\"" + k + "\":[" + allTimes.toMap.apply(k).map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val worstNames = results.sortBy(-_._2._1).take(10).map(_._1)
     // min-of-reps is the regression-call statistic for the worst-10
@@ -106,10 +146,19 @@ object Bench {
     // total_summary line so every BENCH_r{N}.json carries it.
     def minJson(names: Seq[String], shortIds: Boolean) = names.map { k =>
       "\"" + (if (shortIds) k.takeWhile(_ != '_') else k) + "\":" +
-        String.format(java.util.Locale.ROOT, "%.3f",
-          Double.box(allTimes.toMap.apply(k).head))
+        fmt(allTimes.toMap.apply(k).head)
     }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop_write","note":"$note","queries":$qs,"spread":$spread,"rep_samples":${repsJson(worstNames)},"min_of_reps":${minJson(worstNames, shortIds = false)},"sf":"$sfDir","reps":$reps}"""
+    // full per-rep trust metadata, run order preserved (NOT sorted):
+    // each rep is [sec, start_epoch_ms, gc_ms, load1_at_start]
+    val repMeta = allReps.map { case (k, rs) =>
+      "\"" + k + "\":[" + rs.map(r =>
+        s"[${fmt(r.sec)},${r.at},${r.gcMs},${fmt(r.load1)}]").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val contendedJson = contended.map { case (k, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val loadEnd = loadAvg()
+    def loadJson(l: Seq[Double]) = l.map(fmt).mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop_write","note":"$note","queries":$qs,"spread":$spread,"rep_samples":${repsJson(worstNames)},"min_of_reps":${minJson(worstNames, shortIds = false)},"rep_meta":$repMeta,"contended":$contendedJson,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"cpus":$cpus,"sf":"$sfDir","reps":$reps}"""
     println(full)
     // the full per-query JSON also lands on disk: stdout goes through
     // sbt's logger, whose "[info] " prefix keeps any line from parsing
@@ -129,22 +178,22 @@ object Bench {
     val compact = results.map { case (k, (med, _)) =>
       // Locale.ROOT: the f-interpolator is locale-sensitive and a comma
       // decimal separator would break the JSON
-      s"\"${k.takeWhile(_ != '_')}\":" + String.format(
-        java.util.Locale.ROOT, "%.3f", Double.box(med))
+      s"\"${k.takeWhile(_ != '_')}\":" + fmt(med)
     }.mkString("{", ",", "}")
     // raw 5-rep sample arrays for the worst-10 (shortened ids, 3 dp)
     // BEFORE per_query, so a tight tail truncates the samples' head
     // rather than the medians or the totals
     val compactReps = worstNames.map { k =>
-      "\"" + k.takeWhile(_ != '_') + "\":[" + allTimes.toMap.apply(k)
-        .map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
-        .mkString(",") + "]"
+      "\"" + k.takeWhile(_ != '_') + "\":[" +
+        allTimes.toMap.apply(k).map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"worst10_reps","unit":"sec","queries":$compactReps,"sf":"$sfDir"}""")
     println(s"""{"metric":"per_query","unit":"sec","queries":$compact,"sf":"$sfDir","reps":$reps}""")
     val worst = json(results.sortBy(-_._2._1).take(5)
       .map { case (k, (med, _)) => k -> med })
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${results.length},"worst5":$worst,"min_of_reps":${minJson(worstNames, shortIds = true)},"sf":"$sfDir","reps":$reps}""")
+    val contendedCompact = contended.map { case (k, n) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + n }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${results.length},"worst5":$worst,"min_of_reps":${minJson(worstNames, shortIds = true)},"contended":$contendedCompact,"load1_start":${fmt(loadStart.head)},"load1_end":${fmt(loadEnd.head)},"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

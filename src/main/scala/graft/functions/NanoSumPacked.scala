@@ -61,6 +61,15 @@ object NanoSumPacked {
     if (n > 8)
       throw new IllegalArgumentException(
         s"graft_nano_sum_packed: $n subspaces cannot pack into 32 bits (max 8)")
+    // loud-failure contract (ADVICE r11): with fewer than 8 subtables a
+    // non-zero nibble ABOVE the table length is a table/codes length
+    // mismatch, the exact condition NanoSum rejects on the array form —
+    // silence here would quietly drop subspace terms for foreign SQL
+    // input (unreachable in-repo: PqM = 8 fills the int exactly)
+    if (n < 8 && (packed >>> (4 * n)) != 0)
+      throw new IllegalArgumentException(
+        s"graft_nano_sum_packed: packed codes carry ${8 - n} nibble(s) above " +
+          s"the $n-subtable lookup table (high bits 0x${(packed >>> (4 * n)).toHexString})")
     var s = 0L
     var i = 0
     while (i < n) {

@@ -1095,16 +1095,90 @@ object Similarity {
     * the array-form artifact (80 of 184 MB at 10M: incompressible
     * doubles); [[loadPqIndex]] re-derives it in one projection. The
     * slim (vec_id, cell, packed) artifact measured 103 MB at 10M —
-    * ~7% of corpus bytes. */
+    * ~7% of corpus bytes.
+    *
+    * The model row carries `format_version` = [[PqFormatVersion]]
+    * (ADVICE r11): the artifact layout changed once already (array
+    * codes + stored rn2 → packed codes, rn2 elided) and a version-less
+    * pre-change artifact failed deep inside the rn2 re-derivation with
+    * an opaque unresolved-column error — [[loadPqIndex]] now refuses a
+    * versionless or future-versioned artifact with an explicit
+    * "rebuild with savePqIndex" message instead. Any stale `deltas/`
+    * batches from a previous artifact at the same path are cleared —
+    * they encode against the OLD trained state. */
   def savePqIndex(index: PqIndex, path: String): Unit = {
     require(!index.isEmpty, "cannot save an empty PqIndex")
     val spark = index.codes.sparkSession
     import spark.implicits._
+    val deltas = new org.apache.hadoop.fs.Path(s"$path/deltas")
+    val fs = deltas.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(deltas)) fs.delete(deltas, true)
     index.codes.drop("rn2").write.mode("overwrite").parquet(s"$path/codes")
-    Seq((index.centroids.map(_.toSeq).toSeq,
+    Seq((PqFormatVersion,
+        index.centroids.map(_.toSeq).toSeq,
         index.books.map(_.map(_.toSeq).toSeq).toSeq))
-      .toDF("centroids", "books")
+      .toDF("format_version", "centroids", "books")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  /** Write the raw corpus under the artifact, CO-DESIGNED with
+    * [[pqQuery]]'s exact re-rank: every vector tagged with its coarse
+    * cell, hive-partitioned by `cell` (one directory per cell, one
+    * file per cell within a writer task) and sorted by `vec_id`
+    * within. The re-rank shortlist only ever contains vectors from the
+    * PROBED cells, so the fetch's probed-cell IN-list becomes a
+    * partition filter — it reads the same ~nprobe/nlist sliver of
+    * directories the ADC scan touches instead of scanning the corpus
+    * (r11 10M soak: 17.9–29.4 s of the leg was the un-pruned fetch).
+    * A plain `vec_id`-range-sorted layout cannot do this: shortlist
+    * ids are uniform over the id space (cell membership is
+    * id-uncorrelated), so id-range min/max stats prune nothing —
+    * the pruning key has to be the probe key.
+    *
+    * This is the one artifact piece that is ~corpus-sized (it holds
+    * the raw vectors); pure-ADC serving skips it entirely. After
+    * [[appendPqDelta]] batches, re-run this (or pass a grown raw frame
+    * to [[loadPqIndex]] yourself) — the layout is a snapshot of the
+    * index's raw frame at write time. */
+  def saveRerankRaw(index: PqIndex, path: String): Unit = {
+    require(!index.isEmpty, "cannot lay out an empty PqIndex")
+    index.raw.select(col("vec_id"), col("embedding"))
+      .join(index.codes.select(col("vec_id"), col("cell")), "vec_id")
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/raw")
+  }
+
+  /** [[loadPqIndex]] with the raw side read from the artifact's own
+    * [[saveRerankRaw]] layout — the re-rank fetch then prunes to the
+    * probed cells' directories. */
+  def loadPqIndexWithRaw(spark: org.apache.spark.sql.SparkSession,
+                         path: String): PqIndex =
+    loadPqIndex(spark, path, spark.read.parquet(s"$path/raw"))
+
+  /** On-disk PQ artifact format: 2 = packed int codes, rn2 elided,
+    * versioned model row, append batches as committed `deltas/<id>`
+    * subdirectories. (1 = the unversioned r10 array-codes layout,
+    * refused at load.) */
+  private val PqFormatVersion = 2
+
+  /** Last file written into a delta batch directory — the COMMIT.
+    * [[loadPqIndex]] ignores batch dirs without it, so a writer dying
+    * mid-append leaves an invisible partial, not silently-served rows.
+    * Underscore prefix keeps parquet's own dir reader from treating it
+    * as data. */
+  private val PqCommitMarker = "_GRAFT_COMMITTED"
+
+  /** Delta batch dirs under `path/deltas` whose commit marker exists,
+    * in sorted order — the committed-append manifest. */
+  private def committedDeltaDirs(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/deltas")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d, PqCommitMarker)))
+      .map(_.toString).sorted.toSeq
   }
 
   /** Load a [[savePqIndex]] artifact. `raw` is the corpus frame
@@ -1116,21 +1190,34 @@ object Similarity {
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                   raw: DataFrame): PqIndex = {
     val (centroids, books) = loadPqModel(spark, path)
+    // base codes + every COMMITTED append batch (partial appends have
+    // no commit marker and are ignored — the ADVICE r11 contract)
+    val codePaths = s"$path/codes" +: committedDeltaDirs(spark, path)
     // re-derive the per-vector rn2 the artifact elides (one bounded
     // projection against the codebook literal, paid once at load)
     PqIndex(
-      spark.read.parquet(s"$path/codes")
+      spark.read.parquet(codePaths: _*)
         .withColumn("rn2",
           nanoSum(normNanoLit(books)).cast("double") / lit(1e9))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       raw, centroids, books)
   }
 
-  /** The trained-state half of a [[savePqIndex]] artifact. */
+  /** The trained-state half of a [[savePqIndex]] artifact. Refuses a
+    * versionless (pre-v2) or future-versioned artifact loudly instead
+    * of failing deep inside the rn2 re-derivation. */
   private def loadPqModel(spark: org.apache.spark.sql.SparkSession,
                           path: String)
   : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val m = spark.read.parquet(s"$path/model").collect()(0)
+    val df = spark.read.parquet(s"$path/model")
+    val version =
+      if (!df.columns.contains("format_version")) 1
+      else df.select("format_version").collect()(0).getInt(0)
+    if (version != PqFormatVersion)
+      throw new IllegalStateException(
+        s"PQ artifact at $path is format v$version; this build reads " +
+          s"v$PqFormatVersion (packed codes, rn2 elided) — rebuild with savePqIndex")
+    val m = df.collect()(0)
     // inner elements come back as mutable ArraySeqs — type the getSeq
     // at collection.Seq or the .map blows up on the immutable upcast
     val centroids = m.getSeq[scala.collection.Seq[Double]](
@@ -1144,18 +1231,39 @@ object Similarity {
     * companion of [[absorbDelta]]: the in-memory absorb's union
     * persist copies all n rows into fresh storage (measured at 10M:
     * the 1M fold's wall is the union persist, not the encode), where
-    * this writes ONLY the delta's `(vec_id, cell, packed)` rows as
-    * appended parquet files under `path/codes` — the artifact grows by
-    * O(delta) bytes and the corpus codes are never rewritten. Encoding
-    * uses the artifact's frozen models (same contract as absorbDelta).
-    * Returns the reloaded index over `raw` (the caller's grown corpus
-    * frame, for exact re-rank). */
+    * this writes ONLY the delta's `(vec_id, cell, packed)` rows as a
+    * new batch directory `path/deltas/<batchId>` — the artifact grows
+    * by O(delta) bytes and the corpus codes are never rewritten.
+    * Encoding uses the artifact's frozen models (same contract as
+    * absorbDelta). Returns the reloaded index over `raw` (the caller's
+    * grown corpus frame, for exact re-rank).
+    *
+    * `batchId` is the caller's idempotency key (ADVICE r11 — the old
+    * parquet `mode("append")` was neither atomic nor idempotent):
+    *  - a writer dying mid-append leaves the batch dir WITHOUT its
+    *    commit marker, so [[loadPqIndex]] never serves partial rows;
+    *  - re-invoking with the same `batchId` after a failure overwrites
+    *    the partial batch in place;
+    *  - re-invoking with an already-COMMITTED `batchId` (an at-least-
+    *    once caller replaying) skips the write entirely instead of
+    *    silently duplicating every row of the batch. */
   def appendPqDelta(spark: org.apache.spark.sql.SparkSession, path: String,
-                    delta: DataFrame, raw: DataFrame): PqIndex = {
-    val (centroids, books) = loadPqModel(spark, path)
-    pqCodes(assignCells(delta.select(col("vec_id"), col("embedding")),
-        centroids), books)
-      .write.mode("append").parquet(s"$path/codes")
+                    delta: DataFrame, raw: DataFrame,
+                    batchId: String): PqIndex = {
+    require(batchId.nonEmpty && !batchId.exists(c => c == '/' || c == '\\'),
+      s"batchId must be a non-empty single path segment, got '$batchId'")
+    val target = new org.apache.hadoop.fs.Path(s"$path/deltas/$batchId")
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(target, PqCommitMarker)
+    if (!fs.exists(marker)) {
+      val (centroids, books) = loadPqModel(spark, path)
+      // overwrite, not append: a retried partial batch replaces itself;
+      // the marker lands LAST, after every part file is in place
+      pqCodes(assignCells(delta.select(col("vec_id"), col("embedding")),
+          centroids), books)
+        .write.mode("overwrite").parquet(target.toString)
+      fs.create(marker, true).close()
+    }
     loadPqIndex(spark, path, raw)
   }
 
@@ -1235,7 +1343,8 @@ object Similarity {
       .join(broadcast(probes), "cell")
       .join(broadcast(luts), "qid")
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), adcCosRaw(index.books).as("cos_raw"))
+      .select(col("qid"), col("vec_id"), col("cell"),
+        adcCosRaw(index.books).as("cos_raw"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid")
           .orderBy(round(col("cos_raw"), 6).desc, col("vec_id"))).cast("long"))
@@ -1244,9 +1353,36 @@ object Similarity {
       adc.select(col("qid"), col("vec_id"),
         round(col("cos_raw"), 6).as("cos_pq"), col("rk"))
         .orderBy("qid", "rk")
-    else
-      index.raw
-        .join(broadcast(adc.select("qid", "vec_id")), "vec_id")
+    else {
+      // Materialize the bounded shortlist (≤ |batch| · rerankShortlist
+      // rows of three scalars — same bounded-collect class as the query
+      // batch itself) so the raw fetch carries PUSHABLE predicates
+      // instead of scanning the corpus per batch: the r11 10M soak
+      // measured the un-pruned fetch at 17.9–29.4 s — the one remaining
+      // full-scan-per-batch shape in the ANN family (SOAK_ann reading 3).
+      val short = adc.select(col("qid"), col("vec_id"), col("cell")).collect()
+      val ids = short.map(_.getLong(1)).distinct.sorted.toSeq
+      val pairs = short.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .toDF("qid", "vec_id")
+      val fetched =
+        if (ids.isEmpty) index.raw.filter(lit(false))
+        else {
+          // the vec_id range + IN-list reach the parquet scan as
+          // min/max-prunable row-group predicates on a vec_id-sorted
+          // layout; on a [[saveRerankRaw]] layout the probed-cell
+          // IN-list is a PARTITION filter — the fetch reads only the
+          // shortlist's cell directories, the same nprobe/nlist sliver
+          // the ADC scan touches, and the corpus never scans whole
+          val ranged = index.raw.filter(
+            col("vec_id").between(ids.head, ids.last) &&
+              col("vec_id").isInCollection(ids))
+          if (index.raw.columns.contains("cell"))
+            ranged.filter(col("cell")
+              .isInCollection(short.map(_.getInt(2)).distinct.toSeq))
+          else ranged
+        }
+      fetched
+        .join(broadcast(pairs), "vec_id")
         .join(broadcast(queryDf.select(col("qid"), col("qe"))), "qid")
         .select(col("qid"), col("vec_id"), cosine("embedding", "qe").as("cos_raw"))
         .withColumn("rk", row_number().over(
@@ -1256,6 +1392,7 @@ object Similarity {
         .select(col("qid"), col("vec_id"), round(col("cos_raw"), 6).as("cos"),
           col("rk"))
         .orderBy("qid", "rk")
+    }
   }
 
   /** name → query, in declared order. The near-dup threshold is wired

@@ -496,7 +496,15 @@ object StarQueries {
     * committing a merge task to an unbounded value→count map; users
     * who know their scale pass the flag and skip the probe. The gate
     * keeps calling [[q38]] directly — routing never touches oracle
-    * exactness. */
+    * exactness.
+    *
+    * Probe cost (r11 verdict item 8): the HLL pass is a full linear
+    * scan of the table PER CALL. A service issuing q38-shaped queries
+    * repeatedly should cache the probe verdict per table SNAPSHOT
+    * (distinct-count scale changes with ingest, not per query) and
+    * re-probe on refresh — this function deliberately stays
+    * snapshot-unaware so the caching policy lives with the caller's
+    * snapshot bookkeeping, not inside a query operator. */
   def q38Auto(t: Tables, exact: Option[Boolean] = None,
               maxExactDistinct: Long = Q38MaxExactDistinct,
               accuracy: Int = 10000): DataFrame = exact match {

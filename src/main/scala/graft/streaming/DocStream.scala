@@ -211,11 +211,46 @@ object DocStream {
     * own two rows swap roles (the lower id is emitted
     * `exact_dup_delta` pointing at the prior survivor, whose `new` row
     * cannot be retracted in append mode) — but the folded state means
-    * every subsequent copy points at the true batch survivor. */
+    * every subsequent copy points at the true batch survivor.
+    *
+    * `withinStream = true` (r11 verdict item 6) closes the one
+    * semantic hole the default contract documents away: a NEAR-dup
+    * pair arriving in the same stream (no index hit) passes un-flagged
+    * until an `absorbDelta` index refresh. The bounded alternative
+    * carries the delta's own band keys in stream state — a FIRST
+    * stateful stage keyed by (band, key) bucket holds the
+    * within-horizon cohort of `(event-ms, doc_id, sim)` per bucket
+    * (the [[nearDupFlags]] shape, with the fp map's event-time
+    * eviction: entries prune once `ts + horizon < watermark`, idle
+    * buckets time out wholesale, and a `perBucket` cap bounds
+    * adversarial bucket skew), and emits each doc's per-band verdict;
+    * the SECOND stage is the fp-keyed machine below, which merges the
+    * `Bands` rows per doc row-locally (same micro-batch, same fp
+    * group — no extra shuffle stage) and emits the new status
+    * `near_dup_delta` (precedence after `near_dup_corpus`) pointing at
+    * the min matching within-horizon doc_id. State stays
+    * horizon-bounded in BOTH stages; the batch x42 operator has no
+    * within-delta near-dup status (its near-dups are against the
+    * corpus by definition), so `withinStream` defaults false to keep
+    * exact stream/batch parity unless the caller opts in.
+    *
+    * `withinStream = true` requires
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
+    * Spark's checker conservatively rejects ANY stateful operator
+    * downstream of a flatMapGroupsWithState because fMGWS *could*
+    * delay emission past the watermark (session-window style). The
+    * band stage cannot: it emits every row in the same micro-batch it
+    * arrives (state only augments the row with its cohort verdict), so
+    * its output's event times are the arrival times — already
+    * watermark-filtered at the source — and the fp stage never sees a
+    * late row. The checker has no way to know that, hence the
+    * documented escape hatch. */
   def deltaDedupStream(docs: DataFrame,
                        index: graft.operators.TextQueries.DedupIndex,
                        maxHamming: Int = 6, horizon: String = "1 hour",
-                       horizonMs: Long = 3600L * 1000L): Dataset[DeltaStatus] = {
+                       horizonMs: Long = 3600L * 1000L,
+                       withinStream: Boolean = false,
+                       perBucket: Int = 1024): Dataset[DeltaStatus] = {
     val spark = docs.sparkSession
     import spark.implicits._
     // a stream-static join re-executes the static plan every micro-
@@ -244,26 +279,111 @@ object DocStream {
         .withColumn(s"key$b",
           shiftright(col("sim"), b * BandBits) bitwiseAND BandMask)
         .join(lookups(b), Seq(s"key$b"), "left")
-    enriched
+    val selected = enriched
       .select(col("ts"), col("doc_id"), col("fp"), col("corpus_id"),
         least((0 until Bands).map(b =>
-          bandMin(col(s"cands$b"), col("sim"))): _*).as("near_id"))
-      .withWatermark("ts", horizon)
-      .as[(java.sql.Timestamp, Long, String, Option[Long], Option[Long])]
+          bandMin(col(s"cands$b"), col("sim"))): _*).as("near_id"),
+        col("sim"))
+
+    // rows entering the fp-keyed machine: (ts, doc_id, fp, corpus_id,
+    // near_id, near_delta). Default path: one stateless row per doc,
+    // near_delta always null — byte-identical behavior to pre-r12 (the
+    // projection stays column-level: a typed map here would strip the
+    // event-time watermark the stateful stage requires). withinStream
+    // path: a FIRST stateful stage keyed by (band, key) bucket emits
+    // one row per (doc, band) carrying that band's within-horizon
+    // cohort match (min doc_id at Hamming <= max), the bounded state
+    // the refresh-recipe contract hinted at; the typed hops re-tag the
+    // watermark on the event-time column (`withWatermark` on the
+    // intermediate — same column, same delay, so the query's combined
+    // watermark is unchanged).
+    val perDocRows: Dataset[(java.sql.Timestamp, Long, String,
+        Option[Long], Option[Long], Option[Long])] =
+      if (!withinStream)
+        selected
+          .select(col("ts"), col("doc_id"), col("fp"), col("corpus_id"),
+            col("near_id"), lit(null).cast("long").as("near_delta"))
+          .withWatermark("ts", horizon)
+          .as[(java.sql.Timestamp, Long, String, Option[Long],
+            Option[Long], Option[Long])]
+      else
+        selected
+        .withWatermark("ts", horizon)
+        .as[(java.sql.Timestamp, Long, String, Option[Long], Option[Long], Long)]
+        .flatMap { case (ts, id, fp, c, n, sim) =>
+          (0 until Bands).map { b =>
+            val key = (sim >>> (b * BandBits)) & BandMask
+            ((b.toLong << BandBits) | key, ts, id, fp, c, n, sim)
+          }
+        }
+        .withWatermark("_2", horizon)
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout()) {
+          (_: Long,
+           rows: Iterator[(Long, java.sql.Timestamp, Long, String,
+             Option[Long], Option[Long], Long)],
+           state: GroupState[List[(Long, Long, Long)]]) =>
+            if (state.hasTimedOut) {
+              state.remove()
+              Iterator.empty
+            } else {
+              val wm = state.getCurrentWatermarkMs()
+              // cohort entries are (event-ms, doc_id, sim); an entry
+              // can only flag arrivals (whose ts >= wm) within horizon
+              // of itself, so it prunes once ts + horizon < watermark —
+              // state per bucket is rate x horizon, capped at perBucket
+              var cohort = state.getOption.getOrElse(Nil)
+                .filter(_._1 + horizonMs >= wm)
+              val batch = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+              val out = batch.map { case (_, ts, id, fp, c, n, sim) =>
+                val tsMs = ts.getTime
+                val nd = cohort.iterator
+                  .filter { case (ets, eid, esim) =>
+                    eid != id && ets + horizonMs >= tsMs &&
+                      java.lang.Long.bitCount(esim ^ sim) <= maxHamming
+                  }
+                  .map(_._2)
+                  .foldLeft(Option.empty[Long]) { (acc, v) =>
+                    Some(acc.fold(v)(math.min(_, v))) }
+                cohort = ((tsMs, id, sim) :: cohort).take(perBucket)
+                (ts, id, fp, c, n, nd)
+              }
+              state.update(cohort)
+              val newest = batch.map(_._2.getTime).max
+              state.setTimeoutTimestamp(math.max(newest, wm) + horizonMs)
+              out.iterator
+            }
+        }
+        .withWatermark("_1", horizon)
+
+    perDocRows
       .groupByKey(_._3)
       .flatMapGroupsWithState(
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()) {
         (_: String,
-         rows: Iterator[(java.sql.Timestamp, Long, String, Option[Long], Option[Long])],
+         rows: Iterator[(java.sql.Timestamp, Long, String, Option[Long],
+           Option[Long], Option[Long])],
          state: GroupState[Long]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             var minSeen = state.getOption
-            val batch = rows.toSeq.sortBy(r => (r._1.getTime, r._2))
-            val out = batch.map { case (ts, id, _, corpusId, nearId) =>
+            // withinStream feeds Bands rows per doc (one per band) into
+            // the SAME fp group in the SAME micro-batch — merge them
+            // row-locally, min matching candidate across bands wins
+            // (the default path's single row per doc merges to itself)
+            val batch = rows.toSeq
+              .groupBy(r => (r._1.getTime, r._2))
+              .map { case (_, rs) =>
+                val h = rs.head
+                (h._1, h._2, h._4, h._5, rs.flatMap(_._6).sorted.headOption)
+              }
+              .toSeq.sortBy(r => (r._1.getTime, r._2))
+            val out = batch.map { case (ts, id, corpusId, nearId, nearDelta) =>
               if (corpusId.nonEmpty)
                 DeltaStatus(ts, id, "exact_dup_corpus", corpusId)
               else if (minSeen.nonEmpty) {
@@ -276,6 +396,8 @@ object DocStream {
               } else {
                 minSeen = Some(id)
                 if (nearId.nonEmpty) DeltaStatus(ts, id, "near_dup_corpus", nearId)
+                else if (nearDelta.nonEmpty)
+                  DeltaStatus(ts, id, "near_dup_delta", nearDelta)
                 else DeltaStatus(ts, id, "new", None)
               }
             }

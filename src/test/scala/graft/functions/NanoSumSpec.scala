@@ -109,5 +109,19 @@ class NanoSumSpec extends SparkSpec {
         .collect()
     }
     assert(oob.getMessage != null || oob.getCause != null)
+    // ADVICE r11: a SHORT table (n < 8) with non-zero nibbles above it
+    // is a table/codes length mismatch — rejected, not silently dropped
+    val tab2 = Seq.tabulate(2)(i => Seq.tabulate(16)(c => (i + c).toLong))
+    val high = intercept[Exception] {
+      Seq((tab2, 1 << 8)).toDF("t", "p") // nibble 2 set, only 2 subtables
+        .select(call_function("graft_nano_sum_packed", col("t"), col("p")))
+        .collect()
+    }
+    assert(high.getMessage != null || high.getCause != null)
+    // and the all-zero high-nibble case still computes
+    val ok = Seq((tab2, (1 << 4) | 2)).toDF("t", "p")
+      .select(call_function("graft_nano_sum_packed", col("t"), col("p")))
+      .collect()(0).getLong(0)
+    assert(ok == 2L + (1L + 1L)) // tab(0)(2)=2, tab(1)(1)=2
   }
 }

@@ -256,10 +256,17 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"), p.take(3000))
       assert(p.contains("WindowGroupLimit"), p.take(3000))
       // the scan side is the 8 B/vector codes table, not raw embeddings:
-      // no embedding column survives past the index into the ADC join
+      // no embedding column survives past the index into the ADC join.
+      // r12: the re-rank runs the ADC shortlist as its own bounded job,
+      // so the RETURNED plan is just the fetch — shortlist and query
+      // batch broadcast onto the raw scan, which now carries a pushed
+      // vec_id IN/range predicate instead of scanning the corpus
       val rr = plan(Similarity.pqQuery(index, q, k = 10, nprobe = 4,
         rerankShortlist = 50))
-      assert("BroadcastHashJoin".r.findAllIn(rr).length >= 3, rr.take(3000))
+      assert("BroadcastHashJoin".r.findAllIn(rr).length >= 2, rr.take(3000))
+      assert(!rr.contains("SortMergeJoin"), rr.take(3000))
+      assert(rr.contains("INSET") || rr.contains(" IN ("),
+        s"pruned fetch should filter vec_id to the shortlist:\n${rr.take(3000)}")
     } finally index.release()
   }
 

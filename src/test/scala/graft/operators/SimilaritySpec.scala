@@ -252,6 +252,121 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("empty PqIndex"))
   }
 
+  test("appendPqDelta: committed batches load, partial batches are invisible, replays never duplicate") {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+    val grownRaw = base.unionByName(delta)
+    val dir = java.nio.file.Files.createTempDirectory("pqatomic").toString
+    val built = Similarity.buildPqIndexFrom(base, tag = "atomic-base")
+    try {
+      Similarity.savePqIndex(built, dir)
+      val baseCount = built.codes.count()
+      val one = Similarity.appendPqDelta(spark, dir, delta, grownRaw, "b1")
+      val grown = one.codes.count()
+      assert(grown == baseCount + delta.count())
+      one.release()
+      // replaying the SAME batch id is a no-op, not a duplication —
+      // the old mode("append") silently doubled every delta row here
+      val replay = Similarity.appendPqDelta(spark, dir, delta, grownRaw, "b1")
+      try assert(replay.codes.count() == grown)
+      finally replay.release()
+      // a batch dir without the commit marker (writer died mid-append)
+      // is never served
+      val partial = new java.io.File(s"$dir/deltas/dead")
+      assert(partial.mkdirs())
+      val stray = built.codes.sparkSession // reuse session
+      Similarity.savePqIndex(built, s"$dir-scratch")
+      val strayPart = new java.io.File(s"$dir-scratch/codes").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(strayPart.toPath,
+        new java.io.File(partial, strayPart.getName).toPath)
+      val afterPartial = Similarity.loadPqIndex(stray, dir, grownRaw)
+      try assert(afterPartial.codes.count() == grown)
+      finally afterPartial.release()
+      // a fresh savePqIndex at the same path clears committed deltas —
+      // they were encoded against the OLD trained state
+      Similarity.savePqIndex(built, dir)
+      val fresh = Similarity.loadPqIndex(spark, dir, base)
+      try assert(fresh.codes.count() == baseCount)
+      finally fresh.release()
+    } finally built.release()
+  }
+
+  test("loadPqIndex refuses a versionless (v1) artifact with an explicit rebuild message") {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("pqv1").toString
+    val built = Similarity.buildPqIndex(t)
+    try {
+      Similarity.savePqIndex(built, dir)
+      // strip the version column — the shape of a pre-r11 artifact
+      val old = spark.read.parquet(s"$dir/model").drop("format_version")
+      old.write.mode("overwrite").parquet(s"$dir/model2")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/model"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$dir/model2"),
+        new org.apache.hadoop.fs.Path(s"$dir/model"))
+      val ex = intercept[IllegalStateException] {
+        Similarity.loadPqIndex(spark, dir,
+          t.embeddings.select(col("vec_id"), col("embedding")))
+      }
+      assert(ex.getMessage.contains("format v1") &&
+        ex.getMessage.contains("rebuild with savePqIndex"))
+    } finally built.release()
+  }
+
+  test("saveRerankRaw: rerank answers unchanged; fetch prunes to the probed cells' partitions") {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("pqrrraw").toString
+    val built = Similarity.buildPqIndex(t)
+    try {
+      val q = t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val want = Similarity.pqQuery(built, q, rerankShortlist = 50)
+        .collect().map(_.toSeq).toSeq
+      Similarity.savePqIndex(built, dir)
+      Similarity.saveRerankRaw(built, dir)
+      // one directory per coarse cell on disk
+      val cellDirs = new java.io.File(s"$dir/raw").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell=")).length
+      assert(cellDirs > 4, s"expected a multi-cell layout, got $cellDirs dirs")
+      val loaded = Similarity.loadPqIndexWithRaw(spark, dir)
+      try {
+        assert(loaded.raw.columns.contains("cell"))
+        val res = Similarity.pqQuery(loaded, q, rerankShortlist = 50)
+        assert(res.collect().map(_.toSeq).toSeq == want)
+        // plan pin: the raw fetch's scan carries the probed-cell IN-list
+        // as a PartitionFilter and reads fewer files than the layout holds
+        // AQE wraps the tree; descend into the adaptive final plan
+        def rawScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+          p.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.relation.location.rootPaths.exists(_.toString.contains("raw"))
+            => Seq(s)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              rawScans(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              rawScans(q.plan)
+          }.flatten
+        val scans = rawScans(res.queryExecution.executedPlan)
+        assert(scans.nonEmpty, "raw fetch should be a parquet file scan")
+        val scan = scans.head
+        assert(scan.partitionFilters.map(_.sql).mkString(" ")
+          .toLowerCase.contains("cell"),
+          s"probed-cell predicate missing from PartitionFilters: ${scan.partitionFilters}")
+        assert(scan.metrics("numFiles").value < cellDirs,
+          s"fetch read ${scan.metrics("numFiles").value} files of $cellDirs cell dirs — no pruning")
+        // pushed vec_id predicates reach the data filters too
+        assert(scan.dataFilters.map(_.sql).mkString(" ")
+          .toLowerCase.contains("vec_id"))
+      } finally loaded.release()
+    } finally built.release()
+  }
+
   test("appendPqDelta: artifact grows by the delta only; reloaded answers == in-memory absorb") {
     val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
@@ -265,7 +380,7 @@ class SimilaritySpec extends SparkSpec {
       Similarity.savePqIndex(built, dir)
       val absorbed = Similarity.absorbDelta(built, delta)
       try {
-        val appended = Similarity.appendPqDelta(spark, dir, delta, grownRaw)
+        val appended = Similarity.appendPqDelta(spark, dir, delta, grownRaw, "grow1")
         try {
           assert(appended.codes.count() == absorbed.codes.count())
           assert(appended.codes.collect().map(_.toSeq).toSet ==

@@ -391,6 +391,69 @@ class DocStreamSpec extends SparkSpec {
     } finally { q2.stop(); index.release(); index2.release() }
   }
 
+  test("withinStream=true: a near-dup pair in ONE stream flags the later doc — no refresh, no restart") {
+    // r11 verdict item 6: the bounded alternative to the refresh
+    // recipe above — the delta's own band keys ride stream state, so a
+    // within-horizon near-dup pair flags across micro-batches of the
+    // SAME query, with no index hit and no restart.
+    implicit val ctx = spark.sqlContext
+    // `base`/its tok7x mutation: Hamming 4, and the flipped bits spare
+    // band 0 (a banded hit). An alternative ws0..ws59 fixture measured
+    // Hamming 4 with all four bands touched — the standard LSH false
+    // negative; banding trades those for bounded state, here exactly
+    // as in the batch x12/x13 family.
+    val base3 = base
+    val near1 = base3.replace("tok7 ", "tok7x ")
+    val fresh = (0 until 60).map(i => s"wf$i").mkString(" ")
+    val corpus = Seq(1L -> ((0 until 50).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val index = graft.operators.TextQueries.buildDedupIndex(corpus)
+    index.fp.count(); index.bands.count()
+    val mem = MemoryStream[Doc]
+    // the band stage emits in the same micro-batch it receives, so the
+    // chained-stateful late-row hazard the checker guards against
+    // cannot occur — the documented escape hatch (operator scaladoc)
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val multiKey = "spark.sql.streaming.statefulOperator.allowMultiple"
+    val prior = spark.conf.get(checkKey, "true")
+    val priorMulti = spark.conf.get(multiKey, "true")
+    spark.conf.set(checkKey, "false")
+    spark.conf.set(multiKey, "false")
+    val q = DocStream.deltaDedupStream(mem.toDF(), index, withinStream = true)
+      .writeStream.format("memory").queryName("nd_within")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc(ts(0), 10L, base3))
+      q.processAllAvailable()
+      // SECOND micro-batch — the pair crosses a batch boundary through
+      // the band-cohort state, not through any index
+      mem.addData(Doc(ts(1), 11L, near1), Doc(ts(2), 12L, fresh))
+      q.processAllAvailable()
+      // precedence intact: an exact copy of the flagged doc is still
+      // exact_dup_delta (near_dup_delta ranks below the exact statuses)
+      mem.addData(Doc(ts(3), 13L, near1))
+      q.processAllAvailable()
+      val out = spark.table("nd_within")
+        .select("doc_id", "status", "dup_of").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      assert(out(10L) == (("new", -1L)), out)
+      assert(out(11L) == (("near_dup_delta", 10L)), out)
+      assert(out(12L) == (("new", -1L)), out)
+      assert(out(13L) == (("exact_dup_delta", 11L)), out)
+      // both stateful stages report, and state stays small: band
+      // cohorts hold one (ms, id, sim) entry per (doc, band) inside
+      // the horizon, the fp map one row per corpus-unknown fingerprint
+      val ops = q.lastProgress.stateOperators
+      assert(ops.length == 2, s"expected band + fp stages, got ${ops.length}")
+      assert(ops.map(_.numRowsTotal).sum <= 4 * 4 + 3,
+        s"state rows: ${ops.map(_.numRowsTotal).toSeq}")
+    } finally {
+      q.stop(); index.release()
+      spark.conf.set(checkKey, prior); spark.conf.set(multiKey, priorMulti)
+    }
+  }
+
   test("streaming curation: the x30 precedence chain in append mode") {
     implicit val ctx = spark.sqlContext
     import graft.functions.TextFunctions
