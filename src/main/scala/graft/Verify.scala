@@ -19,11 +19,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // optional prefix filter for targeted re-verification (pairs with
+    // check_oracle.py --only; the driver never sets it → full set)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // independent queries submitted concurrently (bounded pool) — the
     // scheduler interleaves their jobs across cores; each result lands
     // in its own directory so there is no output-order dependence
     graft.ml.Concurrency.mapSamples(
-      SparkEntry.queries.keys.toSeq.sorted, maxConcurrent = 4) { name =>
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => only.forall(_.exists(n.startsWith))),
+      maxConcurrent = 4) { name =>
       try SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>

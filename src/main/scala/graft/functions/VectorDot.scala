@@ -294,6 +294,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_hashed_shingles expects (array<string>, n literal, mod literal[, distinct literal])")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_centroid_residual"),
+      new ExpressionInfo(classOf[CentroidResidual].getName, "graft_centroid_residual"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(
+            m: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(ArrayType(DoubleType, _), _)), cell) =>
+          val mat = Array.tabulate(m.numElements())(r => m.getArray(r).toDoubleArray())
+          CentroidResidual(a, mat, cell)
+        case _ => throw new IllegalArgumentException(
+          "graft_centroid_residual expects (array<float>, centroid-matrix literal, cell)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_band_keys"),
       new ExpressionInfo(classOf[BandKeys].getName, "graft_band_keys"),
       (children: Seq[Expression]) => children match {

@@ -85,11 +85,26 @@ object Integration {
     * Returns `(cells_id, pc)` with non-reference groups corrected into
     * the reference's space. Defaults mirror Seurat's
     * `FindIntegrationAnchors` (k.anchor=5, k.filter=200, k.score=30)
-    * and the reference's `numPCs=30` rPCA config. */
+    * and the reference's `numPCs=30` rPCA config.
+    *
+    * `maxAnchorCells` (round 12, the 4M-barcode soak's "sampled-anchor
+    * variant"): 0 = exact Seurat semantics (every cell is an anchor
+    * candidate — the default, and the gate behavior). With m > 0, the
+    * ANCHOR PIPELINE (bases, reciprocal NN, k.filter, k.score) runs on
+    * a deterministic value-hash sample of ~m cells per group, while
+    * the CORRECTION still weights EVERY query cell against the found
+    * anchors (that stage is O(n·kWeight) and scales) — Seurat's own
+    * sketch-based/reference-sampling answer for atlas-scale
+    * integration, and the same landmark idiom as
+    * [[Embed.landmarkLayout]]. The anchor search drops from O(n·k)
+    * candidate volume to O(m·k); fidelity costs only anchor-set
+    * coverage (the IntegrationSpec mixing metric quantifies it).
+    * Groups at or under m run the exact path bit-identically. */
   def integrateEmbeddings(pca: DataFrame, groups: DataFrame,
                           kAnchor: Int = 5, kWeight: Int = 5,
                           seed: Long = 42L, dims: Int = 30,
-                          kScore: Int = 30, kFilter: Int = 200): DataFrame = {
+                          kScore: Int = 30, kFilter: Int = 200,
+                          maxAnchorCells: Int = 0): DataFrame = {
     // Intermediates are EAGER localCheckpoints, deliberately NOT
     // persist(): the pipeline's reused frames form a chain six deep
     // (tagged → ref → refR → qryR → nbrs → anchors), and with cache
@@ -146,15 +161,29 @@ object Integration {
     }
     val ref = tracked(tagged.filter(col("group") === groupNames.head)
       .select("cells_id", "pc"))
-    val basisR = eigenBasis(ref, dims)
-    val refR = trackedProj(ref, basisR)
     val refCount = ref.count()
+    // sampled-anchor scale path: a deterministic value-hash THINNING
+    // (no global order, no shuffle — the Embed.landmarkLayout idiom);
+    // the sample size is ~m (binomial around the hash threshold).
+    // Groups at/under m return the input frame itself, so the exact
+    // path's frames — and outputs — are untouched.
+    def anchorSample(df: DataFrame, cnt: Long): DataFrame =
+      if (maxAnchorCells <= 0 || cnt <= maxAnchorCells) df
+      else tracked(df.filter(
+        pmod(xxhash64(lit(seed), col("cells_id")), lit(1000000L)) <
+          lit(math.ceil(maxAnchorCells.toDouble / cnt * 1e6).toLong)))
+    val refA = anchorSample(ref, refCount)
+    val basisR = eigenBasis(refA, dims)
+    val refR = trackedProj(refA, basisR)
+    val refACount = if (refA eq ref) refCount else refA.count()
 
     val corrected = groupNames.tail.map { g =>
       val qry = tracked(tagged.filter(col("group") === g)
         .select("cells_id", "pc"))
-      val basisQ = eigenBasis(qry, dims)
-      val qryR = trackedProj(qry, basisR)
+      val qryA = anchorSample(qry,
+        if (maxAnchorCells <= 0) 0L else qry.count())
+      val basisQ = eigenBasis(qryA, dims)
+      val qryR = trackedProj(qryA, basisR)
       // reciprocal anchor search: q→r on the reference basis, r→q on
       // the query basis; mutual pairs are anchors. All cross-batch
       // searches run with the conservative radius: the batch gap means
@@ -162,17 +191,17 @@ object Integration {
       // volume) is the failure mode.
       val q2r = Snn.knnJoin(qryR, refR, kAnchor, seed, conservative = true)
         .select(col("cid").as("qid"), col("nid").as("rid"))
-      val r2q = Snn.knnJoin(project(ref, basisQ), project(qry, basisQ),
+      val r2q = Snn.knnJoin(project(refA, basisQ), project(qryA, basisQ),
           kAnchor, seed, conservative = true)
         .select(col("nid").as("qid"), col("cid").as("rid"))
       val mutual = q2r.intersect(r2q)
       // k.filter: the pair must also be a joint-space kFilter-neighbor;
-      // kFilter >= |ref| keeps every pair by definition, so skip the
-      // join (and its LSH recall noise) entirely in that regime
+      // kFilter >= |ref anchors| keeps every pair by definition, so
+      // skip the join (and its LSH recall noise) entirely in that regime
       val filtered =
-        if (kFilter <= 0 || kFilter >= refCount) mutual
+        if (kFilter <= 0 || kFilter >= refACount) mutual
         else mutual.join(
-          Snn.knnJoin(qry, ref, kFilter, seed, conservative = true)
+          Snn.knnJoin(qryA, refA, kFilter, seed, conservative = true)
             .select(col("cid").as("qid"), col("nid").as("rid")),
           Seq("qid", "rid"), "left_semi")
       // k.score: shared-neighbor overlap of the two anchor cells'

@@ -1042,7 +1042,8 @@ object Similarity {
     * (`index.release()`), mirroring [[IvfIndex]]. */
   final case class PqIndex(codes: DataFrame, raw: DataFrame,
                            centroids: Array[Array[Double]],
-                           books: Array[Array[Array[Double]]]) {
+                           books: Array[Array[Array[Double]]],
+                           residual: Boolean = false) {
     /** True for an index built over an empty corpus — [[pqQuery]]
       * short-circuits to the empty result (the x53 empty-seed lesson:
       * don't crash in training). */
@@ -1066,22 +1067,112 @@ object Similarity {
     * array<float>)` frame — the [[buildIvfIndexFrom]] seam for PQ.
     * Empty-corpus-safe: books are trained first (bounded-sample
     * collect doubles as the emptiness probe), so the coarse trainer —
-    * which throws on an empty sample — is never reached without data. */
+    * which throws on an empty sample — is never reached without data.
+    *
+    * `residual = true` (round 12) codes each vector's RESIDUAL from
+    * its coarse centroid instead of the raw vector — faiss IVFADC's
+    * actual encoding (Jégou et al. 2011 §IV.A: "the residual vector is
+    * quantized by the product quantizer"), and the difference is not a
+    * constant factor: on clustered data the raw-vector codebooks spend
+    * their 4 bits/subspace describing WHICH cluster (information the
+    * cell id already carries) and leave within-cluster ranking below
+    * the quantization floor — the r12 1M mixture-of-Gaussians grid
+    * measured raw-PQ ADC recall@10 = 0.00 with perfect coarse routing
+    * (IVF-exact 1.00). Residual codebooks describe the within-cell
+    * offsets, which is exactly what ranks neighbors inside the probed
+    * cells. Costs one extra broadcast join at build/load (the
+    * per-cell cross-term table for the reconstruction norm); the ADC
+    * scan shape is unchanged (codes stay one packed int + rn2 per
+    * vector). The raw form stays the default — it is the gated x60
+    * lineage (x60 has no coarse quantizer to take residuals against)
+    * and the two share every code path below the encode. */
   def buildPqIndexFrom(emb: DataFrame, nlist: Int = GateNlist,
                        seed: Long = GateSeed, maxTrain: Int = GateMaxTrain,
-                       tag: String = "custom"): PqIndex =
-    trainPqBooks(emb, seed, maxTrain) match {
-      case None =>
-        PqIndex(emptyCodesFrame(emb.sparkSession), emb,
-          Array.empty, Array.empty)
-      case Some(books) =>
-        val (assigned, centroids) =
-          trainAndAssignFrom(emb, nlist, seed, maxTrain, tag)
-        PqIndex(
-          pqCodesWithRn2(assigned, books)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-          emb, centroids, books)
+                       tag: String = "custom",
+                       residual: Boolean = false): PqIndex =
+    if (!residual)
+      trainPqBooks(emb, seed, maxTrain) match {
+        case None =>
+          PqIndex(emptyCodesFrame(emb.sparkSession), emb,
+            Array.empty, Array.empty)
+        case Some(books) =>
+          val (assigned, centroids) =
+            trainAndAssignFrom(emb, nlist, seed, maxTrain, tag)
+          PqIndex(
+            pqCodesWithRn2(assigned, books)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+            emb, centroids, books)
+      }
+    else if (emb.limit(1).isEmpty)
+      PqIndex(emptyCodesFrame(emb.sparkSession), emb,
+        Array.empty, Array.empty, residual = true)
+    else {
+      val (assigned, centroids) =
+        trainAndAssignFrom(emb, nlist, seed, maxTrain, tag)
+      val res = residualFrame(assigned, centroids)
+      val books = trainPqBooks(res.select(col("vec_id"), col("embedding")),
+        seed, maxTrain).get
+      PqIndex(
+        residualCodesWithRn2(res, centroids, books)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        emb, centroids, books, residual = true)
     }
+
+  /** `(vec_id, cell, embedding)` with embedding replaced by the
+    * vector's residual from its cell centroid (float — the 1-ulp cast
+    * loss is three orders under the 16-centroid quantization error).
+    * Native [[graft.functions.CentroidResidual]] when injected: the
+    * centroid matrix rides as a codegen reference object and the
+    * subtraction is a flat float loop — the fallback's broadcast join
+    * + `zip_with` runs the per-element lambda INTERPRETED (ZipWith has
+    * no codegen), the r7 defect class, measured as most of the 1M
+    * residual build's 12→109 s delta before this expression landed. */
+  private def residualFrame(assigned: DataFrame,
+                            centroids: Array[Array[Double]]): DataFrame =
+    if (graft.functions.GraftExtensions.active)
+      assigned.select(col("vec_id"), col("cell"),
+        call_function("graft_centroid_residual", col("embedding"),
+          typedLit(centroids.map(_.toSeq).toSeq), col("cell")).as("embedding"))
+    else {
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      val cents = centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toIndexedSeq
+        .toDF("cell", "cent")
+      assigned.join(broadcast(cents), "cell")
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("embedding"), col("cent"),
+            (x, c) => (x.cast("double") - c).cast("float")).as("embedding"))
+    }
+
+  /** Residual reconstruction norm²: |ĉ + r̂|² = |c|² + Σ_i (2·⟨c_i,
+    * b_ik⟩ + |b_ik|²) — per (cell, packed), folded from a bounded
+    * per-cell nano cross-table via one broadcast join at build/load
+    * time, so query-time rows still carry one precomputed rn2 double. */
+  private def residualCodesWithRn2(res: DataFrame,
+                                   centroids: Array[Array[Double]],
+                                   books: Array[Array[Array[Double]]])
+  : DataFrame =
+    residualRn2Join(pqCodes(res, books), centroids, books)
+
+  /** The (vec_id, cell, packed[, rn2]) encode of an arbitrary frame
+    * against an index's FROZEN trained state — raw or residual form,
+    * the shared seam of [[absorbDelta]] and [[appendPqDelta]]. */
+  private def encodeAgainst(centroids: Array[Array[Double]],
+                            books: Array[Array[Array[Double]]],
+                            residual: Boolean, frame: DataFrame,
+                            withRn2: Boolean): DataFrame = {
+    val assigned = assignCells(
+      frame.select(col("vec_id"), col("embedding")), centroids)
+    if (residual) {
+      val coded = residualCodesWithRn2(
+        residualFrame(assigned, centroids), centroids, books)
+      if (withRn2) coded else coded.drop("rn2")
+    } else {
+      if (withRn2) pqCodesWithRn2(assigned, books)
+      else pqCodes(assigned, books)
+    }
+  }
 
   /** Persist a built [[PqIndex]] to `path` as engine-native parquet:
     * the codes table under `path/codes` and the two trained states —
@@ -1114,10 +1205,10 @@ object Similarity {
     val fs = deltas.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(deltas)) fs.delete(deltas, true)
     index.codes.drop("rn2").write.mode("overwrite").parquet(s"$path/codes")
-    Seq((PqFormatVersion,
+    Seq((PqFormatVersion, index.residual,
         index.centroids.map(_.toSeq).toSeq,
         index.books.map(_.map(_.toSeq).toSeq).toSeq))
-      .toDF("format_version", "centroids", "books")
+      .toDF("format_version", "residual", "centroids", "books")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
   }
 
@@ -1189,26 +1280,32 @@ object Similarity {
     * release, exactly like [[buildPqIndex]]. */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                   raw: DataFrame): PqIndex = {
-    val (centroids, books) = loadPqModel(spark, path)
+    val (centroids, books, residual) = loadPqModel(spark, path)
     // base codes + every COMMITTED append batch (partial appends have
     // no commit marker and are ignored — the ADVICE r11 contract)
     val codePaths = s"$path/codes" +: committedDeltaDirs(spark, path)
+    val codes = spark.read.parquet(codePaths: _*)
     // re-derive the per-vector rn2 the artifact elides (one bounded
-    // projection against the codebook literal, paid once at load)
-    PqIndex(
-      spark.read.parquet(codePaths: _*)
-        .withColumn("rn2",
+    // projection — residual form joins the per-cell cross-table —
+    // paid once at load)
+    val withRn2 =
+      if (residual)
+        residualRn2Join(codes, centroids, books)
+      else
+        codes.withColumn("rn2",
           nanoSum(normNanoLit(books)).cast("double") / lit(1e9))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      raw, centroids, books)
+    PqIndex(
+      withRn2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      raw, centroids, books, residual)
   }
 
   /** The trained-state half of a [[savePqIndex]] artifact. Refuses a
     * versionless (pre-v2) or future-versioned artifact loudly instead
-    * of failing deep inside the rn2 re-derivation. */
+    * of failing deep inside the rn2 re-derivation. A v2 model without
+    * the `residual` column (saved before round 12) is the raw form. */
   private def loadPqModel(spark: org.apache.spark.sql.SparkSession,
                           path: String)
-  : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+  : (Array[Array[Double]], Array[Array[Array[Double]]], Boolean) = {
     val df = spark.read.parquet(s"$path/model")
     val version =
       if (!df.columns.contains("format_version")) 1
@@ -1224,7 +1321,33 @@ object Similarity {
       m.fieldIndex("centroids")).map(_.toArray).toArray
     val books = m.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](
       m.fieldIndex("books")).map(_.map(_.toArray).toArray).toArray
-    (centroids, books)
+    val residual = df.columns.contains("residual") &&
+      m.getBoolean(m.fieldIndex("residual"))
+    (centroids, books, residual)
+  }
+
+  /** [[residualCodesWithRn2]]'s rn2 derivation alone, for a codes
+    * frame that already carries (cell, packed). */
+  private def residualRn2Join(codes: DataFrame,
+                              centroids: Array[Array[Double]],
+                              books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val cross = centroids.zipWithIndex.map { case (c, cell) =>
+      val tab = IndexedSeq.tabulate(PqM, PqKsub) { (i, k) =>
+        var s = 0.0; var j = 0
+        while (j < PqDsub) {
+          val b = books(i)(k)(j)
+          s += 2.0 * c(i * PqDsub + j) * b + b * b; j += 1
+        }
+        roundNano(s)
+      }.map(_.toSeq).toSeq
+      (cell, tab, c.map(x => x * x).sum)
+    }.toIndexedSeq.toDF("cell", "crosstab", "cn2")
+    codes.join(broadcast(cross), "cell")
+      .withColumn("rn2",
+        col("cn2") + nanoSum(col("crosstab")).cast("double") / lit(1e9))
+      .select(col("vec_id"), col("cell"), col("packed"), col("rn2"))
   }
 
   /** Append a delta's codes to a SAVED PqIndex artifact — the at-scale
@@ -1256,11 +1379,10 @@ object Similarity {
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(target, PqCommitMarker)
     if (!fs.exists(marker)) {
-      val (centroids, books) = loadPqModel(spark, path)
+      val (centroids, books, residual) = loadPqModel(spark, path)
       // overwrite, not append: a retried partial batch replaces itself;
       // the marker lands LAST, after every part file is in place
-      pqCodes(assignCells(delta.select(col("vec_id"), col("embedding")),
-          centroids), books)
+      encodeAgainst(centroids, books, residual, delta, withRn2 = false)
         .write.mode("overwrite").parquet(target.toString)
       fs.create(marker, true).close()
     }
@@ -1284,12 +1406,11 @@ object Similarity {
     require(!index.isEmpty,
       "cannot absorb into an empty PqIndex — buildPqIndexFrom the delta instead")
     val d = delta.select(col("vec_id"), col("embedding"))
-    PqIndex(
-      index.codes.unionByName(
-        pqCodesWithRn2(assignCells(d, index.centroids), index.books))
+    index.copy(
+      codes = index.codes.unionByName(encodeAgainst(
+          index.centroids, index.books, index.residual, d, withRn2 = true))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      index.raw.select(col("vec_id"), col("embedding")).unionByName(d),
-      index.centroids, index.books)
+      raw = index.raw.select(col("vec_id"), col("embedding")).unionByName(d))
   }
 
   /** Empty `(vec_id, cell, packed, rn2)` frame — the in-memory index
@@ -1331,20 +1452,32 @@ object Similarity {
     }
     val queries = queryDf.select(col("qid"), col("qe"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // residual form: the numerator's per-(query, cell) term ⟨q, c⟩
+    // rides the probes broadcast (driver math over the bounded
+    // centroid set, like the probe ranking itself)
     val probes = queries.flatMap { case (qid, qe) =>
       index.centroids.zipWithIndex.map { case (c, ci) =>
         val d = c.zip(qe).map { case (a, b) => (a - b) * (a - b) }.sum
-        (qid, ci, d)
-      }.sortBy(p => (p._3, p._2)).take(nprobe).map(p => (qid, p._2))
-    }.toSeq.toDF("qid", "cell")
+        var qc = 0.0; var j = 0
+        while (j < qe.length) { qc += qe(j).toDouble * c(j); j += 1 }
+        (qid, ci, d, qc)
+      }.sortBy(p => (p._3, p._2)).take(nprobe).map(p => (qid, p._2, p._4))
+    }.toSeq.toDF("qid", "cell", "qcdot")
     val luts = pqLutFromQueries(spark, queries, index.books)
     val adcK = if (rerankShortlist > 0) rerankShortlist else k
+    // residual ADC cosine: (⟨q,c⟩ + Σ lut[code_i]) / (|q|·|ĉ+r̂|);
+    // raw form is the x60 lineage (numerator is the lut fold alone)
+    val cosRawCol =
+      if (index.residual)
+        (col("qcdot") + nanoSum(col("lut")).cast("double") / lit(1e9)) /
+          (sqrt(col("qn2")) * sqrt(col("rn2")))
+      else adcCosRaw(index.books)
     val adc = index.codes
       .join(broadcast(probes), "cell")
       .join(broadcast(luts), "qid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("cell"),
-        adcCosRaw(index.books).as("cos_raw"))
+        cosRawCol.as("cos_raw"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid")
           .orderBy(round(col("cos_raw"), 6).desc, col("vec_id"))).cast("long"))

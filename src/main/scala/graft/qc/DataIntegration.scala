@@ -57,9 +57,11 @@ object DataIntegration {
     * unisample path when only one group exists. */
   def runIntegrated(expr: DataFrame, cells: DataFrame,
                     numHvg: Int = 2000, numPcs: Int = 50,
-                    splitCol: String = "sample"): Reductions = {
+                    splitCol: String = "sample",
+                    maxAnchorCells: Int = 0): Reductions = {
     val red = run(expr, cells, numHvg, numPcs)
     val groups = cells.select(col("cells_id"), col(splitCol).as("group"))
-    red.copy(pca = graft.ml.Integration.integrateEmbeddings(red.pca, groups))
+    red.copy(pca = graft.ml.Integration.integrateEmbeddings(red.pca, groups,
+      maxAnchorCells = maxAnchorCells))
   }
 }

@@ -424,7 +424,10 @@ object DocStream {
     * against the standing index only — a within-stream near-dup pair
     * with no index hit emits both docs un-flagged, and catching it
     * requires an index refresh between batches, exactly like the
-    * boilerplate branch below). Emits ONE status per document in
+    * boilerplate branch below; r12: [[deltaDedupStream]]'s
+    * `withinStream = true` mode is the bounded in-stream alternative
+    * when the dedup statuses alone are what's needed). Emits ONE
+    * status per document in
     * append mode, precedence matching the batch chain (`exact_dup` >
     * `benchmark` > `contaminated` > `too_short` > `lang` >
     * `low_quality` > `repetitive` > `near_dup` > `kept`).

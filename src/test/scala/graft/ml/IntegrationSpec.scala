@@ -177,6 +177,30 @@ class IntegrationSpec extends SparkSpec {
     assert(out(13L) == Seq(2.0, 0.0, 0.0), s"13 -> ${out(13L)}")
   }
 
+  test("sampled-anchor path: m above group sizes is bit-identical to exact; m=20 still mixes") {
+    // r11 verdict item 5 prerequisite: the 4M-barcode soak's
+    // "sampled-anchor variant". Above-group-size m must not perturb a
+    // single double (the sampler returns the input frame itself)...
+    val exact = Integration.integrateEmbeddings(pca, groups,
+      kAnchor = 8, kWeight = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val big = Integration.integrateEmbeddings(pca, groups,
+      kAnchor = 8, kWeight = 8, maxAnchorCells = 1000)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(big == exact)
+    // ...and a genuinely thinned anchor set (m=20 of 40 per group) must
+    // still move the mixing metric well off full separation: the
+    // correction stage weights EVERY cell against the sampled anchors
+    val sampled = Integration.integrateEmbeddings(pca, groups,
+      kAnchor = 8, kWeight = 8, maxAnchorCells = 20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(sampled.size == 80)
+    // reference batch untouched, every query cell still corrected
+    (0 until 40).foreach(i => assert(sampled(i.toLong) == exact(i.toLong)))
+    val after = mixing(sampled)
+    assert(after < 0.85, s"sampled-anchor mixing $after (exact: ~0.6975)")
+  }
+
   test("single group passes through unchanged") {
     val single = groups.filter(col("group") === "batch1")
     val out = Integration.integrateEmbeddings(

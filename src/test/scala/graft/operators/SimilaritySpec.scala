@@ -409,4 +409,93 @@ class SimilaritySpec extends SparkSpec {
     assert(rr.columns.toSeq == Seq("qid", "vec_id", "cos", "rk"))
     assert(rr.count() == 0)
   }
+
+  test("residual PQ (IVFADC): recovers within-cluster ranking raw coding loses; round-trips and absorbs") {
+    // Clustered fixture with RETRIEVAL margin structure: 8 tight
+    // clusters of 64-d vectors, plus 10 planted true neighbors per
+    // query at a tiny perturbation. Raw-vector codebooks spend their
+    // 16 codewords/subspace describing which cluster (the cell id
+    // already knows) and tie the whole cluster at one ADC score;
+    // residual codebooks describe within-cell offsets and rank the
+    // planted neighbors first — the faiss IVFADC rationale.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextDouble() * 6 - 3))
+    def point(c: Int, sigma: Double): Array[Float] =
+      centers(c).map(x => (x + (rnd.nextDouble() * 2 - 1) * sigma).toFloat)
+    val background = (0 until 4000).map(i => (i.toLong, point(i % 8, 0.3)))
+    val queries10 = background.take(10)
+    val planted = queries10.flatMap { case (qid, qv) =>
+      (0 until 10).map(j => (9000000L + qid * 10 + j,
+        qv.map(x => (x + (rnd.nextDouble() * 2 - 1) * 0.01f).toFloat)))
+    }
+    val all = background ++ planted
+    val emb = all.toDF("vec_id", "embedding")
+    val qdf = queries10.toDF("qid", "qe")
+    // exact top-10 (driver-side; the corpus is 4,100 rows)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exactTop = queries10.map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    }.toMap
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val got = rows.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      exactTop.map { case (q, ex) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(ex).size / 10.0 }
+        .sum / exactTop.size
+    }
+    val raw = Similarity.buildPqIndexFrom(emb, nlist = 8, maxTrain = 2000,
+      tag = "resid-raw")
+    val res = Similarity.buildPqIndexFrom(emb, nlist = 8, maxTrain = 2000,
+      tag = "resid-res", residual = true)
+    try {
+      val rawRecall = recallOf(
+        Similarity.pqQuery(raw, qdf, k = 10, nprobe = 4).collect())
+      val resRecall = recallOf(
+        Similarity.pqQuery(res, qdf, k = 10, nprobe = 4).collect())
+      info(s"ADC recall@10: raw=$rawRecall residual=$resRecall")
+      assert(resRecall > rawRecall + 0.2,
+        s"residual coding should clearly beat raw on clustered data: raw=$rawRecall res=$resRecall")
+      assert(resRecall >= 0.7, s"residual ADC recall too low: $resRecall")
+      // round trip: loaded residual index answers identically (ADC and
+      // re-rank), flag preserved
+      val dir = java.nio.file.Files.createTempDirectory("pqresid").toString
+      Similarity.savePqIndex(res, dir)
+      val loaded = Similarity.loadPqIndex(spark, dir,
+        emb.select(col("vec_id"), col("embedding")))
+      try {
+        assert(loaded.residual)
+        assert(Similarity.pqQuery(loaded, qdf, k = 10, nprobe = 4)
+          .collect().map(_.toSeq).toSeq ==
+          Similarity.pqQuery(res, qdf, k = 10, nprobe = 4)
+            .collect().map(_.toSeq).toSeq)
+      } finally loaded.release()
+      // absorb: frozen-state residual encode; an identical-vector query
+      // finds the absorbed vector at exact cosine 1 through re-rank
+      val dv = point(3, 0.3)
+      val delta = Seq((7777777L, dv)).toDF("vec_id", "embedding")
+      val grown = Similarity.absorbDelta(res, delta)
+      try {
+        assert(grown.codes.count() == res.codes.count() + 1)
+        val top = Similarity.pqQuery(grown,
+          Seq((-1L, dv)).toDF("qid", "qe"), k = 1, nprobe = 4,
+          rerankShortlist = 50).collect()(0)
+        assert(top.getLong(1) == 7777777L && top.getDouble(2) == 1.0)
+        // appended artifact equals in-memory absorb
+        val appended = Similarity.appendPqDelta(spark, dir, delta,
+          emb.unionByName(delta), "rb1")
+        try assert(appended.codes.collect().map(_.toSeq).toSet ==
+          grown.codes.collect().map(_.toSeq).toSet)
+        finally appended.release()
+      } finally grown.release()
+    } finally { raw.release(); res.release() }
+  }
 }
