@@ -776,7 +776,8 @@ object Similarity {
     * that determine them — the generated x60 oracle reads the
     * gate-parameter entry specifically, like [[QuantKey]] for x14. */
   private[operators] final case class PqKey(m: Int, ksub: Int, seed: Long,
-                                            maxTrain: Int)
+                                            maxTrain: Int,
+                                            tag: String = "raw")
   private val trainedPq = new java.util.concurrent.ConcurrentHashMap[
     PqKey, Array[Array[Array[Double]]]]()
 
@@ -847,7 +848,8 @@ object Similarity {
   /** Bounded deterministic (value-hashed) PQ codebook training, sliced
     * per subspace; seeds decorrelate across subspaces. None on an empty
     * corpus (the x53 empty-seed lesson — don't crash in training). */
-  private def trainPqBooks(emb: DataFrame, seed: Long, maxTrain: Int)
+  private def trainPqBooks(emb: DataFrame, seed: Long, maxTrain: Int,
+                           tag: String = "raw")
   : Option[Array[Array[Array[Double]]]] = {
     val sample = emb
       .orderBy(xxhash64(col("embedding"), lit(seed)), col("vec_id"))
@@ -860,7 +862,7 @@ object Similarity {
         val sub = sample.map(v => v.slice(i * PqDsub, (i + 1) * PqDsub))
         trainQuantizer(sub, PqKsub, iters = 5, seed = seed + i)
       }
-      trainedPq.put(PqKey(PqM, PqKsub, seed, maxTrain), books)
+      trainedPq.put(PqKey(PqM, PqKsub, seed, maxTrain, tag), books)
       Some(books)
     }
   }
@@ -1027,6 +1029,31 @@ object Similarity {
     else TextQueries.unpersistAfterFirstUse(out, index.codes)
   }
 
+  /** x65 residual IVF-PQ top-k — [[ivfPqTopK]] with the index built in
+    * the RESIDUAL form (faiss IVFADC, Jégou 2011 §IV.A: the product
+    * quantizer encodes x − coarse_centroid). Gated with a generated
+    * DuckDB oracle like x60/x61 (trained states as SQL literals, the
+    * residual float cast and every accumulation order mirrored), so
+    * the round-12 recall winner — 0.00 → 1.00 on the planted-cluster
+    * fixture — carries the same hash-exact correctness contract as the
+    * raw lineage. Scale shape identical to x61: the codes row is one
+    * packed int + rn2 either way; the ⟨q,c⟩ numerator term rides the
+    * probes broadcast. */
+  def residualPqTopK(t: Tables, nQueries: Int = PqNQueries, k: Int = PqK,
+                     nlist: Int = GateNlist, nprobe: Int = GateNprobe,
+                     seed: Long = GateSeed,
+                     maxTrain: Int = GateMaxTrain): DataFrame = {
+    val index = buildPqIndexFrom(
+      graft.core.Fanout.widen(t.embeddings)
+        .select(col("vec_id"), col("embedding")),
+      nlist, seed, maxTrain, tag = "embeddings", residual = true)
+    val queries = t.embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val out = pqQuery(index, queries, k, nprobe)
+    if (index.isEmpty) out
+    else TextQueries.unpersistAfterFirstUse(out, index.codes)
+  }
+
   /** A built IVF-PQ index: trained coarse centroids + PQ codebooks +
     * the persisted codes table `(vec_id, cell, packed)` — 4 B of
     * packed codes per vector, ~1-3% of raw corpus bytes — plus the raw source
@@ -1110,8 +1137,11 @@ object Similarity {
       val (assigned, centroids) =
         trainAndAssignFrom(emb, nlist, seed, maxTrain, tag)
       val res = residualFrame(assigned, centroids)
+      // books snapshot under its own tag: the RESIDUAL books must not
+      // clobber the raw-form snapshot the x60/x61/x62 generated
+      // oracles read (same PqKey otherwise)
       val books = trainPqBooks(res.select(col("vec_id"), col("embedding")),
-        seed, maxTrain).get
+        seed, maxTrain, tag = "residual").get
       PqIndex(
         residualCodesWithRn2(res, centroids, books)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
@@ -1544,6 +1574,7 @@ object Similarity {
     "x60_pq_adc_topk" -> (t => pqAdcTopK(t)), // generated oracle (trained PQ codebooks)
     "x61_ivf_pq_topk" -> (t => ivfPqTopK(t)), // generated oracle (centroids + codebooks)
     "x62_ivf_pq_rerank" -> (t => ivfPqRerankTopK(t)), // generated oracle (same trained state)
+    "x65_residual_pq" -> (t => residualPqTopK(t)), // generated oracle (centroids + residual codebooks)
   )
 
   /** DuckDB double cosine between two list columns — the exact probe
@@ -1768,10 +1799,14 @@ object Similarity {
     val gate = Option(trainedQuantizers.get(
       QuantKey(GateNlist, GateSeed, GateMaxTrain)))
     val pq = Option(trainedPq.get(PqKey(PqM, PqKsub, GateSeed, GateMaxTrain)))
+    val rpq = Option(trainedPq.get(
+      PqKey(PqM, PqKsub, GateSeed, GateMaxTrain, tag = "residual")))
     (for { cs <- gate; b <- pq }
       yield "x61_ivf_pq_topk" -> ivfPqSql(cs, b)).toMap ++
     (for { cs <- gate; b <- pq }
-      yield "x62_ivf_pq_rerank" -> ivfPqRerankSql(cs, b)).toMap
+      yield "x62_ivf_pq_rerank" -> ivfPqRerankSql(cs, b)).toMap ++
+    (for { cs <- gate; b <- rpq }
+      yield "x65_residual_pq" -> residualPqSql(cs, b)).toMap
   }
 
   /** Generated x60 oracle: the trained codebooks as a 128-row literal
@@ -1900,6 +1935,78 @@ object Similarity {
             FROM r)
       SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos_pq, rk
       FROM rk WHERE rk <= $k ORDER BY qid, rk"""
+  }
+
+  /** Generated x65 oracle — the residual-PQ (IVFADC) math mirrored
+    * end-to-end in SQL:
+    *  - corpus assignment from the coarse-centroid literals (the x14
+    *    [[assignCtes]]);
+    *  - the residual vector re-created with the SAME float rounding
+    *    the native [[graft.functions.CentroidResidual]] applies
+    *    (`CAST(double_sub AS REAL)` ≡ Java `.toFloat` — both IEEE
+    *    round-to-nearest);
+    *  - per-subspace encode against the RESIDUAL codebook literals
+    *    (2·x·c − |c|² argmax, first-code ties — the x60 shape over the
+    *    residual slices);
+    *  - ADC cosine per the residual rule: numerator = ⟨q, cell
+    *    centroid⟩ (the probes-broadcast term, recomputed with the same
+    *    sequential list_sum) + the rounded-DECIMAL LUT fold; norm² =
+    *    |c|² + Σ_i round(2·⟨c_i, b_i⟩ + |b_i|², 9) — each rounded
+    *    cross-term summed as exact DECIMAL, matching the nano-long
+    *    fold bit for bit. */
+  private def residualPqSql(centroids: Array[Array[Double]],
+                            books: Array[Array[Array[Double]]]): String = {
+    val cb = books.zipWithIndex.flatMap { case (sub, i) =>
+      sub.zipWithIndex.map { case (c, ci) =>
+        s"($i, $ci, [${c.mkString(", ")}])"
+      }
+    }.mkString(", ")
+    val dim = PqM * PqDsub
+    def subDotQ(e: String, cv: String) =
+      s"list_sum(list_transform(range(1, ${PqDsub + 1}), j -> CAST($e[cb_sub * $PqDsub + j] AS DOUBLE) * $cv[j]))"
+    s"""
+      WITH ${assignCtes(centroids)},
+      cb AS (SELECT * FROM (VALUES $cb) AS t(cb_sub, cb_code, cv)),
+      res AS (SELECT a.vec_id, a.cell,
+                list_transform(range(1, ${dim + 1}), j -> CAST(CAST(a.embedding[j] AS DOUBLE) - c.cv[j] AS REAL)) AS rv
+              FROM a JOIN c ON a.cell = c.ci),
+      enc0 AS (SELECT r.vec_id, r.cell, cb.cb_sub, cb.cb_code, cb.cv,
+                 2 * list_sum(list_transform(range(1, ${PqDsub + 1}), j -> CAST(r.rv[cb.cb_sub * $PqDsub + j] AS DOUBLE) * cb.cv[j]))
+                   - list_sum(list_transform(range(1, ${PqDsub + 1}), j -> cb.cv[j] * cb.cv[j])) AS s
+               FROM res r CROSS JOIN cb),
+      enc AS (SELECT vec_id, cell, cb_sub, cb_code, cv FROM
+                (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, cb_sub ORDER BY s DESC, cb_code) AS rn FROM enc0)
+              WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, embedding AS qe,
+              list_sum(list_transform(range(1, ${dim + 1}), j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))) AS qn2
+            FROM embeddings WHERE vec_id < $PqNQueries),
+      qd AS (SELECT q.qid, c.ci, ${d2Sql("c.cv", "q.qe")} AS d2 FROM q CROSS JOIN c),
+      p AS (SELECT qid, ci AS cell FROM
+              (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, ci) AS pr FROM qd)
+            WHERE pr <= $GateNprobe),
+      pc AS (SELECT p.qid, p.cell,
+               list_sum(list_transform(range(1, ${dim + 1}), j -> CAST(q.qe[j] AS DOUBLE) * c.cv[j])) AS qcdot
+             FROM p JOIN c ON p.cell = c.ci JOIN q ON q.qid = p.qid),
+      t AS (SELECT pc.qid, enc.vec_id, enc.cell, pc.qcdot,
+              CAST(ROUND(${subDotQ("q.qe", "enc.cv")}, 9) AS DECIMAL(28,9)) AS term,
+              CAST(ROUND(list_sum(list_transform(range(1, ${PqDsub + 1}), j -> 2 * c2.cv[enc.cb_sub * $PqDsub + j] * enc.cv[j] + enc.cv[j] * enc.cv[j])), 9) AS DECIMAL(28,9)) AS xterm
+            FROM enc JOIN pc ON enc.cell = pc.cell
+            JOIN q ON q.qid = pc.qid
+            JOIN c c2 ON c2.ci = enc.cell
+            WHERE enc.vec_id <> pc.qid),
+      s AS (SELECT qid, vec_id, cell, qcdot,
+              CAST(SUM(term) AS DOUBLE) AS lutsum,
+              CAST(SUM(xterm) AS DOUBLE) AS cross_sum
+            FROM t GROUP BY qid, vec_id, cell, qcdot),
+      cn AS (SELECT ci, list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM c),
+      r AS (SELECT s.qid, s.vec_id,
+              (s.qcdot + s.lutsum) / (sqrt(q.qn2) * sqrt(cn.cn2 + s.cross_sum)) AS cos_raw
+            FROM s JOIN q ON s.qid = q.qid JOIN cn ON cn.ci = s.cell),
+      rk AS (SELECT qid, vec_id, cos_raw,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cos_raw, 6) DESC, vec_id) AS BIGINT) AS rk
+            FROM r)
+      SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos_pq, rk
+      FROM rk WHERE rk <= $PqK ORDER BY qid, rk"""
   }
 
   /** Generated x62 oracle: the x61 shortlist (as a subquery, k =
