@@ -461,7 +461,9 @@ object DocStream {
                      minTokens: Long = 20, langs: Seq[String] = Seq("en"),
                      minQuality: Double = 0.3, maxDupFrac: Double = 0.6,
                      maxHamming: Int = 6, horizon: String = "1 hour",
-                     horizonMs: Long = 3600L * 1000L): Dataset[CurationStatus] = {
+                     horizonMs: Long = 3600L * 1000L,
+                     withinStream: Boolean = false,
+                     perBucket: Int = 1024): Dataset[CurationStatus] = {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.operators.TextQueries
@@ -502,31 +504,108 @@ object DocStream {
         .when((0 until Bands).map(b =>
           bandHit(col(s"cands$b"), col("sim"))).reduce(_ || _), "near_dup")
         .otherwise("kept")
-    enriched
+    val selected = enriched
       .select(col("ts"), col("doc_id"), col("fp"),
         col("corpus_id").isNotNull.as("corpus_dup"),
-        rowStatus.as("row_status"))
-      .withWatermark("ts", horizon)
-      .as[(java.sql.Timestamp, Long, String, Boolean, String)]
+        rowStatus.as("row_status"), col("sim"))
+
+    // rows into the fp-keyed machine: (ts, doc_id, fp, corpus_dup,
+    // row_status, near_delta). Default: one stateless row per doc,
+    // near_delta null — pre-r12 behavior, index-only near-dups. The
+    // withinStream path prepends [[deltaDedupStream]]'s band-cohort
+    // stage (same eviction bounds, same checker escape hatch —
+    // documented there), so the `near_dup` rung also fires for a pair
+    // arriving within the stream's own horizon with no index hit —
+    // but ONLY when every higher rung passed (row_status == "kept"):
+    // within-stream evidence occupies exactly the rung the index hit
+    // does, never jumping the precedence chain.
+    val perDoc: Dataset[(java.sql.Timestamp, Long, String, Boolean,
+        String, Option[Long])] =
+      if (!withinStream)
+        selected
+          .select(col("ts"), col("doc_id"), col("fp"), col("corpus_dup"),
+            col("row_status"), lit(null).cast("long").as("near_delta"))
+          .withWatermark("ts", horizon)
+          .as[(java.sql.Timestamp, Long, String, Boolean, String, Option[Long])]
+      else
+        selected
+        .withWatermark("ts", horizon)
+        .as[(java.sql.Timestamp, Long, String, Boolean, String, Long)]
+        .flatMap { case (ts, id, fp, cd, rs, sim) =>
+          (0 until Bands).map { b =>
+            val key = (sim >>> (b * BandBits)) & BandMask
+            ((b.toLong << BandBits) | key, ts, id, fp, cd, rs, sim)
+          }
+        }
+        .withWatermark("_2", horizon)
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout()) {
+          (_: Long,
+           rows: Iterator[(Long, java.sql.Timestamp, Long, String,
+             Boolean, String, Long)],
+           state: GroupState[List[(Long, Long, Long)]]) =>
+            if (state.hasTimedOut) {
+              state.remove()
+              Iterator.empty
+            } else {
+              val wm = state.getCurrentWatermarkMs()
+              var cohort = state.getOption.getOrElse(Nil)
+                .filter(_._1 + horizonMs >= wm)
+              val batch = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+              val out = batch.map { case (_, ts, id, fp, cd, rs, sim) =>
+                val tsMs = ts.getTime
+                val nd = cohort.iterator
+                  .filter { case (ets, eid, esim) =>
+                    eid != id && ets + horizonMs >= tsMs &&
+                      java.lang.Long.bitCount(esim ^ sim) <= maxHamming
+                  }
+                  .map(_._2)
+                  .foldLeft(Option.empty[Long]) { (acc, v) =>
+                    Some(acc.fold(v)(math.min(_, v))) }
+                cohort = ((tsMs, id, sim) :: cohort).take(perBucket)
+                (ts, id, fp, cd, rs, nd)
+              }
+              state.update(cohort)
+              val newest = batch.map(_._2.getTime).max
+              state.setTimeoutTimestamp(math.max(newest, wm) + horizonMs)
+              out.iterator
+            }
+        }
+        .withWatermark("_1", horizon)
+
+    perDoc
       .groupByKey(_._3)
       .flatMapGroupsWithState(
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()) {
         (_: String,
-         rows: Iterator[(java.sql.Timestamp, Long, String, Boolean, String)],
+         rows: Iterator[(java.sql.Timestamp, Long, String, Boolean,
+           String, Option[Long])],
          state: GroupState[Long]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             var first = state.getOption
-            val batch = rows.toSeq.sortBy(r => (r._1.getTime, r._2))
-            val out = batch.map { case (ts, id, _, corpusDup, rs) =>
+            // withinStream feeds Bands rows per doc — merge row-locally
+            // (min matching within-stream candidate across bands)
+            val batch = rows.toSeq
+              .groupBy(r => (r._1.getTime, r._2))
+              .map { case (_, rs) =>
+                val h = rs.head
+                (h._1, h._2, h._4, h._5, rs.flatMap(_._6).sorted.headOption)
+              }
+              .toSeq.sortBy(r => (r._1.getTime, r._2))
+            val out = batch.map { case (ts, id, corpusDup, rs, nearDelta) =>
               if (corpusDup) CurationStatus(ts, id, "exact_dup")
               else if (first.nonEmpty) CurationStatus(ts, id, "exact_dup")
               else {
                 first = Some(id)
-                CurationStatus(ts, id, rs)
+                if (rs == "kept" && nearDelta.nonEmpty)
+                  CurationStatus(ts, id, "near_dup")
+                else CurationStatus(ts, id, rs)
               }
             }
             // only corpus-unknown fingerprints carry state (a corpus

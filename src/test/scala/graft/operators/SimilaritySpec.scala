@@ -410,6 +410,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rr.count() == 0)
   }
 
+  test("pqQuery with an EMPTY query batch: empty result, declared schema, no job explosion") {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    val index = Similarity.buildPqIndex(t)
+    try {
+      val noQ = Seq.empty[(Long, Array[Float])].toDF("qid", "qe")
+      val adc = Similarity.pqQuery(index, noQ)
+      assert(adc.columns.toSeq == Seq("qid", "vec_id", "cos_pq", "rk"))
+      assert(adc.count() == 0)
+      val rr = Similarity.pqQuery(index, noQ, rerankShortlist = 50)
+      assert(rr.columns.toSeq == Seq("qid", "vec_id", "cos", "rk"))
+      assert(rr.count() == 0)
+    } finally index.release()
+  }
+
   test("residual PQ (IVFADC): recovers within-cluster ranking raw coding loses; round-trips and absorbs") {
     // Clustered fixture with RETRIEVAL margin structure: 8 tight
     // clusters of 64-d vectors, plus 10 planted true neighbors per

@@ -454,6 +454,51 @@ class DocStreamSpec extends SparkSpec {
     }
   }
 
+  test("curationStream withinStream=true: the near_dup rung fires for a within-stream pair, precedence intact") {
+    // the curation composition of the deltaDedupStream band-cohort
+    // stage: a near-dup pair arriving in the SAME stream (no index
+    // hit) flags the later doc at the near_dup rung — and ONLY when
+    // every higher rung passed (a repetitive near-dup stays
+    // repetitive; an exact copy stays exact_dup).
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq(1L -> ((0 until 50).map(i => s"cz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val index = graft.operators.TextQueries.buildDedupIndex(corpus)
+    index.fp.count(); index.bands.count()
+    // english-passing, quality-passing doc + its light mutation
+    // (the `base`/tok7x pair: hamming 4, band 0 collides)
+    val keptBase = "the " + (0 until 57).map(i => s"tok$i").mkString(" ") + " of"
+    val keptNear = keptBase.replace("tok7 ", "tok7x ")
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val multiKey = "spark.sql.streaming.statefulOperator.allowMultiple"
+    val prior = spark.conf.get(checkKey, "true")
+    val priorMulti = spark.conf.get(multiKey, "true")
+    spark.conf.set(checkKey, "false")
+    spark.conf.set(multiKey, "false")
+    val mem2_14 = MemoryStream[Doc]
+    val q = DocStream.curationStream(mem2_14.toDF(), index, Seq(12345L),
+        withinStream = true)
+      .writeStream.format("memory").queryName("curation_within")
+      .outputMode("append").start()
+    try {
+      mem2_14.addData(Doc(ts(0), 10L, keptBase))
+      q.processAllAvailable()
+      // second micro-batch: the near-dup pair crosses the batch
+      // boundary through band-cohort state, plus an exact copy
+      mem2_14.addData(Doc(ts(1), 11L, keptNear), Doc(ts(2), 12L, keptNear))
+      q.processAllAvailable()
+      val out = spark.table("curation_within")
+        .select("doc_id", "status").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out(10L) == "kept", out)
+      assert(out(11L) == "near_dup", out)     // within-stream, no index hit
+      assert(out(12L) == "exact_dup", out)    // exact beats near_dup
+    } finally {
+      q.stop(); index.release()
+      spark.conf.set(checkKey, prior); spark.conf.set(multiKey, priorMulti)
+    }
+  }
+
   test("streaming curation: the x30 precedence chain in append mode") {
     implicit val ctx = spark.sqlContext
     import graft.functions.TextFunctions
