@@ -99,12 +99,27 @@ object Integration {
     * [[Embed.landmarkLayout]]. The anchor search drops from O(n·k)
     * candidate volume to O(m·k); fidelity costs only anchor-set
     * coverage (the IntegrationSpec mixing metric quantifies it).
-    * Groups at or under m run the exact path bit-identically. */
+    * Groups at or under m run the exact path bit-identically.
+    *
+    * `maxAnchorsPerCell` (round 13, the 8M-barcode soak's named next
+    * knob): 0 = exact (every scored anchor is searchable in the
+    * correction — the default and gate behavior). With c > 0 the
+    * CORRECTION stage's anchor set is thinned to the c
+    * highest-scored anchors per ε-grid cell
+    * ([[Snn.thinPerGridCell]], same rotation the correction's own
+    * knnJoin keys), bounding the correction's candidate volume at
+    * O(n · c · 3^m) regardless of how anchors cluster — the last
+    * correction-stage term that otherwise grows with anchor density.
+    * Every query cell is still corrected; a cap at or above the
+    * densest cell's anchor count is bit-identical to exact
+    * (IntegrationSpec pins both that and that a small cap still
+    * removes the planted shift). */
   def integrateEmbeddings(pca: DataFrame, groups: DataFrame,
                           kAnchor: Int = 5, kWeight: Int = 5,
                           seed: Long = 42L, dims: Int = 30,
                           kScore: Int = 30, kFilter: Int = 200,
-                          maxAnchorCells: Int = 0): DataFrame = {
+                          maxAnchorCells: Int = 0,
+                          maxAnchorsPerCell: Int = 0): DataFrame = {
     // Intermediates are EAGER localCheckpoints, deliberately NOT
     // persist(): the pipeline's reused frames form a chain six deep
     // (tagged → ref → refR → qryR → nbrs → anchors), and with cache
@@ -248,9 +263,24 @@ object Integration {
         // each query cell's kWeight nearest anchor query-side points;
         // conservative radius — a cell far from every anchor must still
         // find its nearest ones (Seurat searches anchors exactly)
-        val anchorPts = scored
-          .select(col("qid").as("cells_id"), col("qpc").as("pc"))
-          .dropDuplicates("cells_id")
+        val anchorPts = {
+          val exactPts = scored
+            .select(col("qid").as("cells_id"), col("qpc").as("pc"))
+            .dropDuplicates("cells_id")
+          if (maxAnchorsPerCell <= 0) exactPts
+          else {
+            // each anchor cell's priority = its best pair score
+            // (deterministic: max over pairs); spatially-capped set
+            // checkpointed — it is scanned by radius probe + grid join
+            val prioritized = scored
+              .groupBy(col("qid").as("cells_id"))
+              .agg(max(col("score")).as("priority"),
+                first(col("qpc")).as("pc"))
+            tracked(Snn.thinPerGridCell(qry, prioritized,
+              maxAnchorsPerCell, kWeight, seed, conservative = true)
+              .select("cells_id", "pc"))
+          }
+        }
         val near = Snn.knnJoin(qry, anchorPts, kWeight, seed,
             conservative = true)
           .select(col("cid").as("cells_id"), col("nid").as("aid"),

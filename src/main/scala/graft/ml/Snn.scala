@@ -160,6 +160,71 @@ object Snn {
     * amplification would only approximate. All join keys are 8-byte
     * hashes of the cell vector; the pair stream drops vectors before
     * any shuffle. */
+  /** Deterministic orthonormal basis of the m-dim projection subspace
+    * (Gram–Schmidt over seeded Gaussian draws) — driver-side, m×dim.
+    * Shared by [[candidatePairs]] and [[thinPerGridCell]] so both key
+    * the SAME rotation for a given (seed, dim). */
+  private def orthonormalDirs(dim: Int, m: Int,
+                              seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    val dirs = new Array[Array[Double]](m)
+    var i = 0
+    while (i < m) {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      for (p <- 0 until i) {
+        var d = 0.0
+        for (j <- 0 until dim) d += v(j) * dirs(p)(j)
+        for (j <- 0 until dim) v(j) -= d * dirs(p)(j)
+      }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 1e-9) { dirs(i) = v.map(_ / n); i += 1 } // else redraw
+    }
+    dirs
+  }
+
+  /** Deterministically thin `points` `(cells_id, pc, priority)` to at
+    * most `cap` rows per ε-grid cell — highest `priority` first, ties
+    * by lowest `cells_id`. The grid uses the SAME rotation a
+    * subsequent `knnJoin(query, points, k, seed, …)` builds and the
+    * radius estimated against the UN-thinned set, so the cap bounds
+    * (approximately — the search re-estimates its radius against the
+    * thinned set, which can only coarsen its grid by a bounded factor)
+    * the per-probed-cell occupancy that search will see. This is the
+    * "bounded anchor subset per grid cell" scale knob the 8M-barcode
+    * domain soak named for the integration correction stage: it keeps
+    * the correction's candidate volume O(|query| · cap · 3^m) no
+    * matter how the anchor set clusters, while preserving spatial
+    * coverage (a uniform hash-thinning would starve sparse regions of
+    * their only anchors). Infinite radius (points sample ≤ k) means
+    * one global cell; the set is tiny there and the cap applies to
+    * all of it. */
+  private[ml] def thinPerGridCell(query: DataFrame, points: DataFrame,
+                                  cap: Int, k: Int, seed: Long,
+                                  conservative: Boolean = false,
+                                  gridDims: Int = 3): DataFrame = {
+    val radius = estimateRadius(query, points, k, seed, conservative)
+    val w =
+      if (!java.lang.Double.isFinite(radius) || radius >= Double.MaxValue)
+        Double.MaxValue
+      else radius
+    val dim = points.select(col("pc")).head(1) match {
+      case Array(r) => r.getSeq[Double](0).length
+      case _ => 1
+    }
+    val m = math.max(1, math.min(gridDims, dim))
+    val dirs = orthonormalDirs(dim, m, seed)
+    val cellKey = xxhash64((0 until m).map { j =>
+      floor(Similarity.dotCols(col("pc"), typedlit(dirs(j).toSeq)) / lit(w))
+        .cast("long")
+    }: _*)
+    points
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(cellKey)
+          .orderBy(col("priority").desc, col("cells_id"))))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
   private[ml] def candidatePairs(query: DataFrame, corpus: DataFrame, k: Int,
                                  seed: Long, bucketLength: Double = 0.0,
                                  conservative: Boolean = false,
@@ -183,21 +248,7 @@ object Snn {
       case _ => 1 // empty corpus: any keying yields an empty join
     }
     val m = math.max(1, math.min(gridDims, dim))
-    // deterministic orthonormal basis of the projection subspace
-    // (Gram-Schmidt over seeded Gaussian draws) — driver-side, m×dim
-    val rng = new scala.util.Random(seed)
-    val dirs = new Array[Array[Double]](m)
-    var i = 0
-    while (i < m) {
-      val v = Array.fill(dim)(rng.nextGaussian())
-      for (p <- 0 until i) {
-        var d = 0.0
-        for (j <- 0 until dim) d += v(j) * dirs(p)(j)
-        for (j <- 0 until dim) v(j) -= d * dirs(p)(j)
-      }
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n > 1e-9) { dirs(i) = v.map(_ / n); i += 1 } // else redraw
-    }
+    val dirs = orthonormalDirs(dim, m, seed)
     def cells(side: DataFrame) = (0 until m).map { j =>
       floor(Similarity.dotCols(col("pc"), typedlit(dirs(j).toSeq)) / lit(w))
         .cast("long")

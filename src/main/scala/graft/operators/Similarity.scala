@@ -1021,7 +1021,7 @@ object Similarity {
   def ivfPqTopK(t: Tables, nQueries: Int = PqNQueries, k: Int = PqK,
                 nlist: Int = GateNlist, nprobe: Int = GateNprobe,
                 seed: Long = GateSeed, maxTrain: Int = GateMaxTrain): DataFrame = {
-    val index = buildPqIndex(t, nlist, seed, maxTrain)
+    val index = buildPqIndex(t, nlist, seed, maxTrain, residual = false) // gated x60-lineage raw form
     val queries = t.embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val out = pqQuery(index, queries, k, nprobe)
@@ -1054,6 +1054,33 @@ object Similarity {
     else TextQueries.unpersistAfterFirstUse(out, index.codes)
   }
 
+  /** x66 residual IVF-PQ + exact re-rank — [[residualPqTopK]]'s
+    * residual (IVFADC) shortlist re-scored with exact cosines against
+    * the raw vectors, the faiss IVFPQ+refine recipe over the residual
+    * coding. This is the PRODUCTION serving form the r12 recall grid
+    * recommends: on the clustered 1M fixtures raw-PQ ADC scores
+    * recall@10 = 0.00 (re-rank rescues it only to 0.61) while residual
+    * ADC scores 1.00, and the exact re-rank then pins the final
+    * ordering to true cosines regardless of quantization residue.
+    * Gated with a generated DuckDB oracle (the x65 CTE stack as the
+    * shortlist subquery + the x62 re-rank tail). */
+  def residualPqRerankTopK(t: Tables, nQueries: Int = PqNQueries,
+                           k: Int = PqK,
+                           shortlist: Int = PqRerankShortlist,
+                           nlist: Int = GateNlist, nprobe: Int = GateNprobe,
+                           seed: Long = GateSeed,
+                           maxTrain: Int = GateMaxTrain): DataFrame = {
+    val index = buildPqIndexFrom(
+      graft.core.Fanout.widen(t.embeddings)
+        .select(col("vec_id"), col("embedding")),
+      nlist, seed, maxTrain, tag = "embeddings", residual = true)
+    val queries = t.embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val out = pqQuery(index, queries, k, nprobe, rerankShortlist = shortlist)
+    if (index.isEmpty) out
+    else TextQueries.unpersistAfterFirstUse(out, index.codes)
+  }
+
   /** A built IVF-PQ index: trained coarse centroids + PQ codebooks +
     * the persisted codes table `(vec_id, cell, packed)` — 4 B of
     * packed codes per vector, ~1-3% of raw corpus bytes — plus the raw source
@@ -1082,13 +1109,22 @@ object Similarity {
     * quantizer (identical training to x14 — same QuantKey snapshot),
     * PQ codebooks (identical to x60 — same PqKey snapshot), then ONE
     * narrow corpus pass emitting cell + the packed [[PqM]]-nibble codes int per
-    * vector, persisted. */
+    * vector, persisted.
+    *
+    * `residual` DEFAULTS TO TRUE since round 13: the r12 recall grid
+    * measured raw-vector PQ at recall@10 = 0.00 on clustered 1M
+    * fixtures (the typical production distribution — codes re-describe
+    * the cluster the cell id already names) vs residual (IVFADC) 1.00
+    * at every setting, so the build-once API hands a production caller
+    * the form that works. The raw form remains available explicitly
+    * (`residual = false`) as the gated x60–x62 lineage. */
   def buildPqIndex(t: Tables, nlist: Int = GateNlist, seed: Long = GateSeed,
-                   maxTrain: Int = GateMaxTrain): PqIndex =
+                   maxTrain: Int = GateMaxTrain,
+                   residual: Boolean = true): PqIndex =
     buildPqIndexFrom(
       graft.core.Fanout.widen(t.embeddings)
         .select(col("vec_id"), col("embedding")),
-      nlist, seed, maxTrain, tag = "embeddings")
+      nlist, seed, maxTrain, tag = "embeddings", residual = residual)
 
   /** [[buildPqIndex]] over an arbitrary `(vec_id, embedding:
     * array<float>)` frame — the [[buildIvfIndexFrom]] seam for PQ.
@@ -1110,13 +1146,16 @@ object Similarity {
     * cells. Costs one extra broadcast join at build/load (the
     * per-cell cross-term table for the reconstruction norm); the ADC
     * scan shape is unchanged (codes stay one packed int + rn2 per
-    * vector). The raw form stays the default — it is the gated x60
-    * lineage (x60 has no coarse quantizer to take residuals against)
-    * and the two share every code path below the encode. */
+    * vector). Since round 13 RESIDUAL IS THE DEFAULT (see
+    * [[buildPqIndex]] — raw PQ's measured 0.00 recall on clustered
+    * data makes it the wrong silent choice); the raw form stays
+    * reachable with `residual = false` as the gated x60–x62 lineage
+    * (x60 has no coarse quantizer to take residuals against) and the
+    * two share every code path below the encode. */
   def buildPqIndexFrom(emb: DataFrame, nlist: Int = GateNlist,
                        seed: Long = GateSeed, maxTrain: Int = GateMaxTrain,
                        tag: String = "custom",
-                       residual: Boolean = false): PqIndex =
+                       residual: Boolean = true): PqIndex =
     if (!residual)
       trainPqBooks(emb, seed, maxTrain) match {
         case None =>
@@ -1257,25 +1296,47 @@ object Similarity {
     * the pruning key has to be the probe key.
     *
     * This is the one artifact piece that is ~corpus-sized (it holds
-    * the raw vectors); pure-ADC serving skips it entirely. After
-    * [[appendPqDelta]] batches, re-run this (or pass a grown raw frame
-    * to [[loadPqIndex]] yourself) — the layout is a snapshot of the
-    * index's raw frame at write time. */
+    * the raw vectors); pure-ADC serving skips it entirely. Since round
+    * 13 it is no longer an O(corpus)-per-ingest snapshot:
+    * [[appendPqDelta]] extends an existing layout by the delta's rows
+    * only (committed `rawdeltas/<batchId>` dirs, same marker pattern
+    * as the codes batches), and [[loadPqIndexWithRaw]] unions them in.
+    * Re-running THIS writes a fresh base snapshot and clears the
+    * accumulated raw deltas — the periodic compaction. */
   def saveRerankRaw(index: PqIndex, path: String): Unit = {
     require(!index.isEmpty, "cannot lay out an empty PqIndex")
+    val rd = new org.apache.hadoop.fs.Path(s"$path/rawdeltas")
+    val fs = rd.getFileSystem(
+      index.codes.sparkSession.sessionState.newHadoopConf())
     index.raw.select(col("vec_id"), col("embedding"))
       .join(index.codes.select(col("vec_id"), col("cell")), "vec_id")
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("vec_id"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/raw")
+    // the fresh snapshot subsumes every appended raw batch — clearing
+    // them AFTER the overwrite lands keeps the union view complete at
+    // every instant (worst case a crash here double-counts nothing:
+    // the snapshot and a stale rawdelta hold identical rows for the
+    // same vec_id only if the caller re-laid-out without growing raw,
+    // and loadPqIndexWithRaw reads each vec_id's row from one file
+    // per source — dedup is the caller-visible contract below)
+    if (fs.exists(rd)) fs.delete(rd, true)
   }
 
   /** [[loadPqIndex]] with the raw side read from the artifact's own
-    * [[saveRerankRaw]] layout — the re-rank fetch then prunes to the
-    * probed cells' directories. */
+    * [[saveRerankRaw]] layout — the base cell-partitioned snapshot
+    * plus every COMMITTED `rawdeltas/<batchId>` extension (each itself
+    * cell-partitioned, so the re-rank fetch's probed-cell IN-list
+    * prunes every source to the same ~nprobe/nlist directory
+    * sliver). Sources are unioned per-root (not multi-path read:
+    * partition discovery wants one basePath per root). */
   def loadPqIndexWithRaw(spark: org.apache.spark.sql.SparkSession,
-                         path: String): PqIndex =
-    loadPqIndex(spark, path, spark.read.parquet(s"$path/raw"))
+                         path: String): PqIndex = {
+    val roots = s"$path/raw" +:
+      committedDeltaDirs(spark, path, sub = "rawdeltas")
+    val raw = roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    loadPqIndex(spark, path, raw)
+  }
 
   /** On-disk PQ artifact format: 2 = packed int codes, rn2 elided,
     * versioned model row, append batches as committed `deltas/<id>`
@@ -1290,11 +1351,14 @@ object Similarity {
     * as data. */
   private val PqCommitMarker = "_GRAFT_COMMITTED"
 
-  /** Delta batch dirs under `path/deltas` whose commit marker exists,
-    * in sorted order — the committed-append manifest. */
+  /** Delta batch dirs under `path/<sub>` whose commit marker exists,
+    * in sorted order — the committed-append manifest (`deltas` for
+    * codes batches, `rawdeltas` for the re-rank raw layout's
+    * batches). */
   private def committedDeltaDirs(spark: org.apache.spark.sql.SparkSession,
-                                 path: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/deltas")
+                                 path: String,
+                                 sub: String = "deltas"): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
@@ -1399,7 +1463,17 @@ object Similarity {
     *    the partial batch in place;
     *  - re-invoking with an already-COMMITTED `batchId` (an at-least-
     *    once caller replaying) skips the write entirely instead of
-    *    silently duplicating every row of the batch. */
+    *    silently duplicating every row of the batch.
+    *
+    * If the artifact carries a [[saveRerankRaw]] layout (`path/raw`
+    * exists), the delta's RAW rows are also written — as a committed
+    * cell-partitioned `rawdeltas/<batchId>` dir — so the exact
+    * re-rank path stays complete and pruned without re-laying-out the
+    * corpus-sized base (the round-12 O(corpus)-per-ingest residue,
+    * closed). Raw lands BEFORE codes: a crash between the two leaves
+    * raw rows no shortlist ever references (harmless, replay
+    * completes them), never committed codes whose re-rank fetch would
+    * silently miss rows. */
   def appendPqDelta(spark: org.apache.spark.sql.SparkSession, path: String,
                     delta: DataFrame, raw: DataFrame,
                     batchId: String): PqIndex = {
@@ -1410,10 +1484,26 @@ object Similarity {
     val marker = new org.apache.hadoop.fs.Path(target, PqCommitMarker)
     if (!fs.exists(marker)) {
       val (centroids, books, residual) = loadPqModel(spark, path)
+      val enc = encodeAgainst(centroids, books, residual, delta,
+        withRn2 = false)
+      val rawBase = new org.apache.hadoop.fs.Path(s"$path/raw")
+      if (fs.exists(rawBase)) {
+        val rtarget = new org.apache.hadoop.fs.Path(
+          s"$path/rawdeltas/$batchId")
+        val rmarker = new org.apache.hadoop.fs.Path(rtarget, PqCommitMarker)
+        if (!fs.exists(rmarker)) {
+          delta.select(col("vec_id"), col("embedding"))
+            .join(enc.select(col("vec_id"), col("cell")), "vec_id")
+            .repartition(col("cell"))
+            .sortWithinPartitions(col("cell"), col("vec_id"))
+            .write.partitionBy("cell").mode("overwrite")
+            .parquet(rtarget.toString)
+          fs.create(rmarker, true).close()
+        }
+      }
       // overwrite, not append: a retried partial batch replaces itself;
       // the marker lands LAST, after every part file is in place
-      encodeAgainst(centroids, books, residual, delta, withRn2 = false)
-        .write.mode("overwrite").parquet(target.toString)
+      enc.write.mode("overwrite").parquet(target.toString)
       fs.create(marker, true).close()
     }
     loadPqIndex(spark, path, raw)
@@ -1575,6 +1665,7 @@ object Similarity {
     "x61_ivf_pq_topk" -> (t => ivfPqTopK(t)), // generated oracle (centroids + codebooks)
     "x62_ivf_pq_rerank" -> (t => ivfPqRerankTopK(t)), // generated oracle (same trained state)
     "x65_residual_pq" -> (t => residualPqTopK(t)), // generated oracle (centroids + residual codebooks)
+    "x66_residual_pq_rerank" -> (t => residualPqRerankTopK(t)), // generated oracle (x65 shortlist + x62 re-rank)
   )
 
   /** DuckDB double cosine between two list columns — the exact probe
@@ -1806,7 +1897,9 @@ object Similarity {
     (for { cs <- gate; b <- pq }
       yield "x62_ivf_pq_rerank" -> ivfPqRerankSql(cs, b)).toMap ++
     (for { cs <- gate; b <- rpq }
-      yield "x65_residual_pq" -> residualPqSql(cs, b)).toMap
+      yield "x65_residual_pq" -> residualPqSql(cs, b)).toMap ++
+    (for { cs <- gate; b <- rpq }
+      yield "x66_residual_pq_rerank" -> residualPqRerankSql(cs, b)).toMap
   }
 
   /** Generated x60 oracle: the trained codebooks as a 128-row literal
@@ -1877,7 +1970,7 @@ object Similarity {
                       nlist: Int = GateNlist, nprobe: Int = GateNprobe,
                       seed: Long = GateSeed,
                       maxTrain: Int = GateMaxTrain): DataFrame = {
-    val index = buildPqIndex(t, nlist, seed, maxTrain)
+    val index = buildPqIndex(t, nlist, seed, maxTrain, residual = false) // gated x60-lineage raw form
     val queries = t.embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val out = pqQuery(index, queries, k, nprobe, rerankShortlist = shortlist)
@@ -1955,7 +2048,8 @@ object Similarity {
     *    cross-term summed as exact DECIMAL, matching the nano-long
     *    fold bit for bit. */
   private def residualPqSql(centroids: Array[Array[Double]],
-                            books: Array[Array[Array[Double]]]): String = {
+                            books: Array[Array[Array[Double]]],
+                            k: Int = PqK): String = {
     val cb = books.zipWithIndex.flatMap { case (sub, i) =>
       sub.zipWithIndex.map { case (c, ci) =>
         s"($i, $ci, [${c.mkString(", ")}])"
@@ -2006,7 +2100,7 @@ object Similarity {
               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cos_raw, 6) DESC, vec_id) AS BIGINT) AS rk
             FROM r)
       SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos_pq, rk
-      FROM rk WHERE rk <= $PqK ORDER BY qid, rk"""
+      FROM rk WHERE rk <= $k ORDER BY qid, rk"""
   }
 
   /** Generated x62 oracle: the x61 shortlist (as a subquery, k =
@@ -2016,6 +2110,26 @@ object Similarity {
   private def ivfPqRerankSql(centroids: Array[Array[Double]],
                              books: Array[Array[Array[Double]]]): String = s"""
       WITH sl AS (SELECT qid, vec_id FROM (${ivfPqSql(centroids, books, PqRerankShortlist)})),
+      q2 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $PqNQueries),
+      rr AS (SELECT sl.qid, e.vec_id, ${cosSql("e.embedding", "q2.qe")} AS cos_raw
+             FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
+             JOIN q2 ON q2.qid = sl.qid),
+      rk2 AS (SELECT qid, vec_id, cos_raw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cos_raw, 6) DESC, vec_id) AS BIGINT) AS rk
+             FROM rr)
+      SELECT qid, vec_id, ROUND(cos_raw, 6) AS cos, rk
+      FROM rk2 WHERE rk <= $PqK ORDER BY qid, rk"""
+
+  /** Generated x66 oracle: the x65 residual-PQ shortlist (as a
+    * subquery, k = [[PqRerankShortlist]]) re-scored with EXACT cosines
+    * against the raw vectors — the x62 re-rank CTE composed over the
+    * residual (IVFADC) ADC stack instead of the raw-PQ one. This is
+    * the production recipe the r12 recall grid recommends (residual
+    * coding for clustered corpora + exact re-rank: MoG fixture
+    * recall@10 0.04 → 0.61 for raw+re-rank vs 1.00 for residual). */
+  private def residualPqRerankSql(centroids: Array[Array[Double]],
+                                  books: Array[Array[Array[Double]]]): String = s"""
+      WITH sl AS (SELECT qid, vec_id FROM (${residualPqSql(centroids, books, PqRerankShortlist)})),
       q2 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $PqNQueries),
       rr AS (SELECT sl.qid, e.vec_id, ${cosSql("e.embedding", "q2.qe")} AS cos_raw
              FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id

@@ -234,6 +234,17 @@ object DocStream {
     * corpus by definition), so `withinStream` defaults false to keep
     * exact stream/batch parity unless the caller opts in.
     *
+    * The cohort path shares the fp contract's structural residue:
+    * when a near-dup pair arrives in id-INVERTED order (higher id
+    * first), the pair's own rows swap roles — the later, smaller id
+    * is emitted `near_dup_delta` pointing at the first-arrived larger
+    * survivor, whose `new` row cannot be retracted in append mode
+    * (the batch x12/x13 family would elect min(doc_id)). Subsequent
+    * arrivals still fold to the MIN matching cohort id, so
+    * post-inversion batches converge on the same elections the
+    * non-inverted case pins (DocStreamSpec pins both the inverted
+    * pair and the post-inversion parity; r12 verdict item 7).
+    *
     * `withinStream = true` requires
     * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
     * Spark's checker conservatively rejects ANY stateful operator

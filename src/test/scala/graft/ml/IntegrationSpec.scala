@@ -201,6 +201,37 @@ class IntegrationSpec extends SparkSpec {
     assert(after < 0.85, s"sampled-anchor mixing $after (exact: ~0.6975)")
   }
 
+  test("capped-correction path: a generous per-cell cap is bit-identical to exact; a tight cap still removes the shift") {
+    // r12 verdict item 1: the correction stage's anchor set bounded
+    // per ε-grid cell (Snn.thinPerGridCell). A cap at/above the
+    // densest cell's anchor count drops nothing, so the output must
+    // not differ by a single double from the exact path...
+    val exact = Integration.integrateEmbeddings(pca, groups,
+      kAnchor = 8, kWeight = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val generous = Integration.integrateEmbeddings(pca, groups,
+      kAnchor = 8, kWeight = 8, maxAnchorsPerCell = 1000)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(generous == exact)
+    // ...and a genuinely tight cap (2 anchors per grid cell) must
+    // still correct EVERY query cell well enough to remove the
+    // planted batch shift: coverage, not anchor count, is what the
+    // per-cell thinning preserves
+    val capped = Integration.integrateEmbeddings(pca, groups,
+      kAnchor = 8, kWeight = 8, maxAnchorsPerCell = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(capped.size == 80)
+    (0 until 40).foreach(i => assert(capped(i.toLong) == exact(i.toLong)))
+    def centroid(out: Map[Long, Seq[Double]], ids: Range) = {
+      val vs = ids.map(out(_))
+      vs.head.indices.map(d => vs.map(_(d)).sum / vs.size)
+    }
+    val p1b1 = centroid(capped, 0 until 20)
+    val p1b2 = centroid(capped, 100 until 120)
+    assert(dist(p1b1, p1b2) < 3.0,
+      s"capped correction left the shift in: ${dist(p1b1, p1b2)}")
+  }
+
   test("single group passes through unchanged") {
     val single = groups.filter(col("group") === "batch1")
     val out = Integration.integrateEmbeddings(

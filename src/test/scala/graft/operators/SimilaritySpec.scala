@@ -90,10 +90,13 @@ class SimilaritySpec extends SparkSpec {
 
   test("build-once PQ index answers identically to per-call x61/x62; a second batch reuses it") {
     val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
-    // gate forms build their own (released) index per call
+    // gate forms build their own (released) index per call; they are
+    // the RAW-coding x60 lineage, so the parity index is built with
+    // residual = false explicitly (the build-once default is residual
+    // since r13 — pinned in its own test below)
     val adcDirect = Similarity.ivfPqTopK(t).collect().map(_.toSeq).toSeq
     val rrDirect = Similarity.ivfPqRerankTopK(t).collect().map(_.toSeq).toSeq
-    val index = Similarity.buildPqIndex(t)
+    val index = Similarity.buildPqIndex(t, residual = false)
     try {
       // index shape: one narrow row per vector, the 8 subspace codes
       // nibble-packed into one int, every nibble in [0, PqKsub)
@@ -467,7 +470,7 @@ class SimilaritySpec extends SparkSpec {
         .sum / exactTop.size
     }
     val raw = Similarity.buildPqIndexFrom(emb, nlist = 8, maxTrain = 2000,
-      tag = "resid-raw")
+      tag = "resid-raw", residual = false)
     val res = Similarity.buildPqIndexFrom(emb, nlist = 8, maxTrain = 2000,
       tag = "resid-res", residual = true)
     try {
@@ -511,5 +514,88 @@ class SimilaritySpec extends SparkSpec {
         finally appended.release()
       } finally grown.release()
     } finally { raw.release(); res.release() }
+  }
+
+  test("build-once default is RESIDUAL coding; raw stays the explicit gated lineage; x66 == build+rerank-query") {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    // r13 contract (VERDICT r12 item 5): raw PQ measured recall@10 =
+    // 0.00 on clustered corpora, so the build-once API defaults to the
+    // residual (IVFADC) form a production caller should get
+    val dflt = Similarity.buildPqIndex(t)
+    try {
+      assert(dflt.residual, "buildPqIndex default must be residual since r13")
+      assert(!Similarity.buildPqIndex(t, residual = false).residual)
+      // the x66 gate form is exactly build(residual) + one rerank query
+      val q = t.embeddings.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val viaIdx = Similarity.pqQuery(dflt, q, rerankShortlist = 50)
+        .collect().map(_.toSeq).toSeq
+      val gate = Similarity.residualPqRerankTopK(t)
+        .collect().map(_.toSeq).toSeq
+      assert(viaIdx == gate)
+      assert(gate.nonEmpty)
+    } finally dflt.release()
+  }
+
+  test("appendPqDelta extends a saveRerankRaw layout by the delta only; partial raw batches invisible; re-layout compacts") {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+    val grownRaw = base.unionByName(delta)
+    val dir = java.nio.file.Files.createTempDirectory("pqrawgrow").toString
+    def parquetFiles(root: String): Seq[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified())).sortBy(_._1)
+    }
+    val built = Similarity.buildPqIndexFrom(base, tag = "rawgrow-base")
+    try {
+      Similarity.savePqIndex(built, dir)
+      Similarity.saveRerankRaw(built, dir)
+      val baseFiles = parquetFiles(s"$dir/raw")
+      val appended = Similarity.appendPqDelta(spark, dir, delta, grownRaw, "g1")
+      appended.release() // we reload via the artifact's own raw below
+      // the base snapshot was NOT rewritten; the growth is a committed
+      // cell-partitioned rawdeltas batch
+      assert(parquetFiles(s"$dir/raw") == baseFiles,
+        "base raw layout must not be rewritten by an append")
+      assert(new java.io.File(s"$dir/rawdeltas/g1/_GRAFT_COMMITTED").exists())
+      assert(new java.io.File(s"$dir/rawdeltas/g1").listFiles()
+        .exists(f => f.isDirectory && f.getName.startsWith("cell=")),
+        "raw delta batch must be cell-partitioned for probe pruning")
+      val loaded = Similarity.loadPqIndexWithRaw(spark, dir)
+      try {
+        assert(loaded.raw.columns.contains("cell"))
+        assert(loaded.raw.count() == grownRaw.count())
+        // a delta vector is findable through the PRUNED exact re-rank
+        val dq = delta.orderBy("vec_id").limit(1).collect()(0)
+        val top = Similarity.pqQuery(loaded,
+          Seq((-1L, dq.getSeq[Float](1).toArray)).toDF("qid", "qe"),
+          k = 1, nprobe = 4, rerankShortlist = 50).collect()(0)
+        assert(top.getLong(1) == dq.getLong(0) && top.getDouble(2) == 1.0)
+      } finally loaded.release()
+      // a partial (uncommitted) raw batch is invisible to the union
+      val partial = delta.limit(5)
+        .join(spark.read.parquet(s"$dir/deltas/g1")
+          .select(col("vec_id"), col("cell")), "vec_id")
+      partial.write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$dir/rawdeltas/gPARTIAL")
+      val loaded2 = Similarity.loadPqIndexWithRaw(spark, dir)
+      try assert(loaded2.raw.count() == grownRaw.count(),
+        "uncommitted rawdeltas batch must be invisible")
+      finally loaded2.release()
+      // re-running saveRerankRaw over the grown index compacts: fresh
+      // base snapshot, rawdeltas cleared (committed and partial alike)
+      val grownIdx = Similarity.loadPqIndexWithRaw(spark, dir)
+      Similarity.saveRerankRaw(grownIdx, dir)
+      grownIdx.release()
+      assert(!new java.io.File(s"$dir/rawdeltas").exists())
+      val loaded3 = Similarity.loadPqIndexWithRaw(spark, dir)
+      try assert(loaded3.raw.count() == grownRaw.count())
+      finally loaded3.release()
+    } finally built.release()
   }
 }

@@ -454,6 +454,60 @@ class DocStreamSpec extends SparkSpec {
     }
   }
 
+  test("withinStream=true id-inversion: the near-dup pair swaps roles (first arrival survives); later batches stay consistent") {
+    // VERDICT r12 item 7: the band-cohort state shares append-mode's
+    // structural residue — when a near-dup pair arrives in id-INVERTED
+    // order (higher doc_id first), the cohort can only flag the LATER
+    // arrival, so the pair swaps roles vs the batch x12/x13 family
+    // (where min doc_id always survives): the smaller id gets flagged,
+    // pointing at the larger, first-arrived survivor. Pin the residue
+    // and that post-inversion batches keep electing min survivors on
+    // the fp (exact) chains exactly as the non-inverted pinned case.
+    implicit val ctx = spark.sqlContext
+    val near1 = base.replace("tok7 ", "tok7x ")
+    val corpus = Seq(1L -> ((0 until 50).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val index = graft.operators.TextQueries.buildDedupIndex(corpus)
+    index.fp.count(); index.bands.count()
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val multiKey = "spark.sql.streaming.statefulOperator.allowMultiple"
+    val prior = spark.conf.get(checkKey, "true")
+    val priorMulti = spark.conf.get(multiKey, "true")
+    spark.conf.set(checkKey, "false")
+    spark.conf.set(multiKey, "false")
+    val mem = MemoryStream[Doc]
+    val q = DocStream.deltaDedupStream(mem.toDF(), index, withinStream = true)
+      .writeStream.format("memory").queryName("nd_invert")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc(ts(0), 20L, base)) // HIGHER id arrives first
+      q.processAllAvailable()
+      mem.addData(Doc(ts(1), 10L, near1)) // smaller id, near-dup, later
+      q.processAllAvailable()
+      // post-inversion: exact copies of each text in later batches
+      mem.addData(Doc(ts(2), 5L, base))
+      q.processAllAvailable()
+      mem.addData(Doc(ts(3), 3L, near1))
+      q.processAllAvailable()
+      val out = spark.table("nd_invert")
+        .select("doc_id", "status", "dup_of").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      // the role swap: the batch family would keep 10 and flag 20; a
+      // stream can only flag what arrives after the state exists
+      assert(out(20L) == (("new", -1L)), out)
+      assert(out(10L) == (("near_dup_delta", 20L)), out)
+      // post-inversion parity: each fp chain's later copy points at
+      // its standing survivor and re-elects the min, as pinned for the
+      // exact path in the non-inverted case
+      assert(out(5L) == (("exact_dup_delta", 20L)), out)
+      assert(out(3L) == (("exact_dup_delta", 10L)), out)
+    } finally {
+      q.stop(); index.release()
+      spark.conf.set(checkKey, prior); spark.conf.set(multiKey, priorMulti)
+    }
+  }
+
   test("curationStream withinStream=true: the near_dup rung fires for a within-stream pair, precedence intact") {
     // the curation composition of the deltaDedupStream band-cohort
     // stage: a near-dup pair arriving in the SAME stream (no index
