@@ -29,6 +29,29 @@ def timed[T](f: => T): (T, Double) = {
   val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
 }
 
+// tmp/ is wiped between rounds — regenerate the clustered fixtures with
+// the ann_recall_clustered.scala recipes verbatim (deterministic).
+val mogDir = "/root/repo/tmp/sf_ann1m_mog"
+if (!new java.io.File(mogDir + "/embeddings.parquet").exists()) {
+  val (_, w) = timed {
+    val K = 64
+    val dim = 64
+    val centers = spark.range(K).select(col("id").as("c"), transform(sequence(lit(0), lit(dim - 1)), j => (pmod(xxhash64(concat(lit("ctr_"), col("id"), lit("_"), j)), lit(1000000L)).cast("double") / 500000.0 - 1.0)).as("center"))
+    spark.range(1000000L).repartition(64).select(col("id").as("vec_id"), pmod(xxhash64(concat(lit("comp_"), col("id"))), lit(K.toLong)).as("c")).join(broadcast(centers), "c").select(col("vec_id"), transform(sequence(lit(0), lit(dim - 1)), j => (element_at(col("center"), j + 1) + (pmod(xxhash64(concat(lit("nz_"), col("vec_id"), lit("_"), j)), lit(1000000L)).cast("double") / 500000.0 - 1.0) * 0.2).cast("float")).as("embedding")).write.mode("overwrite").parquet(mogDir + "/embeddings.parquet")
+  }
+  println(f"gen MoG fixture: $w%.1f s")
+}
+val plantedDir = "/root/repo/tmp/sf_ann1m_planted"
+if (!new java.io.File(plantedDir + "/embeddings.parquet").exists()) {
+  val (_, w) = timed {
+    val bg = spark.read.parquet(mogDir + "/embeddings.parquet")
+    val qs = bg.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val planted = qs.select(col("qid"), explode(sequence(lit(0), lit(9))).as("j"), col("qe")).select((lit(900000000L) + col("qid") * 10 + col("j")).as("vec_id"), transform(sequence(lit(0), lit(63)), i => (element_at(col("qe"), i + 1) + (pmod(xxhash64(concat(lit("pl_"), col("qid"), lit("_"), col("j"), lit("_"), i)), lit(1000000L)).cast("double") / 500000.0 - 1.0).cast("float") * 0.05f).cast("float")).as("embedding"))
+    bg.unionByName(planted).write.mode("overwrite").parquet(plantedDir + "/embeddings.parquet")
+  }
+  println(f"gen planted fixture: $w%.1f s")
+}
+
 def tuningGrid(name: String, dir: String): Unit = {
   println(s"=== fixture: $name ($dir) ===")
   val emb = spark.read.parquet(dir + "/embeddings.parquet")

@@ -10,7 +10,24 @@ object Bench {
     * 25-47 s outlier rep of a sub-second plan now carries its own
     * evidence (load1 >> cpus, or gcMs ~ wall) instead of reading as an
     * engine regression. */
-  private final case class Rep(sec: Double, at: Long, gcMs: Long, load1: Double)
+  private final case class Rep(sec: Double, at: Long, gcMs: Long, load1: Double,
+                               stealCs: Long)
+
+  /** Cumulative host-steal time in centiseconds (USER_HZ jiffies,
+    * summed over all vCPUs) from /proc/stat — field 9 of the "cpu"
+    * line. This box is a VM whose host steals CPU in multi-minute
+    * bursts (r13: 4,600 cumulative steal-seconds in the first 85 min
+    * of uptime, bursty); load1 can't see it (stolen time leaves
+    * threads runnable), so a rep's 3x outlier under steal looked
+    * identical to an engine regression. The per-rep steal DELTA
+    * attributes it directly: engine-slow reps show steal ~0, host-
+    * contended reps show steal of the same order as the wall. */
+  private def stealCs(): Long =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat"))).linesIterator
+      .find(_.startsWith("cpu ")).map(_.trim.split("\\s+")(8).toLong)
+      .getOrElse(-1L)
+    catch { case _: Throwable => -1L }
 
   private def loadAvg(): Seq[Double] =
     try new String(java.nio.file.Files.readAllBytes(
@@ -36,6 +53,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadAvg()
+    val stealStart = stealCs()
     // warm-up: JIT/codegen/session init and first-touch parquet footer
     // reads priced outside the timings — one cheap query per table
     // family (star joins, part regex, lineitem scan, documents text,
@@ -70,10 +88,12 @@ object Bench {
         spark.catalog.clearCache()
         val l1 = loadAvg().head
         val gc0 = gcTime()
+        val st0 = stealCs()
         val at = System.currentTimeMillis()
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        Rep((System.nanoTime() - t0) / 1e9, at, gcTime() - gc0, l1)
+        Rep((System.nanoTime() - t0) / 1e9, at, gcTime() - gc0, l1,
+          if (st0 < 0) -1L else stealCs() - st0)
       }
     // one UNTIMED warmup execution per query before its timed reps:
     // the session-level warmup above prices table first-touch out, but
@@ -134,7 +154,11 @@ object Bench {
       "warmup exec per query prices its codegen compile out of rep 1 " +
       "(data caches still cleared before every timed rep); r12+: " +
       "rep_meta carries per-rep start epoch-ms, GC ms and host load1, " +
-      "contended flags reps >3x their query's min"
+      "contended flags reps >3x their query's min; r13+: 5th rep_meta " +
+      "element is the rep's host-steal delta in cs (/proc/stat cpu " +
+      "field 9; /100 = stolen cpu-seconds across all vCPUs) - steal " +
+      "of the rep's wall order proves host contention, steal ~0 on a " +
+      "slow rep points at the engine"
     def repsJson(names: Seq[String]) = names.map { k =>
       "\"" + k + "\":[" + allTimes.toMap.apply(k).map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -149,16 +173,18 @@ object Bench {
         fmt(allTimes.toMap.apply(k).head)
     }.mkString("{", ",", "}")
     // full per-rep trust metadata, run order preserved (NOT sorted):
-    // each rep is [sec, start_epoch_ms, gc_ms, load1_at_start]
+    // each rep is [sec, start_epoch_ms, gc_ms, load1_at_start, steal_cs]
     val repMeta = allReps.map { case (k, rs) =>
       "\"" + k + "\":[" + rs.map(r =>
-        s"[${fmt(r.sec)},${r.at},${r.gcMs},${fmt(r.load1)}]").mkString(",") + "]"
+        s"[${fmt(r.sec)},${r.at},${r.gcMs},${fmt(r.load1)},${r.stealCs}]")
+        .mkString(",") + "]"
     }.mkString("{", ",", "}")
     val contendedJson = contended.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val loadEnd = loadAvg()
+    val stealTotal = if (stealStart < 0) -1L else stealCs() - stealStart
     def loadJson(l: Seq[Double]) = l.map(fmt).mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop_write","note":"$note","queries":$qs,"spread":$spread,"rep_samples":${repsJson(worstNames)},"min_of_reps":${minJson(worstNames, shortIds = false)},"rep_meta":$repMeta,"contended":$contendedJson,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"cpus":$cpus,"sf":"$sfDir","reps":$reps}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"noop_write","note":"$note","queries":$qs,"spread":$spread,"rep_samples":${repsJson(worstNames)},"min_of_reps":${minJson(worstNames, shortIds = false)},"rep_meta":$repMeta,"contended":$contendedJson,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"steal_cs_total":$stealTotal,"cpus":$cpus,"sf":"$sfDir","reps":$reps}"""
     println(full)
     // the full per-query JSON also lands on disk: stdout goes through
     // sbt's logger, whose "[info] " prefix keeps any line from parsing
@@ -193,7 +219,7 @@ object Bench {
       .map { case (k, (med, _)) => k -> med })
     val contendedCompact = contended.map { case (k, n) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + n }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${results.length},"worst5":$worst,"min_of_reps":${minJson(worstNames, shortIds = true)},"contended":$contendedCompact,"load1_start":${fmt(loadStart.head)},"load1_end":${fmt(loadEnd.head)},"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n":${results.length},"worst5":$worst,"min_of_reps":${minJson(worstNames, shortIds = true)},"contended":$contendedCompact,"load1_start":${fmt(loadStart.head)},"load1_end":${fmt(loadEnd.head)},"steal_cs_total":$stealTotal,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }
