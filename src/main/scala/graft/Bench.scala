@@ -11,7 +11,7 @@ object Bench {
     * evidence (load1 >> cpus, or gcMs ~ wall) instead of reading as an
     * engine regression. */
   private final case class Rep(sec: Double, at: Long, gcMs: Long, load1: Double,
-                               stealCs: Long)
+                               stealCs: Long, iowaitCs: Long)
 
   /** Cumulative host-steal time in centiseconds (USER_HZ jiffies,
     * summed over all vCPUs) from /proc/stat — field 9 of the "cpu"
@@ -22,12 +22,23 @@ object Bench {
     * identical to an engine regression. The per-rep steal DELTA
     * attributes it directly: engine-slow reps show steal ~0, host-
     * contended reps show steal of the same order as the wall. */
-  private def stealCs(): Long =
+  private def cpuLine(): Array[String] =
     try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/stat"))).linesIterator
-      .find(_.startsWith("cpu ")).map(_.trim.split("\\s+")(8).toLong)
-      .getOrElse(-1L)
-    catch { case _: Throwable => -1L }
+      .find(_.startsWith("cpu ")).map(_.trim.split("\\s+"))
+      .getOrElse(Array.empty)
+    catch { case _: Throwable => Array.empty }
+
+  private def stealCs(): Long = {
+    val f = cpuLine(); if (f.length > 8) f(8).toLong else -1L
+  }
+
+  /** Cumulative iowait cs (field 5) — a slow rep with steal ~0 AND
+    * gc ~0 but iowait of the wall's order is blocked on storage (host
+    * disk contention), the one stall class steal can't see. */
+  private def iowaitCs(): Long = {
+    val f = cpuLine(); if (f.length > 5) f(5).toLong else -1L
+  }
 
   private def loadAvg(): Seq[Double] =
     try new String(java.nio.file.Files.readAllBytes(
@@ -89,11 +100,13 @@ object Bench {
         val l1 = loadAvg().head
         val gc0 = gcTime()
         val st0 = stealCs()
+        val io0 = iowaitCs()
         val at = System.currentTimeMillis()
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
         Rep((System.nanoTime() - t0) / 1e9, at, gcTime() - gc0, l1,
-          if (st0 < 0) -1L else stealCs() - st0)
+          if (st0 < 0) -1L else stealCs() - st0,
+          if (io0 < 0) -1L else iowaitCs() - io0)
       }
     // one UNTIMED warmup execution per query before its timed reps:
     // the session-level warmup above prices table first-touch out, but
@@ -158,7 +171,9 @@ object Bench {
       "element is the rep's host-steal delta in cs (/proc/stat cpu " +
       "field 9; /100 = stolen cpu-seconds across all vCPUs) - steal " +
       "of the rep's wall order proves host contention, steal ~0 on a " +
-      "slow rep points at the engine"
+      "slow rep points at the engine; 6th element is the rep's iowait " +
+      "delta in cs (slow + steal ~0 + gc ~0 + iowait high = host disk " +
+      "stall)"
     def repsJson(names: Seq[String]) = names.map { k =>
       "\"" + k + "\":[" + allTimes.toMap.apply(k).map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -173,10 +188,11 @@ object Bench {
         fmt(allTimes.toMap.apply(k).head)
     }.mkString("{", ",", "}")
     // full per-rep trust metadata, run order preserved (NOT sorted):
-    // each rep is [sec, start_epoch_ms, gc_ms, load1_at_start, steal_cs]
+    // each rep is [sec, start_epoch_ms, gc_ms, load1_at_start, steal_cs,
+    // iowait_cs]
     val repMeta = allReps.map { case (k, rs) =>
       "\"" + k + "\":[" + rs.map(r =>
-        s"[${fmt(r.sec)},${r.at},${r.gcMs},${fmt(r.load1)},${r.stealCs}]")
+        s"[${fmt(r.sec)},${r.at},${r.gcMs},${fmt(r.load1)},${r.stealCs},${r.iowaitCs}]")
         .mkString(",") + "]"
     }.mkString("{", ",", "}")
     val contendedJson = contended.map { case (k, n) => "\"" + k + "\":" + n }
