@@ -1560,7 +1560,23 @@ object Similarity {
     * each), a ~nprobe/nlist sliver of the 4 B/vector packed-codes table
     * scanned, shuffle only at the per-query top-k window (rides
     * WindowGroupLimit); the re-rank adds one raw-corpus scan against a
-    * broadcast shortlist — the corpus never shuffles. */
+    * broadcast shortlist — the corpus never shuffles.
+    *
+    * Recommended defaults (round-13 serving grid, SOAK_ann §r13; two
+    * clustered 1M fixtures, residual index, nlist=256): `nprobe` ≈
+    * 1.5–3% of nlist (4–8 at nlist=256) — on margin-structured corpora
+    * (real retrieval: true matches at high cosine margin) that alone
+    * reaches recall@10 = 1.00 with `rerankShortlist = 0`; nprobe=1
+    * dropped to 0.82 (planted neighbors straddling a cell boundary).
+    * On NEAR-TIE corpora (the true top-10 separated by less than the
+    * 8-bit quantization noise — e.g. dense duplicate-heavy clusters)
+    * routing is not the limit and nprobe past 4 buys nothing; recall
+    * scales with `rerankShortlist` alone (0.06 at 0 → 0.17 at 50 →
+    * 0.43 at 200 → 0.61 at 400) and exact top-k needs a shortlist on
+    * the order of the tie-band width — prefer [[ivfQuery]] (IVF-exact)
+    * there if the band is cluster-sized. `rerankShortlist = 50` is
+    * cheap insurance (one bounded raw fetch) when the margin structure
+    * is unknown. */
   def pqQuery(index: PqIndex, queryDf: DataFrame, k: Int = PqK,
               nprobe: Int = GateNprobe, rerankShortlist: Int = 0): DataFrame = {
     val spark = index.codes.sparkSession
