@@ -12,6 +12,7 @@ object Verify {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", graft.core.Scratch.localDir())
       .config("spark.ui.enabled", "false")
       // µs int64 timestamps in output parquet (not int96) so the
       // driver's pyarrow read sees the same instant DuckDB computes.
