@@ -1714,9 +1714,17 @@ object TextQueries {
     * slice, paid once. */
   def buildLmModel(train: DataFrame): LmModel = {
     val occ = bigramOcc(train)
-    val ctx = occ.groupBy("cb").agg(count(lit(1)).as("c1")).persist()
     val mdl = occ.groupBy("cb", "bb").agg(count(lit(1)).as("c12")).persist()
-    ctx.count(); mdl.count()
+    mdl.count()
+    // r13 optimization (guide §1.2 step 1 — don't compute things twice):
+    // the context totals are exactly the bigram totals re-grouped —
+    // c1(cb) = Σ_bb c12(cb, bb), both counting the same occ rows — so
+    // derive ctx from the ALREADY-persisted ≤buckets²-row mdl instead
+    // of re-running the tokenize+shingle+2×md5 pass (and its shuffle)
+    // over the train slice a second time. Counts are exact longs; no
+    // float-order channel. GopherLmSpec pins ctx == the direct groupBy.
+    val ctx = mdl.groupBy("cb").agg(sum("c12").as("c1")).persist()
+    ctx.count()
     LmModel(ctx, mdl)
   }
 

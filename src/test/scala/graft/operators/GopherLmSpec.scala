@@ -99,6 +99,29 @@ class GopherLmSpec extends SparkSpec {
     assert(m(100L) < m(101L), s"seen ${m(100L)} !< unseen ${m(101L)}")
   }
 
+  test("x39: derived ctx equals the direct context groupBy (r13 one-pass fit)") {
+    // buildLmModel now derives ctx from the persisted mdl
+    // (c1 = Σ_bb c12) instead of a second corpus pass; pin it against
+    // the original direct formulation, recomputed here from the public
+    // primitives with the same bucket count (LmBuckets = 1024).
+    import graft.functions.TextFunctions.{hash60, tokens, wordShingles}
+    import org.apache.spark.sql.functions._
+    val rows = (0 until 40).map(i =>
+      (i.toLong, s"alpha beta w$i gamma alpha w${i % 7} beta", "src0"))
+    val t = Tables(spark, docsDir(rows))
+    val m = TextQueries.buildLmModel(t.documents)
+    val direct = t.documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(explode(wordShingles(col("toks"), 2)).as("s"))
+      .select((hash60(substring_index(col("s"), " ", 1)) % 1024L).as("cb"))
+      .groupBy("cb").agg(count(lit(1)).as("c1"))
+    val got = m.ctx.orderBy("cb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = direct.orderBy("cb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    m.release()
+    assert(got.sameElements(want),
+      s"ctx mismatch: got ${got.take(5).toSeq} want ${want.take(5).toSeq}")
+  }
+
   test("x39: model tables broadcast onto the scoring join") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val p = TextQueries.bigramPerplexity(t)
