@@ -2259,7 +2259,27 @@ object TextQueries {
     // is bounded by the token count, and the only shuffle is the
     // doc-partitioned sort (per-doc groups, no hash-key skew).
     val wd = Window.partitionBy("doc_id").orderBy("pos")
-    val rem = dup
+    // r13 (guide §2.3 — shuffle metadata, not payloads): the islands
+    // stay DOC-GRAIN to the end. Previously each covered index was
+    // exploded back to token grain and anti-joined against a full
+    // posexplode of the corpus tokens, then the survivors re-assembled
+    // per doc with collect_list + array_sort — three token-grain
+    // exchanges carrying every token of the corpus. The merged islands
+    // are already the per-doc decision; collecting them into a bounded
+    // per-doc spans array (≤ ⌈len/w⌉ disjoint intervals) and applying
+    // it row-locally with a positional array filter removes every
+    // token-grain shuffle: tokens now move zero times, the only
+    // remaining wide ops are the window-start pipeline above and one
+    // doc-grain join. Token order is the array order — the
+    // collect_list/array_sort reassembly (and its interpreted
+    // comparator) disappears with the shuffle.
+    // Cost shape: the positional filter is O(len × islands) per doc,
+    // row-local (islands disjoint, ≤ ⌈len/w⌉; soak docs ~10² tokens →
+    // trivial). A pathological 10⁵-token doc alternating dup/clean
+    // every w tokens pays O(len²/w) locally where the old token-grain
+    // anti-join paid O(len) distributed — if such docs appear, route
+    // them through the pre-r13 form (git history) or cap spans first.
+    val spans = dup
       .select(col("doc_id"), col("pos"))
       .withColumn("newIsland",
         when(lag(col("pos"), 1).over(wd).isNull ||
@@ -2268,23 +2288,20 @@ object TextQueries {
         wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("start"), (max(col("pos")) + (w - 1)).as("end"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start"), col("end"))).as("spans"))
+    val cleanedToks = filter(col("toks"), (_, i0) =>
+      !exists(col("spans"), s =>
+        i0 + 1 >= s.getField("start") && i0 + 1 <= s.getField("end")))
+    td.select(col("doc_id"), col("toks"))
+      .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        explode(sequence(col("start"), col("end"))).as("idx"))
-    val kept = td
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i0", "tok")))
-      .select(col("doc_id"), (col("i0") + 1).as("idx"), col("tok"))
-      .join(rem, Seq("doc_id", "idx"), "left_anti")
-    val rebuilt = kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
-            s => s.getField("tok"))).as("cleaned"))
-    t.documents
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left")
+        size(col("toks")).cast("long").as("n_tokens"),
+        when(col("spans").isNull, col("toks"))
+          .otherwise(cleanedToks).as("kept"))
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_md5"))
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
       .orderBy("doc_id")
   }
 
